@@ -1,0 +1,167 @@
+"""RNS fast base conversion on device (XLA path).
+
+TPU-native re-design of the reference's base-conversion kernels
+(src/rns_bconv.cu): the O(k_in * k_out * N) multiply-accumulate is expressed
+as a lax.scan over input limbs with a 128-bit (hi, lo) accumulator — the
+structure XLA needs to software-pipeline it; the Pallas/MXU version drops in
+behind the same interface.
+
+The reference corrects the base-conversion overshoot v = floor(sum y_i/q_i)
+with double-precision arithmetic (bConv_HPS, rns_bconv.cu:354).  Here v is
+computed exactly in integer arithmetic using 2^64 = U_i*q_i + V_i and exact
+Barrett division — see floor_sum_div — with residual error < k*2^-64 (vs the
+reference's 2^-52 double error), making this path strictly more accurate.
+
+All functions take (k_in, N) residue tensors (vmap for extra batch dims).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import modmath as mm
+from .rns_host import ModulusVec, modulus_vec, to_u64_array
+
+
+class BaseConvConsts(NamedTuple):
+    """Device constants for one ibase -> obase conversion.
+
+    Equivalent of the reference's DBaseConverter (include/rns_bconv.cuh:3-87).
+    """
+
+    ibase: ModulusVec              # (k_in,)
+    obase: ModulusVec              # (k_out,)
+    qhat_inv: jnp.ndarray          # (k_in,)  (Q/q_i)^{-1} mod q_i
+    qhat_inv_shoup: jnp.ndarray    # (k_in,)
+    qhat_mod_p: jnp.ndarray        # (k_out, k_in)
+    q_mod_p: jnp.ndarray           # (k_out,)
+    pow64_mod_p: jnp.ndarray       # (k_out,) 2^64 mod p_j
+    U: jnp.ndarray                 # (k_in,) floor(2^64/q_i)
+    V: jnp.ndarray                 # (k_in,) 2^64 mod q_i
+
+
+def consts_from_host(conv) -> BaseConvConsts:
+    """Build device constants from a host BaseConverter (host/rns.py)."""
+    ib, ob = conv.ibase, conv.obase
+    return BaseConvConsts(
+        ibase=modulus_vec(ib.moduli),
+        obase=modulus_vec(ob.moduli),
+        qhat_inv=jnp.asarray(to_u64_array(ib.qhat_inv_mod_qi)),
+        qhat_inv_shoup=jnp.asarray(to_u64_array(ib.qhat_inv_shoup)),
+        qhat_mod_p=jnp.asarray(
+            np.array(conv.qhat_mod_p, dtype=np.uint64).reshape(
+                ob.size, ib.size)),
+        q_mod_p=jnp.asarray(to_u64_array(conv.q_mod_p)),
+        pow64_mod_p=jnp.asarray(to_u64_array(conv.pow64_mod_p)),
+        U=jnp.asarray(to_u64_array(ib.U)),
+        V=jnp.asarray(to_u64_array(ib.V)),
+    )
+
+
+def accumulate_matmul_128(y: jnp.ndarray, mat: jnp.ndarray):
+    """sum_i y[i, :] * mat[:, i] with an exact 128-bit accumulator.
+
+    y: (k_in, N) values < 2^61; mat: (k_out, k_in) values < 2^61.
+    Returns (hi, lo) of shape (k_out, N).  Exact for k_in <= 63
+    (63 * 2^122 < 2^128); the framework's bases never exceed this
+    (reference bound: 64 primes, defines.h:4-28).
+    """
+    k_in, n = y.shape
+    k_out = mat.shape[0]
+    assert mat.shape[1] == k_in and k_in <= 63
+    init = (jnp.zeros((k_out, n), dtype=jnp.uint64),
+            jnp.zeros((k_out, n), dtype=jnp.uint64))
+
+    def body(acc, inp):
+        hi, lo = acc
+        yi, mi = inp  # (N,), (k_out,)
+        h, l = mm.mul_wide(yi[None, :], mi[:, None])
+        return mm.add_wide(hi, lo, h, l), None
+
+    (hi, lo), _ = jax.lax.scan(body, init, (y, mat.T), unroll=4)
+    return hi, lo
+
+
+def reduce_u128_any(x_hi, x_lo, p, ratio_lo, ratio_hi, pow64_mod_p):
+    """(x_hi*2^64 + x_lo) mod p for ARBITRARY 128-bit x and any p < 2^61.
+
+    Unlike barrett_reduce_u128 (which needs x < p*2^64), this works for small
+    output primes (e.g. the plain modulus t) by reducing the high word first.
+    """
+    hi_red = mm.barrett_reduce_u64(x_hi, p, ratio_hi)
+    lo_red = mm.barrett_reduce_u64(x_lo, p, ratio_hi)
+    hi_term = mm.mul_mod(hi_red, pow64_mod_p, p, ratio_lo, ratio_hi)
+    return mm.add_mod(hi_term, lo_red, p)
+
+
+def scale_by_qhat_inv(x: jnp.ndarray, c: BaseConvConsts) -> jnp.ndarray:
+    """y_i = [x_i * (Q/q_i)^{-1}]_{q_i} — the bconv entry multiply.
+
+    Reference: bconv_mult_kernel (src/rns_bconv.cu:22).
+    """
+    return mm.mul_mod_shoup(x, c.qhat_inv[:, None], c.qhat_inv_shoup[:, None],
+                            c.ibase.q[:, None])
+
+
+def floor_sum_div(y: jnp.ndarray, c: BaseConvConsts) -> jnp.ndarray:
+    """v = floor(sum_i y_i / q_i) computed exactly in integer arithmetic.
+
+    Per limb, floor(y*2^64/q) = y*U + floor(y*V/q) exactly (2^64 = U*q + V,
+    exact quotient via repaired Barrett).  Summing in 128 bits, the high word
+    is floor(sum y_i/q_i) with truncation error < k*2^-64 — negligible and
+    strictly tighter than the reference's double-based correction.
+    Returns (N,) uint64 (values < k_in).
+    """
+    k_in, n = y.shape
+    q = c.ibase.q[:, None]
+    rlo = c.ibase.ratio_lo[:, None]
+    rhi = c.ibase.ratio_hi[:, None]
+    yU = y * c.U[:, None]                              # < 2^64, exact mod 2^64
+    h, l = mm.mul_wide(y, c.V[:, None])                # y*V < 2^122
+    quot, _ = mm.barrett_div_mod_u128(h, l, q, rlo, rhi)
+
+    hi = jnp.zeros((n,), dtype=jnp.uint64)
+    lo = jnp.zeros((n,), dtype=jnp.uint64)
+    for i in range(k_in):  # unrolled: k_in is small and static
+        lo, cr = mm.add_u64_carry(lo, yU[i])
+        hi = hi + cr
+        lo, cr = mm.add_u64_carry(lo, quot[i])
+        hi = hi + cr
+    return hi
+
+
+def bconv_approx(x: jnp.ndarray, c: BaseConvConsts) -> jnp.ndarray:
+    """Approximate (BEHZ-style) fast base conversion: output carries a
+    +alpha*Q overshoot with alpha <= k_in.
+
+    x: (k_in, N) residues in ibase -> (k_out, N) residues in obase.
+    Reference: bConv_BEHZ (src/rns_bconv.cu:212).
+    """
+    y = scale_by_qhat_inv(x, c)
+    return _matmul_reduce(y, c)
+
+
+def _matmul_reduce(y: jnp.ndarray, c: BaseConvConsts) -> jnp.ndarray:
+    hi, lo = accumulate_matmul_128(y, c.qhat_mod_p)
+    p = c.obase.q[:, None]
+    return reduce_u128_any(hi, lo, p, c.obase.ratio_lo[:, None],
+                           c.obase.ratio_hi[:, None], c.pow64_mod_p[:, None])
+
+
+def bconv_exact(x: jnp.ndarray, c: BaseConvConsts) -> jnp.ndarray:
+    """Corrected fast base conversion (reference bConv_HPS semantics,
+    src/rns_bconv.cu:354, but with the exact integer v).
+
+    Computes [x mod Q]_{p_j} exactly (up to the < k*2^-64 v-boundary case).
+    """
+    y = scale_by_qhat_inv(x, c)
+    raw = _matmul_reduce(y, c)
+    v = floor_sum_div(y, c)
+    p = c.obase.q[:, None]
+    corr = mm.mul_mod(v[None, :], c.q_mod_p[:, None], p,
+                      c.obase.ratio_lo[:, None], c.obase.ratio_hi[:, None])
+    return mm.sub_mod(raw, corr, p)

@@ -123,6 +123,26 @@ def barrett_reduce_u128(x_hi, x_lo, q, ratio_lo, ratio_hi):
     return csub(r, q)
 
 
+def barrett_div_mod_u128(x_hi, x_lo, q, ratio_lo, ratio_hi):
+    """Exact (floor(x/q), x mod q) for x = x_hi*2^64 + x_lo < q * 2^64.
+
+    The Barrett quotient estimate k satisfies k in {floor(x/q)-1, floor(x/q)};
+    one comparison repairs it.  The exact quotient is the engine behind the
+    framework's exact-integer replacements for the reference's double-precision
+    HPS paths (rns.cu:1519-1632): floor(a*2^64/q) etc. become exact u64 math.
+    Quotient is returned mod 2^64 (callers guarantee it fits).
+    """
+    c = mul_hi(x_lo, ratio_lo)
+    ha, la = mul_wide(x_lo, ratio_hi)
+    hb, lb = mul_wide(x_hi, ratio_lo)
+    s1, c1 = add_u64_carry(la, c)
+    s2, c2 = add_u64_carry(s1, lb)
+    k = x_hi * ratio_hi + ha + hb + c1 + c2
+    r = x_lo - k * q
+    fix = (r >= q).astype(jnp.uint64)
+    return k + fix, r - fix * q
+
+
 def mul_mod(a, b, q, ratio_lo, ratio_hi):
     """(a * b) mod q via full 128-bit Barrett; a, b in [0, 2^63)."""
     hi, lo = mul_wide(a, b)

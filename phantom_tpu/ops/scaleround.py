@@ -1,0 +1,154 @@
+"""Exact scale-and-round kernels (BFV decrypt / multiply arithmetic).
+
+TPU-native replacement for the reference's double-precision HPS
+scale-and-round kernels (src/rns.cu:1519-1823).  The TPU has no fast f64, so
+every round(t * x / Q) is evaluated in exact fixed-point integer arithmetic:
+
+    round(t*x/Q) mod t  =  round( sum_i y_i * (t/q_i) ) mod t,
+    y_i = [x_i * (Q/q_i)^{-1}]_{q_i}
+
+with per-limb exact splits  t*2^64 = Lam_i*q_i + rho_i  so that
+
+    y_i * t * 2^64 / q_i = y_i*Lam_i + g_i + r_i/q_i          (exact)
+    g_i, r_i = divmod(y_i * rho_i, q_i)                        (exact Barrett)
+
+The integer words accumulate in 128 bits; the remainders r_i/q_i are refined
+one more fixed-point level (error < k * 2^-128, vs 2^-52 for the reference's
+doubles).  Correct decryption margins therefore strictly dominate the
+reference's.
+
+Constraint: k * t < 2^63 (plain modulus times limb count), comfortably above
+any standard parameter set; asserted at precompute time.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import modmath as mm
+from .rns_host import ModulusVec, modulus_vec, to_u64_array
+
+
+class DecryptScaleRoundConsts(NamedTuple):
+    """Constants for round(t*x/Q) mod t over base Q (BFV decrypt).
+
+    Reference counterpart: hps_decrypt_scale_and_round tables
+    (src/rns.cu:1634, qMSB float-split variants).
+    """
+
+    base: ModulusVec             # Q primes (k,)
+    qhat_inv: jnp.ndarray        # (k,)
+    qhat_inv_shoup: jnp.ndarray  # (k,)
+    lam: jnp.ndarray             # (k,) floor(t*2^64 / q_i)
+    rho: jnp.ndarray             # (k,) t*2^64 mod q_i
+    t: jnp.ndarray               # () plain modulus
+    t_ratio_hi: jnp.ndarray      # () floor(2^128/t) >> 64
+
+
+def make_decrypt_consts(base, t: int) -> DecryptScaleRoundConsts:
+    """base: host RNSBase for Q; t: plain modulus (int)."""
+    k = base.size
+    assert k * t < (1 << 63), "k*t must fit in 63 bits for exact rounding"
+    lam = [(t << 64) // q for q in base.moduli]
+    rho = [(t << 64) - l * q for l, q in zip(lam, base.moduli)]
+    assert all(l < (1 << 64) for l in lam), "require t < q_i for all i"
+    return DecryptScaleRoundConsts(
+        base=modulus_vec(base.moduli),
+        qhat_inv=jnp.asarray(to_u64_array(base.qhat_inv_mod_qi)),
+        qhat_inv_shoup=jnp.asarray(to_u64_array(base.qhat_inv_shoup)),
+        lam=jnp.asarray(to_u64_array(lam)),
+        rho=jnp.asarray(to_u64_array(rho)),
+        t=jnp.uint64(t),
+        t_ratio_hi=jnp.uint64(((1 << 128) // t) >> 64),
+    )
+
+
+def decrypt_scale_and_round(x: jnp.ndarray,
+                            c: DecryptScaleRoundConsts) -> jnp.ndarray:
+    """x: (k, N) RNS residues of [c0 + c1 s]_Q -> (N,) plaintext in [0, t)."""
+    k, n = x.shape
+    q = c.base.q[:, None]
+    rlo = c.base.ratio_lo[:, None]
+    rhi = c.base.ratio_hi[:, None]
+
+    y = mm.mul_mod_shoup(x, c.qhat_inv[:, None], c.qhat_inv_shoup[:, None], q)
+
+    # integer words: A_i = y_i * Lam_i (128-bit), g_i = floor(y_i*rho_i/q_i)
+    a_hi, a_lo = mm.mul_wide(y, c.lam[:, None])
+    ph, plvals = mm.mul_wide(y, c.rho[:, None])
+    g, r = mm.barrett_div_mod_u128(ph, plvals, q, rlo, rhi)
+    # second fixed-point level: F2_i = floor(r_i * 2^64 / q_i)
+    f2, _ = mm.barrett_div_mod_u128(r, jnp.zeros_like(r), q, rlo, rhi)
+
+    # S = sum(A_i + g_i) in 128 bits; E2 = sum F2_i in 128 bits
+    s_hi = jnp.zeros((n,), dtype=jnp.uint64)
+    s_lo = jnp.zeros((n,), dtype=jnp.uint64)
+    e_hi = jnp.zeros((n,), dtype=jnp.uint64)
+    e_lo = jnp.zeros((n,), dtype=jnp.uint64)
+    for i in range(k):
+        s_hi, s_lo = mm.add_wide(s_hi, s_lo, a_hi[i], a_lo[i])
+        s_lo, cr = mm.add_u64_carry(s_lo, g[i])
+        s_hi = s_hi + cr
+        e_lo, cr = mm.add_u64_carry(e_lo, f2[i])
+        e_hi = e_hi + cr
+
+    # m = floor( (S*2^64 + E2 + 2^127) / 2^128 ) = S_hi + carry(S_lo + W_hi)
+    w_hi = e_hi + jnp.uint64(1 << 63)  # E2 < k*2^64, no overflow
+    _, c3 = mm.add_u64_carry(s_lo, w_hi)
+    m_int = s_hi + c3
+    return mm.barrett_reduce_u64(m_int, c.t, c.t_ratio_hi)
+
+
+class PlainLiftConsts(NamedTuple):
+    """Constants for BFV's scaled plaintext embedding round(Q*m/t) mod q_i.
+
+    Writing Q = Delta*t + r_t:  round(Q*m/t) = Delta*m + round(r_t*m/t).
+    Reference counterpart: multiply_add_plain_with_scaling_variant
+    (src/scalingvariant.cu:10).
+    """
+
+    base: ModulusVec
+    delta_mod_q: jnp.ndarray        # (k,) Delta mod q_i
+    delta_shoup: jnp.ndarray        # (k,)
+    r_t: jnp.ndarray                # () Q mod t
+    t: jnp.ndarray                  # ()
+    t_half: jnp.ndarray             # () floor(t/2)
+    t_ratio_lo: jnp.ndarray
+    t_ratio_hi: jnp.ndarray
+
+
+def make_plain_lift_consts(base, t: int) -> PlainLiftConsts:
+    from ..host.modulus import compute_shoup
+    assert t < min(base.moduli), "require t < q_i (fix term must be reduced)"
+    delta = base.prod // t
+    r_t = base.prod - delta * t
+    dmod = [delta % q for q in base.moduli]
+    ratio = (1 << 128) // t
+    return PlainLiftConsts(
+        base=modulus_vec(base.moduli),
+        delta_mod_q=jnp.asarray(to_u64_array(dmod)),
+        delta_shoup=jnp.asarray(to_u64_array(
+            [compute_shoup(d, q) for d, q in zip(dmod, base.moduli)])),
+        r_t=jnp.uint64(r_t),
+        t=jnp.uint64(t),
+        t_half=jnp.uint64(t // 2),
+        t_ratio_lo=jnp.uint64(ratio & ((1 << 64) - 1)),
+        t_ratio_hi=jnp.uint64(ratio >> 64),
+    )
+
+
+def scale_plain_up(m: jnp.ndarray, c: PlainLiftConsts) -> jnp.ndarray:
+    """m: (N,) plaintext coefficients in [0, t) -> (k, N) round(Q*m/t) mod q_i."""
+    q = c.base.q[:, None]
+    # fix = round(r_t * m / t) = floor((r_t*m + floor(t/2)) / t), exact
+    h, l = mm.mul_wide(m, c.r_t)
+    l2, cr = mm.add_u64_carry(l, c.t_half * jnp.ones_like(l))
+    h2 = h + cr
+    fix, _ = mm.barrett_div_mod_u128(h2, l2, c.t, c.t_ratio_lo, c.t_ratio_hi)
+    main = mm.mul_mod_shoup(m[None, :], c.delta_mod_q[:, None],
+                            c.delta_shoup[:, None], q)
+    # fix < t <= q_i is already reduced mod q_i
+    return mm.add_mod(main, fix[None, :] * jnp.ones_like(main), q)

@@ -1,0 +1,7 @@
+"""Scheme layer: parameters, context chain, keys, encoders, evaluator."""
+
+from .params import EncryptionParameters, Scheme, MulTech  # noqa: F401
+from .context import Context, make_context  # noqa: F401
+from .ciphertext import Ciphertext, Plaintext  # noqa: F401
+from . import keys  # noqa: F401
+from .batch_encoder import BatchEncoder  # noqa: F401

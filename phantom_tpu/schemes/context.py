@@ -1,0 +1,285 @@
+"""Context chain: per-level parameters and device-resident precompute.
+
+Equivalent of the reference's PhantomContext / ContextData / DRNSTool
+(src/context.cu:121-232, src/rns.cu:11-983): one ContextData per modulus
+level, each carrying the device constants the evaluator verbs need —
+hybrid-keyswitch digit converters, rescale inverses, BFV plaintext-lift and
+decrypt tables, HPS multiplication tables.
+
+Everything is a flax.struct dataclass / NamedTuple of jnp arrays: passing a
+Context (or one of its ContextData) into a jitted verb specializes the trace
+on the static metadata (chain index, limb counts) exactly like the
+reference's per-level host dispatch, while the tables ride along as device
+constants.
+
+Chain indexing matches the reference (include/context.cuh:186-207):
+index 0 is the key level (all of Q, P); index 1 is the first data level
+(all of Q); each subsequent level drops one data prime.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import flax.struct
+import jax.numpy as jnp
+import numpy as np
+
+from ..host import numth
+from ..host.modulus import Modulus, compute_shoup
+from ..host.ntt_tables import make_rns_ntt_tables
+from ..host.rns import BaseConverter, RNSBase
+from ..ops import bconv as bc
+from ..ops import ntt as nttmod
+from ..ops import scaleround as sr
+from ..ops.rns_host import ModulusVec, modulus_vec, to_u64_array
+from .params import EncryptionParameters, Scheme
+
+
+class RescaleConsts(NamedTuple):
+    """Constants for dropping the last prime with rounding
+    (reference: DRNSTool::divide_and_round_q_last(_ntt), rns.cu:1114,1160)."""
+
+    qlast_inv: jnp.ndarray        # (k-1,) q_last^{-1} mod q_i
+    qlast_inv_shoup: jnp.ndarray  # (k-1,)
+    half: jnp.ndarray             # ()  floor(q_last / 2)
+    half_mod_q: jnp.ndarray       # (k-1,) half mod q_i
+
+
+class KeySwitchConsts(NamedTuple):
+    """Per-level hybrid key-switching tables
+    (reference: DRNSTool hybrid-KS members, include/rns.cuh:37-44)."""
+
+    digit_convs: Tuple[bc.BaseConvConsts, ...]  # beta converters digit->QlP
+    p_to_q: bc.BaseConvConsts                   # P -> Ql (moddown)
+    pinv_mod_q: jnp.ndarray                     # (size_Ql,) P^{-1} mod q_i
+    pinv_shoup: jnp.ndarray
+    bigp_mod_q: jnp.ndarray                     # (size_Ql,) P mod q_i
+    bigp_shoup: jnp.ndarray
+
+
+class HPSMulConsts(NamedTuple):
+    """Per-level BFV HPS multiplication tables
+    (reference: DRNSTool HPS members, include/rns.cuh:119-147)."""
+
+    q_to_r: bc.BaseConvConsts      # exact Ql -> Rl lift
+    # rational scale-and-round (t/Ql) from D = Ql u Rl down to Ql:
+    dbase: ModulusVec              # (k_d,) combined base
+    dhat_inv: jnp.ndarray          # (k_d,)
+    dhat_inv_shoup: jnp.ndarray
+    omega_mod_q: jnp.ndarray       # (size_Ql, k_d) floor(t*Rl/d_i) mod q_j
+    rho: jnp.ndarray               # (k_d,) t*Rl mod d_i (exact frac numerators)
+    U: jnp.ndarray                 # (k_d,)
+    V: jnp.ndarray                 # (k_d,)
+    trl_mod_q: jnp.ndarray         # (size_Ql,) t*Rl mod q_j  (v correction)
+
+
+@flax.struct.dataclass
+class ContextData:
+    mv: ModulusVec                                   # Ql
+    rescale: Optional[RescaleConsts]
+    ks: Optional[KeySwitchConsts]
+    plain_lift: Optional[sr.PlainLiftConsts]         # BFV
+    decrypt_sr: Optional[sr.DecryptScaleRoundConsts]  # BFV
+    hps: Optional[HPSMulConsts]                      # BFV
+    chain_index: int = flax.struct.field(pytree_node=False, default=0)
+    moduli: Tuple[int, ...] = flax.struct.field(pytree_node=False, default=())
+
+    @property
+    def size_ql(self) -> int:
+        return len(self.moduli)
+
+
+@flax.struct.dataclass
+class Context:
+    key_mv: ModulusVec                     # all QP moduli
+    ntt: nttmod.NTTTablesDevice            # tables for all QP rows
+    plain_ntt: Optional[nttmod.NTTTablesDevice]  # BFV/BGV: mod-t tables
+    rl_ntt: Optional[nttmod.NTTTablesDevice]     # BFV HPS: aux base R rows
+    chain: Tuple[ContextData, ...]
+    t_mod_q: Optional[jnp.ndarray]         # (size_q,) t mod q_i (BGV noise)
+    t_mod_q_shoup: Optional[jnp.ndarray]
+    params: EncryptionParameters = flax.struct.field(pytree_node=False,
+                                                     default=None)
+
+    # ---- static helpers -------------------------------------------------
+    @property
+    def first_data_index(self) -> int:
+        return 1
+
+    def get_context_data(self, chain_index: int) -> ContextData:
+        return self.chain[chain_index]
+
+    def data_level_count(self) -> int:
+        return len(self.chain) - 1
+
+    def tables_q(self, size_ql: int) -> nttmod.NTTTablesDevice:
+        """NTT tables for the first size_ql data primes."""
+        return nttmod._limb_slice(self.ntt, (0, size_ql))
+
+    def tables_p(self) -> nttmod.NTTTablesDevice:
+        """NTT tables for the special primes."""
+        k = self.params.size_q
+        return nttmod._limb_slice(self.ntt, (k, k + self.params.size_p))
+
+    def tables_digit(self, digit: int, size_ql: int) -> nttmod.NTTTablesDevice:
+        alpha = self.params.size_p
+        lo = digit * alpha
+        hi = min(lo + alpha, size_ql)
+        return nttmod._limb_slice(self.ntt, (lo, hi))
+
+    def tables_r(self, size_rl: int) -> nttmod.NTTTablesDevice:
+        return nttmod._limb_slice(self.rl_ntt, (0, size_rl))
+
+
+def _rescale_consts(moduli) -> Optional[RescaleConsts]:
+    if len(moduli) < 2:
+        return None
+    qlast = moduli[-1]
+    rest = moduli[:-1]
+    inv = [numth.invert_mod(qlast % q, q) for q in rest]
+    half = qlast >> 1
+    return RescaleConsts(
+        qlast_inv=jnp.asarray(to_u64_array(inv)),
+        qlast_inv_shoup=jnp.asarray(to_u64_array(
+            [compute_shoup(v, q) for v, q in zip(inv, rest)])),
+        half=jnp.uint64(half),
+        half_mod_q=jnp.asarray(to_u64_array([half % q for q in rest])),
+    )
+
+
+def _keyswitch_consts(data_moduli, special_moduli) -> KeySwitchConsts:
+    size_ql = len(data_moduli)
+    alpha = len(special_moduli)
+    beta = -(-size_ql // alpha)
+    qlp = list(data_moduli) + list(special_moduli)
+    qlp_base = RNSBase(qlp)
+    digit_convs = []
+    for d in range(beta):
+        digit = data_moduli[d * alpha: min((d + 1) * alpha, size_ql)]
+        conv = BaseConverter(RNSBase(digit), qlp_base)
+        digit_convs.append(bc.consts_from_host(conv))
+    p_base = RNSBase(special_moduli)
+    p_to_q = bc.consts_from_host(BaseConverter(p_base, RNSBase(data_moduli)))
+    big_p = p_base.prod
+    pinv = [numth.invert_mod(big_p % q, q) for q in data_moduli]
+    pmod = [big_p % q for q in data_moduli]
+    return KeySwitchConsts(
+        digit_convs=tuple(digit_convs),
+        p_to_q=p_to_q,
+        pinv_mod_q=jnp.asarray(to_u64_array(pinv)),
+        pinv_shoup=jnp.asarray(to_u64_array(
+            [compute_shoup(v, q) for v, q in zip(pinv, data_moduli)])),
+        bigp_mod_q=jnp.asarray(to_u64_array(pmod)),
+        bigp_shoup=jnp.asarray(to_u64_array(
+            [compute_shoup(v, q) for v, q in zip(pmod, data_moduli)])),
+    )
+
+
+def _hps_mul_consts(data_moduli, rl_moduli, t: int) -> HPSMulConsts:
+    """Tables for round((t/Ql) * x) : D = Ql u Rl -> Ql, all exact integers.
+
+    Reference counterpart: HPS tables in DRNSTool (src/rns.cu:690-980) —
+    the double-precision t*QHatInv/q int+frac split becomes the exact pair
+    (omega_i, rho_i) with t*Rl = omega_i*d_i + rho_i.
+    """
+    size_ql = len(data_moduli)
+    size_rl = size_ql + 1
+    rl = rl_moduli[:size_rl]
+    d_moduli = list(data_moduli) + list(rl)
+    dbase = RNSBase(d_moduli)
+    q_to_r = bc.consts_from_host(
+        BaseConverter(RNSBase(data_moduli), RNSBase(rl)))
+    big_rl = 1
+    for r in rl:
+        big_rl *= r
+    trl = t * big_rl
+    omega = [trl // d for d in d_moduli]
+    rho = [trl - w * d for w, d in zip(omega, d_moduli)]
+    omega_mod_q = np.array(
+        [[w % q for w in omega] for q in data_moduli], dtype=np.uint64)
+    return HPSMulConsts(
+        q_to_r=q_to_r,
+        dbase=modulus_vec(d_moduli),
+        dhat_inv=jnp.asarray(to_u64_array(dbase.qhat_inv_mod_qi)),
+        dhat_inv_shoup=jnp.asarray(to_u64_array(dbase.qhat_inv_shoup)),
+        omega_mod_q=jnp.asarray(omega_mod_q),
+        rho=jnp.asarray(to_u64_array(rho)),
+        U=jnp.asarray(to_u64_array(dbase.U)),
+        V=jnp.asarray(to_u64_array(dbase.V)),
+        trl_mod_q=jnp.asarray(to_u64_array([trl % q for q in data_moduli])),
+    )
+
+
+def make_context(params: EncryptionParameters) -> Context:
+    """Build the full context chain (reference: PhantomContext ctor)."""
+    n = params.n
+    scheme = params.scheme
+    t = params.plain_modulus
+    data_moduli = list(params.data_moduli)
+    special_moduli = list(params.special_moduli)
+    qp = data_moduli + special_moduli
+
+    # global NTT tables over QP
+    ntt_dev = nttmod.tables_from_host(
+        make_rns_ntt_tables(n, [Modulus(q) for q in qp]))
+
+    plain_ntt = None
+    if scheme in (Scheme.BFV, Scheme.BGV):
+        if (t - 1) % (2 * n) != 0:
+            raise ValueError("plain modulus must support batching (== 1 mod 2N)")
+        plain_ntt = nttmod.tables_from_host(
+            make_rns_ntt_tables(n, [Modulus(t)]))
+
+    # BFV HPS auxiliary base R: size_q+1 primes below min(q_i)
+    rl_moduli: list = []
+    rl_ntt = None
+    if scheme == Scheme.BFV:
+        rl_moduli = numth.get_primes_below(min(qp), 2 * n,
+                                           params.size_q + 1)
+        rl_ntt = nttmod.tables_from_host(
+            make_rns_ntt_tables(n, [Modulus(r) for r in rl_moduli]))
+
+    # chain: index 0 = key level (QP), then data levels dropping one prime
+    chain = []
+    # key level
+    chain.append(ContextData(
+        mv=modulus_vec(qp), rescale=None, ks=None, plain_lift=None,
+        decrypt_sr=None, hps=None, chain_index=0, moduli=tuple(qp)))
+
+    num_levels = len(data_moduli)
+    for lvl in range(num_levels):
+        ql = data_moduli[: num_levels - lvl]
+        base_ql = RNSBase(ql)
+        plain_lift = decrypt_sr = hps = None
+        if scheme == Scheme.BFV:
+            plain_lift = sr.make_plain_lift_consts(base_ql, t)
+            decrypt_sr = sr.make_decrypt_consts(base_ql, t)
+            hps = _hps_mul_consts(ql, rl_moduli, t)
+        chain.append(ContextData(
+            mv=modulus_vec(ql),
+            rescale=_rescale_consts(ql),
+            ks=_keyswitch_consts(ql, special_moduli),
+            plain_lift=plain_lift,
+            decrypt_sr=decrypt_sr,
+            hps=hps,
+            chain_index=lvl + 1,
+            moduli=tuple(ql)))
+
+    t_mod_q = t_mod_q_shoup = None
+    if scheme == Scheme.BGV:
+        tm = [t % q for q in data_moduli]
+        t_mod_q = jnp.asarray(to_u64_array(tm))
+        t_mod_q_shoup = jnp.asarray(to_u64_array(
+            [compute_shoup(v, q) for v, q in zip(tm, data_moduli)]))
+
+    return Context(
+        key_mv=modulus_vec(qp),
+        ntt=ntt_dev,
+        plain_ntt=plain_ntt,
+        rl_ntt=rl_ntt,
+        chain=tuple(chain),
+        t_mod_q=t_mod_q,
+        t_mod_q_shoup=t_mod_q_shoup,
+        params=params,
+    )

@@ -1,0 +1,333 @@
+"""Key generation, encryption, decryption.
+
+Equivalent of the reference's PhantomSecretKey / PhantomPublicKey /
+PhantomRelinKey / PhantomGaloisKey (src/secretkey.cu, include/secretkey.h).
+
+Key material lives in NTT form over the full key base QP, exactly like the
+reference; hybrid key-switching keys hold dnum = size_Q/alpha "digit" keys,
+each an encryption of zero with P*s' added onto its own digit's modulus
+block (generate_one_kswitch_key, src/secretkey.cu:297).
+
+All heavy paths are jittable; randomness is threefry key-split (PRNG swap
+from the reference's Salsa20 is documented in ops/sampling.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ..ops import modmath as mm
+from ..ops import ntt as nttmod
+from ..ops import polyops as po
+from ..ops import sampling as smp
+from ..ops import scaleround as sr
+from ..ops import bconv as bc
+from .ciphertext import Ciphertext, Plaintext
+from .context import Context, ContextData
+from .params import Scheme
+
+
+@flax.struct.dataclass
+class SecretKey:
+    data: jnp.ndarray  # (K, N) uint64, NTT form over QP
+
+
+@flax.struct.dataclass
+class PublicKey:
+    data: jnp.ndarray  # (2, K, N) NTT form, key level
+
+
+@flax.struct.dataclass
+class RelinKey:
+    data: jnp.ndarray  # (dnum, 2, K, N) NTT form
+
+
+@flax.struct.dataclass
+class GaloisKeys:
+    data: jnp.ndarray  # (G, dnum, 2, K, N)
+    elts: Tuple[int, ...] = flax.struct.field(pytree_node=False, default=())
+
+
+# --------------------------------------------------------------------------
+# key generation
+# --------------------------------------------------------------------------
+
+def gen_secret_key(ctx: Context, rng: jax.Array) -> SecretKey:
+    """Ternary secret in NTT form over QP (reference: gen_secretkey)."""
+    s = smp.sample_ternary_rns(rng, ctx.params.n, ctx.key_mv)
+    return SecretKey(data=nttmod.ntt_forward(s, ctx.ntt))
+
+
+def _encrypt_zero_symmetric_ntt(ctx: Context, sk: SecretKey, rng: jax.Array,
+                                mult_t: bool = False):
+    """(c0, c1) = (-(a s + e), a) in NTT form at the key level.
+
+    mult_t: BGV's t*e noise.  Reference: encrypt_zero_symmetric
+    (src/secretkey.cu:232).
+    """
+    k_a, k_e = jax.random.split(rng)
+    n = ctx.params.n
+    a = smp.sample_uniform_rns(k_a, n, ctx.key_mv)  # NTT-form uniform
+    mult = None
+    if mult_t:
+        # lift t across QP rows
+        t = ctx.params.plain_modulus
+        tm = jnp.asarray([t % q for q in ctx.params.coeff_modulus],
+                         dtype=jnp.uint64)
+        mult = tm
+    e = smp.sample_error_rns(k_e, n, ctx.key_mv, multiplier=mult)
+    e_ntt = nttmod.ntt_forward(e, ctx.ntt)
+    a_s = po.mul_rns(a, sk.data, ctx.key_mv)
+    c0 = po.neg_rns(po.add_rns(a_s, e_ntt, ctx.key_mv), ctx.key_mv)
+    return c0, a
+
+
+def gen_public_key(ctx: Context, sk: SecretKey, rng: jax.Array) -> PublicKey:
+    mult_t = ctx.params.scheme == Scheme.BGV
+    c0, c1 = _encrypt_zero_symmetric_ntt(ctx, sk, rng, mult_t=mult_t)
+    return PublicKey(data=jnp.stack([c0, c1]))
+
+
+def _gen_kswitch_key(ctx: Context, sk: SecretKey, new_key: jnp.ndarray,
+                     rng: jax.Array) -> jnp.ndarray:
+    """Key-switching key for `new_key` (K, N NTT form): (dnum, 2, K, N).
+
+    Digit d's key = encrypt-zero + P*new_key restricted to digit-d's modulus
+    block (reference: generate_one_kswitch_key, multiply_temp_mod_and_add).
+    """
+    p = ctx.params
+    alpha = p.size_p
+    dnum = -(-p.size_q // alpha)
+    mult_t = p.scheme == Scheme.BGV
+    # P mod q_i over all QP rows (P rows get P mod p_j, unused entries masked)
+    big_p = 1
+    for q in p.special_moduli:
+        big_p *= q
+    keys = []
+    for d in range(dnum):
+        rng, sub = jax.random.split(rng)
+        c0, c1 = _encrypt_zero_symmetric_ntt(ctx, sk, sub, mult_t=mult_t)
+        lo = d * alpha
+        hi = min(lo + alpha, p.size_q)
+        block_moduli = p.coeff_modulus[lo:hi]
+        pm = jnp.asarray([big_p % q for q in block_moduli], dtype=jnp.uint64)
+        blk_mv = _mv_slice(ctx.key_mv, lo, hi)
+        term = mm.mul_mod(new_key[lo:hi], pm[:, None], blk_mv.q[:, None],
+                          blk_mv.ratio_lo[:, None], blk_mv.ratio_hi[:, None])
+        c0 = c0.at[lo:hi].set(mm.add_mod(c0[lo:hi], term, blk_mv.q[:, None]))
+        keys.append(jnp.stack([c0, c1]))
+    return jnp.stack(keys)
+
+
+def _mv_slice(mv, lo, hi):
+    from ..ops.rns_host import ModulusVec
+    return ModulusVec(q=mv.q[lo:hi], ratio_lo=mv.ratio_lo[lo:hi],
+                      ratio_hi=mv.ratio_hi[lo:hi])
+
+
+def gen_relin_key(ctx: Context, sk: SecretKey, rng: jax.Array) -> RelinKey:
+    s_sq = po.mul_rns(sk.data, sk.data, ctx.key_mv)  # s^2 in NTT form
+    return RelinKey(data=_gen_kswitch_key(ctx, sk, s_sq, rng))
+
+
+# --------------------------------------------------------------------------
+# encryption
+# --------------------------------------------------------------------------
+
+def _moddown_coeff(ctx: Context, cd: ContextData, x: jnp.ndarray):
+    """(x_Q - bconv(x_P)) * P^{-1} over Ql, coefficient domain.
+
+    x: (size_QlP, N) coeff form.  Reference: DRNSTool::moddown.
+    """
+    ks = cd.ks
+    size_ql = cd.size_ql
+    x_q = x[:size_ql]
+    x_p = x[size_ql:]
+    delta = bc.bconv_exact(x_p, ks.p_to_q)
+    diff = mm.sub_mod(x_q, delta, cd.mv.q[:, None])
+    return mm.mul_mod_shoup(diff, ks.pinv_mod_q[:, None],
+                            ks.pinv_shoup[:, None], cd.mv.q[:, None])
+
+
+def _moddown_ntt(ctx: Context, cd: ContextData, x: jnp.ndarray):
+    """Same as _moddown_coeff but input/output in NTT form.
+
+    Reference: DRNSTool::moddown_from_NTT (rns_bconv.cu:776): iNTT the P
+    part, convert, NTT back, fused (x - delta) * P^{-1}.
+    """
+    ks = cd.ks
+    size_ql = cd.size_ql
+    x_q = x[:size_ql]
+    x_p = nttmod.ntt_inverse(x[size_ql:], ctx.tables_p())
+    delta = bc.bconv_exact(x_p, ks.p_to_q)
+    delta_ntt = nttmod.ntt_forward(delta, ctx.tables_q(size_ql))
+    diff = mm.sub_mod(x_q, delta_ntt, cd.mv.q[:, None])
+    return mm.mul_mod_shoup(diff, ks.pinv_mod_q[:, None],
+                            ks.pinv_shoup[:, None], cd.mv.q[:, None])
+
+
+def encrypt_zero_asymmetric(ctx: Context, pk: PublicKey, chain_index: int,
+                            rng: jax.Array, is_ntt_form: bool) -> jnp.ndarray:
+    """Encryption of zero at `chain_index`: (2, size_Ql, N).
+
+    Runs at the key level then moddowns QP -> Ql, like the reference
+    (encrypt_zero_asymmetric_internal, src/secretkey.cu:88).
+    """
+    p = ctx.params
+    n = p.n
+    cd = ctx.get_context_data(chain_index)
+    k_u, k_e0, k_e1 = jax.random.split(rng, 3)
+    u = nttmod.ntt_forward(smp.sample_ternary_rns(k_u, n, ctx.key_mv), ctx.ntt)
+    mult = None
+    if p.scheme == Scheme.BGV:
+        t = p.plain_modulus
+        mult = jnp.asarray([t % q for q in p.coeff_modulus], dtype=jnp.uint64)
+    out = []
+    for i, k_e in enumerate((k_e0, k_e1)):
+        e = smp.sample_error_rns(k_e, n, ctx.key_mv, multiplier=mult)
+        ci = po.mul_rns(u, pk.data[i], ctx.key_mv)  # NTT domain
+        if is_ntt_form:
+            ci = po.add_rns(ci, nttmod.ntt_forward(e, ctx.ntt), ctx.key_mv)
+        else:
+            ci = nttmod.ntt_inverse(ci, ctx.ntt)
+            ci = po.add_rns(ci, e, ctx.key_mv)
+        out.append(ci)
+    x = jnp.stack(out)  # (2, K, N) at key level
+    # keep Ql rows + P rows, drop unused data rows beyond the level
+    size_ql = cd.size_ql
+    rows = list(range(size_ql)) + list(range(p.size_q, p.size_qp))
+    x = x[:, jnp.asarray(rows)]
+    md = _moddown_ntt if is_ntt_form else _moddown_coeff
+    return jnp.stack([md(ctx, cd, x[0]), md(ctx, cd, x[1])])
+
+
+def encrypt_asymmetric(ctx: Context, pk: PublicKey, plain: Plaintext,
+                       rng: jax.Array) -> Ciphertext:
+    p = ctx.params
+    if p.scheme == Scheme.BFV:
+        ci = ctx.first_data_index
+        cd = ctx.get_context_data(ci)
+        zero = encrypt_zero_asymmetric(ctx, pk, ci, rng, is_ntt_form=False)
+        lifted = sr.scale_plain_up(plain.data[0], cd.plain_lift)
+        c0 = po.add_rns(zero[0], lifted, cd.mv)
+        return Ciphertext(data=jnp.stack([c0, zero[1]]), chain_index=ci,
+                          is_ntt_form=False)
+    if p.scheme == Scheme.CKKS:
+        ci = plain.chain_index
+        cd = ctx.get_context_data(ci)
+        zero = encrypt_zero_asymmetric(ctx, pk, ci, rng, is_ntt_form=True)
+        c0 = po.add_rns(zero[0], plain.data, cd.mv)
+        return Ciphertext(data=jnp.stack([c0, zero[1]]), chain_index=ci,
+                          is_ntt_form=True, scale=plain.scale)
+    if p.scheme == Scheme.BGV:
+        ci = ctx.first_data_index
+        cd = ctx.get_context_data(ci)
+        zero = encrypt_zero_asymmetric(ctx, pk, ci, rng, is_ntt_form=True)
+        pt = _bgv_lift_plain_ntt(ctx, cd, plain.data[0])
+        c0 = po.add_rns(zero[0], pt, cd.mv)
+        return Ciphertext(data=jnp.stack([c0, zero[1]]), chain_index=ci,
+                          is_ntt_form=True, correction_factor=1)
+    raise ValueError("unsupported scheme")
+
+
+def encrypt_symmetric(ctx: Context, sk: SecretKey, plain: Plaintext,
+                      rng: jax.Array) -> Ciphertext:
+    """Symmetric encryption directly at the first data level."""
+    p = ctx.params
+    ci = ctx.first_data_index if p.scheme != Scheme.CKKS else plain.chain_index
+    cd = ctx.get_context_data(ci)
+    size_ql = cd.size_ql
+    n = p.n
+    k_a, k_e = jax.random.split(rng)
+    a = smp.sample_uniform_rns(k_a, n, cd.mv)  # NTT form
+    mult = None
+    if p.scheme == Scheme.BGV:
+        t = p.plain_modulus
+        mult = jnp.asarray([t % q for q in cd.moduli], dtype=jnp.uint64)
+    e = smp.sample_error_rns(k_e, n, cd.mv, multiplier=mult)
+    tq = ctx.tables_q(size_ql)
+    s = sk.data[:size_ql]
+    a_s = po.mul_rns(a, s, cd.mv)
+    if p.scheme == Scheme.BFV:
+        c0 = po.neg_rns(po.add_rns(nttmod.ntt_inverse(a_s, tq), e, cd.mv),
+                        cd.mv)
+        lifted = sr.scale_plain_up(plain.data[0], cd.plain_lift)
+        c0 = po.add_rns(c0, lifted, cd.mv)
+        c1 = nttmod.ntt_inverse(a, tq)
+        return Ciphertext(data=jnp.stack([c0, c1]), chain_index=ci,
+                          is_ntt_form=False)
+    # NTT-form schemes
+    e_ntt = nttmod.ntt_forward(e, tq)
+    c0 = po.neg_rns(po.add_rns(a_s, e_ntt, cd.mv), cd.mv)
+    if p.scheme == Scheme.CKKS:
+        c0 = po.add_rns(c0, plain.data, cd.mv)
+        return Ciphertext(data=jnp.stack([c0, a]), chain_index=ci,
+                          is_ntt_form=True, scale=plain.scale)
+    pt = _bgv_lift_plain_ntt(ctx, cd, plain.data[0])
+    c0 = po.add_rns(c0, pt, cd.mv)
+    return Ciphertext(data=jnp.stack([c0, a]), chain_index=ci,
+                      is_ntt_form=True)
+
+
+def _bgv_lift_plain_ntt(ctx: Context, cd: ContextData, m: jnp.ndarray):
+    """Lift mod-t plaintext (N,) into NTT form over Ql (BGV)."""
+    q = cd.mv.q[:, None]
+    lifted = jnp.broadcast_to(m[None, :], (cd.size_ql, m.shape[0]))
+    # coefficients in [0, t): re-center negatives ([t/2, t) -> q - (t - m))
+    t = ctx.params.plain_modulus
+    thr = jnp.uint64((t + 1) >> 1)
+    lifted = jnp.where(lifted >= thr,
+                       q - (jnp.uint64(t) - lifted), lifted)
+    return nttmod.ntt_forward(lifted, ctx.tables_q(cd.size_ql))
+
+
+# --------------------------------------------------------------------------
+# decryption
+# --------------------------------------------------------------------------
+
+def _dot_with_sk_powers(ctx: Context, sk: SecretKey, ct: Ciphertext):
+    """[c0 + c1 s + c2 s^2 + ...]_Ql in NTT form (size_Ql, N)."""
+    cd = ctx.get_context_data(ct.chain_index)
+    size_ql = cd.size_ql
+    tq = ctx.tables_q(size_ql)
+    s = sk.data[:size_ql]
+    polys = ct.data
+    if not ct.is_ntt_form:
+        polys = nttmod.ntt_forward(polys, nttmod._limb_slice(
+            ctx.ntt, (0, size_ql)))
+    acc = polys[0]
+    s_pow = s
+    for i in range(1, ct.size):
+        acc = po.fma_rns(polys[i], s_pow, acc, cd.mv)
+        if i + 1 < ct.size:
+            s_pow = po.mul_rns(s_pow, s, cd.mv)
+    return acc
+
+
+def decrypt(ctx: Context, sk: SecretKey, ct: Ciphertext) -> Plaintext:
+    p = ctx.params
+    cd = ctx.get_context_data(ct.chain_index)
+    size_ql = cd.size_ql
+    acc_ntt = _dot_with_sk_powers(ctx, sk, ct)
+    if p.scheme == Scheme.BFV:
+        x = nttmod.ntt_inverse(acc_ntt, ctx.tables_q(size_ql))
+        m = sr.decrypt_scale_and_round(x, cd.decrypt_sr)
+        return Plaintext(data=m[None, :], chain_index=ct.chain_index)
+    if p.scheme == Scheme.CKKS:
+        return Plaintext(data=acc_ntt, chain_index=ct.chain_index,
+                         is_ntt_form=True, scale=ct.scale)
+    # BGV: iNTT then exact CRT conversion to t, then correction-factor fix
+    x = nttmod.ntt_inverse(acc_ntt, ctx.tables_q(size_ql))
+    from ..host.rns import RNSBase, BaseConverter  # host consts cached in cd
+    m = bc.bconv_exact(x, cd.decrypt_sr) if False else _bgv_decrypt_to_t(
+        ctx, cd, x, ct.correction_factor)
+    return Plaintext(data=m[None, :], chain_index=ct.chain_index)
+
+
+def _bgv_decrypt_to_t(ctx: Context, cd: ContextData, x: jnp.ndarray,
+                      correction_factor: int):
+    raise NotImplementedError("BGV decrypt lands with the BGV scheme pass")
