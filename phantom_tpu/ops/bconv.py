@@ -107,31 +107,47 @@ def scale_by_qhat_inv(x: jnp.ndarray, c: BaseConvConsts) -> jnp.ndarray:
                             c.ibase.q[:, None])
 
 
-def floor_sum_div(y: jnp.ndarray, c: BaseConvConsts) -> jnp.ndarray:
-    """v = floor(sum_i y_i / q_i) computed exactly in integer arithmetic.
+def floor_sum_div_arrays(y: jnp.ndarray, mv: ModulusVec, U: jnp.ndarray,
+                         V: jnp.ndarray) -> jnp.ndarray:
+    """v = floor(sum_i y_i / q_i) computed in exact 2^-128 fixed point.
 
-    Per limb, floor(y*2^64/q) = y*U + floor(y*V/q) exactly (2^64 = U*q + V,
-    exact quotient via repaired Barrett).  Summing in 128 bits, the high word
-    is floor(sum y_i/q_i) with truncation error < k*2^-64 — negligible and
-    strictly tighter than the reference's double-based correction.
+    Two cascaded fixed-point levels: with 2^64 = U*q + V,
+      y*2^64 = (y*U + q1)*q + r1,   q1, r1 = divmod(y*V, q)   (exact)
+      r1*2^64 = s2*q + r2,          s2 = floor(r1*2^64/q)      (exact)
+    so  sum y_i/q_i = (S1*2^64 + S2 + e)/2^128 with S1 = sum(y*U + q1),
+    S2 = sum s2, 0 <= e < k.  v is the >>128 word; the truncation error e
+    flips the floor only when the true fractional part is below k*2^-128 —
+    cryptographically negligible, and strictly tighter than the reference's
+    double-based (2^-52) correction in bConv_HPS (rns_bconv.cu:354).
     Returns (N,) uint64 (values < k_in).
     """
     k_in, n = y.shape
-    q = c.ibase.q[:, None]
-    rlo = c.ibase.ratio_lo[:, None]
-    rhi = c.ibase.ratio_hi[:, None]
-    yU = y * c.U[:, None]                              # < 2^64, exact mod 2^64
-    h, l = mm.mul_wide(y, c.V[:, None])                # y*V < 2^122
-    quot, _ = mm.barrett_div_mod_u128(h, l, q, rlo, rhi)
+    q = mv.q[:, None]
+    rlo = mv.ratio_lo[:, None]
+    rhi = mv.ratio_hi[:, None]
+    yU = y * U[:, None]                                # < 2^64, exact mod 2^64
+    h, l = mm.mul_wide(y, V[:, None])                  # y*V < 2^122
+    q1, r1 = mm.barrett_div_mod_u128(h, l, q, rlo, rhi)
+    s2, _ = mm.barrett_div_mod_u128(r1, jnp.zeros_like(r1), q, rlo, rhi)
 
-    hi = jnp.zeros((n,), dtype=jnp.uint64)
-    lo = jnp.zeros((n,), dtype=jnp.uint64)
+    s1_hi = jnp.zeros((n,), dtype=jnp.uint64)
+    s1_lo = jnp.zeros((n,), dtype=jnp.uint64)
+    s2_hi = jnp.zeros((n,), dtype=jnp.uint64)
+    s2_lo = jnp.zeros((n,), dtype=jnp.uint64)
     for i in range(k_in):  # unrolled: k_in is small and static
-        lo, cr = mm.add_u64_carry(lo, yU[i])
-        hi = hi + cr
-        lo, cr = mm.add_u64_carry(lo, quot[i])
-        hi = hi + cr
-    return hi
+        s1_lo, cr = mm.add_u64_carry(s1_lo, yU[i])
+        s1_hi = s1_hi + cr
+        s1_lo, cr = mm.add_u64_carry(s1_lo, q1[i])
+        s1_hi = s1_hi + cr
+        s2_lo, cr = mm.add_u64_carry(s2_lo, s2[i])
+        s2_hi = s2_hi + cr
+    # v = (S1<<64 + S2) >> 128 = S1_hi + carry(S1_lo + S2_hi)
+    _, cr = mm.add_u64_carry(s1_lo, s2_hi)
+    return s1_hi + cr
+
+
+def floor_sum_div(y: jnp.ndarray, c: BaseConvConsts) -> jnp.ndarray:
+    return floor_sum_div_arrays(y, c.ibase, c.U, c.V)
 
 
 def bconv_approx(x: jnp.ndarray, c: BaseConvConsts) -> jnp.ndarray:

@@ -79,6 +79,25 @@ def _limb_slice(tables: NTTTablesDevice, limbs: Optional[Tuple[int, int]]):
     )
 
 
+def _limb_gather(tables: NTTTablesDevice, rows) -> NTTTablesDevice:
+    """Select an arbitrary (static) set of limb rows, e.g. Ql + special P."""
+    idx = np.asarray(rows, dtype=np.int64)
+    return NTTTablesDevice(
+        q=tables.q[idx],
+        root_powers=tables.root_powers[idx],
+        root_powers_shoup=tables.root_powers_shoup[idx],
+        inv_root_powers=tables.inv_root_powers[idx],
+        inv_root_powers_shoup=tables.inv_root_powers_shoup[idx],
+        inv_degree=tables.inv_degree[idx],
+        inv_degree_shoup=tables.inv_degree_shoup[idx],
+    )
+
+
+def concat_tables(a: NTTTablesDevice, b: NTTTablesDevice) -> NTTTablesDevice:
+    return NTTTablesDevice(*[jnp.concatenate([x, y], axis=0)
+                             for x, y in zip(a, b)])
+
+
 def ntt_forward(x: jnp.ndarray, tables: NTTTablesDevice,
                 limbs: Optional[Tuple[int, int]] = None,
                 lazy_output: bool = False) -> jnp.ndarray:

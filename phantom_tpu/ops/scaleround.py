@@ -152,3 +152,82 @@ def scale_plain_up(m: jnp.ndarray, c: PlainLiftConsts) -> jnp.ndarray:
                             c.delta_shoup[:, None], q)
     # fix < t <= q_i is already reduced mod q_i
     return mm.add_mod(main, fix[None, :] * jnp.ones_like(main), q)
+
+
+def scale_and_round_hps_to_r(x_d: jnp.ndarray, hps) -> jnp.ndarray:
+    """round((t/Ql) * x) : base D = Ql u Rl  ->  base Rl, unconditionally exact.
+
+    x_d: (k_d, N) residues of the tensor-product coefficient x in the
+    combined base D.  Returns (size_Rl, N) residues of round(t*x/Ql).
+
+    Derivation (hps = context.HPSMulConsts): with CRT lift
+      x = sum_i y_i * (D/d_i) - v*D,   y_i = [x_i * (D/d_i)^{-1}]_{d_i}
+    and D/(d_i*Ql) = Rl/d_i, t*Rl = omega_i*d_i + rho_i:
+      t*x/Ql = sum_i y_i*omega_i + sum_i y_i*rho_i/d_i - v*t*Rl.
+    Modulo r_j the overshoot term v*t*Rl is == 0, so v never needs to be
+    computed: the integer part is an exact 128-bit-accumulated matmul and
+    the fractional part sum y_i*rho_i/d_i is rounded with exact Barrett
+    division + one extra 64-bit refinement level (error < k_d * 2^-128,
+    and that error only shifts the round() at half-integer ties, which the
+    tensor product never produces: 2*t*x is not an odd multiple of Ql
+    except with negligible probability).
+
+    Reference counterpart: scaleAndRound_HPS_QlRl_Ql (src/rns.cu:1789),
+    which relies on double-precision rationals; this path is exact.
+    """
+    from . import bconv as bc
+
+    k_d, n = x_d.shape
+    d_q = hps.dbase.q[:, None]
+    d_rlo = hps.dbase.ratio_lo[:, None]
+    d_rhi = hps.dbase.ratio_hi[:, None]
+
+    y = mm.mul_mod_shoup(x_d, hps.dhat_inv[:, None],
+                         hps.dhat_inv_shoup[:, None], d_q)
+
+    # integer matmul part: sum_i y_i * (omega_i mod r_j), 128-bit accumulate
+    hi, lo = bc.accumulate_matmul_128(y, hps.omega_mod_r)
+    out_q = hps.rbase.q[:, None]
+    out_rlo = hps.rbase.ratio_lo[:, None]
+    out_rhi = hps.rbase.ratio_hi[:, None]
+    pow64 = hps.pow64_mod_r[:, None]
+    int_part = bc.reduce_u128_any(hi, lo, out_q, out_rlo, out_rhi, pow64)
+
+    # fractional part: round(sum_i y_i * rho_i / d_i)
+    ph, plv = mm.mul_wide(y, hps.rho[:, None])
+    g, r = mm.barrett_div_mod_u128(ph, plv, d_q, d_rlo, d_rhi)
+    f2, _ = mm.barrett_div_mod_u128(r, jnp.zeros_like(r), d_q, d_rlo, d_rhi)
+    g_hi = jnp.zeros((n,), dtype=jnp.uint64)
+    g_lo = jnp.zeros((n,), dtype=jnp.uint64)
+    e_hi = jnp.zeros((n,), dtype=jnp.uint64)
+    e_lo = jnp.zeros((n,), dtype=jnp.uint64)
+    for i in range(k_d):
+        g_lo, cr = mm.add_u64_carry(g_lo, g[i])
+        g_hi = g_hi + cr
+        e_lo, cr = mm.add_u64_carry(e_lo, f2[i])
+        e_hi = e_hi + cr
+    # rounding of the remainder sum: floor((E2 + 2^63)/2^64) = e_hi + carry
+    _, c3 = mm.add_u64_carry(e_lo, jnp.uint64(1 << 63) * jnp.ones_like(e_lo))
+    g_lo, cr = mm.add_u64_carry(g_lo, e_hi + c3)
+    g_hi = g_hi + cr
+    frac_part = bc.reduce_u128_any(g_hi[None, :], g_lo[None, :], out_q,
+                                   out_rlo, out_rhi, pow64)
+
+    return mm.add_mod(int_part, frac_part, out_q)
+
+
+def scale_and_round_hps(x_d: jnp.ndarray, hps) -> jnp.ndarray:
+    """round((t/Ql) * x) : base D -> base Ql (via exact Rl intermediate).
+
+    Tensor-product coefficients are *signed* (negacyclic wrap), so the Rl
+    residues of W = round(t*x/Ql) are interpreted centered: with
+    |W| < n*t*Ql << Rl/2, shift by H = (Rl-1)/2, exact-convert the
+    non-negative value W + H in [0, Rl), and unshift mod q_j.
+    (Reference: the QlRl->Ql path of scaleAndRound_HPS, rns.cu:1789.)"""
+    from . import bconv as bc
+    w_r = scale_and_round_hps_to_r(x_d, hps)
+    shifted = mm.add_mod(w_r, hps.rl_half_mod_r[:, None],
+                         hps.rbase.q[:, None])
+    conv = bc.bconv_exact(shifted, hps.r_to_q)
+    return mm.sub_mod(conv, hps.rl_half_mod_q[:, None],
+                      hps.r_to_q.obase.q[:, None])

@@ -48,30 +48,47 @@ class RescaleConsts(NamedTuple):
 
 class KeySwitchConsts(NamedTuple):
     """Per-level hybrid key-switching tables
-    (reference: DRNSTool hybrid-KS members, include/rns.cuh:37-44)."""
+    (reference: DRNSTool hybrid-KS members, include/rns.cuh:37-44).
 
-    digit_convs: Tuple[bc.BaseConvConsts, ...]  # beta converters digit->QlP
+    digit_convs[d] converts digit d's base to the *complement* of that digit
+    inside QlP (reference: v_base_part_Ql_to_compl_part_QlP_conv_,
+    src/rns.cu:101-180); the digit's own rows are copied verbatim during
+    modup, exactly like modup_copy_partQl_kernel (rns_bconv.cu:522).
+    """
+
+    digit_convs: Tuple[bc.BaseConvConsts, ...]  # beta convs digit->complement
     p_to_q: bc.BaseConvConsts                   # P -> Ql (moddown)
     pinv_mod_q: jnp.ndarray                     # (size_Ql,) P^{-1} mod q_i
     pinv_shoup: jnp.ndarray
     bigp_mod_q: jnp.ndarray                     # (size_Ql,) P mod q_i
     bigp_shoup: jnp.ndarray
+    qlp: ModulusVec                             # (size_QlP,) Ql then P rows
+    pow64_mod_qlp: jnp.ndarray                  # (size_QlP,) 2^64 mod each
 
 
 class HPSMulConsts(NamedTuple):
     """Per-level BFV HPS multiplication tables
-    (reference: DRNSTool HPS members, include/rns.cuh:119-147)."""
+    (reference: DRNSTool HPS members, include/rns.cuh:119-147).
+
+    The scale-and-round round(t/Ql * x) from D = Ql u Rl lands in base Rl
+    first: modulo r_j the CRT-overshoot term v*t*Rl vanishes identically
+    (t*Rl == 0 mod r_j), so that step is *unconditionally* exact — no
+    floating-point correction at all (the reference needs doubles here,
+    scaleAndRound_HPS_QlRl_Ql, rns.cu:1789).  The result (< n*t*Ql << Rl)
+    is then exact-base-converted Rl -> Ql.
+    """
 
     q_to_r: bc.BaseConvConsts      # exact Ql -> Rl lift
-    # rational scale-and-round (t/Ql) from D = Ql u Rl down to Ql:
-    dbase: ModulusVec              # (k_d,) combined base
-    dhat_inv: jnp.ndarray          # (k_d,)
+    dbase: ModulusVec              # (k_d,) combined base D
+    dhat_inv: jnp.ndarray          # (k_d,)  (D/d_i)^{-1} mod d_i
     dhat_inv_shoup: jnp.ndarray
-    omega_mod_q: jnp.ndarray       # (size_Ql, k_d) floor(t*Rl/d_i) mod q_j
+    omega_mod_r: jnp.ndarray       # (size_Rl, k_d) floor(t*Rl/d_i) mod r_j
     rho: jnp.ndarray               # (k_d,) t*Rl mod d_i (exact frac numerators)
-    U: jnp.ndarray                 # (k_d,)
-    V: jnp.ndarray                 # (k_d,)
-    trl_mod_q: jnp.ndarray         # (size_Ql,) t*Rl mod q_j  (v correction)
+    rbase: ModulusVec              # (size_Rl,) intermediate base Rl
+    pow64_mod_r: jnp.ndarray       # (size_Rl,) 2^64 mod r_j
+    r_to_q: bc.BaseConvConsts      # exact Rl -> Ql conversion
+    rl_half_mod_r: jnp.ndarray     # (size_Rl,) (Rl-1)/2 mod r_j (center shift)
+    rl_half_mod_q: jnp.ndarray     # (size_Ql,) (Rl-1)/2 mod q_j
 
 
 @flax.struct.dataclass
@@ -153,11 +170,12 @@ def _keyswitch_consts(data_moduli, special_moduli) -> KeySwitchConsts:
     alpha = len(special_moduli)
     beta = -(-size_ql // alpha)
     qlp = list(data_moduli) + list(special_moduli)
-    qlp_base = RNSBase(qlp)
     digit_convs = []
     for d in range(beta):
-        digit = data_moduli[d * alpha: min((d + 1) * alpha, size_ql)]
-        conv = BaseConverter(RNSBase(digit), qlp_base)
+        lo, hi = d * alpha, min((d + 1) * alpha, size_ql)
+        digit = data_moduli[lo:hi]
+        compl = data_moduli[:lo] + data_moduli[hi:] + list(special_moduli)
+        conv = BaseConverter(RNSBase(digit), RNSBase(compl))
         digit_convs.append(bc.consts_from_host(conv))
     p_base = RNSBase(special_moduli)
     p_to_q = bc.consts_from_host(BaseConverter(p_base, RNSBase(data_moduli)))
@@ -173,6 +191,8 @@ def _keyswitch_consts(data_moduli, special_moduli) -> KeySwitchConsts:
         bigp_mod_q=jnp.asarray(to_u64_array(pmod)),
         bigp_shoup=jnp.asarray(to_u64_array(
             [compute_shoup(v, q) for v, q in zip(pmod, data_moduli)])),
+        qlp=modulus_vec(qlp),
+        pow64_mod_qlp=jnp.asarray(to_u64_array([(1 << 64) % q for q in qlp])),
     )
 
 
@@ -190,24 +210,30 @@ def _hps_mul_consts(data_moduli, rl_moduli, t: int) -> HPSMulConsts:
     dbase = RNSBase(d_moduli)
     q_to_r = bc.consts_from_host(
         BaseConverter(RNSBase(data_moduli), RNSBase(rl)))
+    r_to_q = bc.consts_from_host(
+        BaseConverter(RNSBase(rl), RNSBase(data_moduli)))
     big_rl = 1
     for r in rl:
         big_rl *= r
     trl = t * big_rl
     omega = [trl // d for d in d_moduli]
     rho = [trl - w * d for w, d in zip(omega, d_moduli)]
-    omega_mod_q = np.array(
-        [[w % q for w in omega] for q in data_moduli], dtype=np.uint64)
+    omega_mod_r = np.array(
+        [[w % r for w in omega] for r in rl], dtype=np.uint64)
     return HPSMulConsts(
         q_to_r=q_to_r,
         dbase=modulus_vec(d_moduli),
         dhat_inv=jnp.asarray(to_u64_array(dbase.qhat_inv_mod_qi)),
         dhat_inv_shoup=jnp.asarray(to_u64_array(dbase.qhat_inv_shoup)),
-        omega_mod_q=jnp.asarray(omega_mod_q),
+        omega_mod_r=jnp.asarray(omega_mod_r),
         rho=jnp.asarray(to_u64_array(rho)),
-        U=jnp.asarray(to_u64_array(dbase.U)),
-        V=jnp.asarray(to_u64_array(dbase.V)),
-        trl_mod_q=jnp.asarray(to_u64_array([trl % q for q in data_moduli])),
+        rbase=modulus_vec(rl),
+        pow64_mod_r=jnp.asarray(to_u64_array([(1 << 64) % r for r in rl])),
+        r_to_q=r_to_q,
+        rl_half_mod_r=jnp.asarray(
+            to_u64_array([((big_rl - 1) >> 1) % r for r in rl])),
+        rl_half_mod_q=jnp.asarray(
+            to_u64_array([((big_rl - 1) >> 1) % q for q in data_moduli])),
     )
 
 

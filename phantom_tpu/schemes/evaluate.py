@@ -1,0 +1,397 @@
+"""Evaluator verbs: add/sub/negate, multiply, relinearize, plain ops,
+rescale and modulus switching.
+
+TPU-native equivalent of the reference's evaluator (src/evaluate.cu,
+include/evaluate.cuh:34-245).  Each verb is a pure function
+Ciphertext -> Ciphertext built from the jittable op layer; the static
+bookkeeping (chain index, NTT form, sizes) specializes traces per level the
+way the reference's host dispatch picks per-level kernels and tables.
+
+BFV multiplication implements the HPS technique (bfv_multiply_hps,
+src/evaluate.cu:648) with the double-precision scale-and-round replaced by
+exact integer arithmetic (ops/scaleround.py).  BEHZ and the leveled HPS
+variants land with their own precompute tables.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..ops import modmath as mm
+from ..ops import ntt as nttmod
+from ..ops import polyops as po
+from ..ops import scaleround as sr
+from .ciphertext import Ciphertext, Plaintext
+from .context import Context, ContextData
+from .keyswitch import keyswitch
+from .params import Scheme
+
+
+def _cd(ctx: Context, ct: Ciphertext) -> ContextData:
+    return ctx.get_context_data(ct.chain_index)
+
+
+def _check_compatible(ct1: Ciphertext, ct2: Ciphertext):
+    if ct1.chain_index != ct2.chain_index:
+        raise ValueError("ciphertexts are at different levels")
+    if ct1.is_ntt_form != ct2.is_ntt_form:
+        raise ValueError("NTT form mismatch")
+    if abs(ct1.scale - ct2.scale) > 1e-6 * ct1.scale:
+        raise ValueError("scale mismatch")
+
+
+# --------------------------------------------------------------------------
+# linear ops
+# --------------------------------------------------------------------------
+
+def negate(ctx: Context, ct: Ciphertext) -> Ciphertext:
+    cd = _cd(ctx, ct)
+    return ct.replace(data=po.neg_rns(ct.data, cd.mv))
+
+
+def _pad_to(data: jnp.ndarray, size: int) -> jnp.ndarray:
+    if data.shape[0] == size:
+        return data
+    pad = jnp.zeros((size - data.shape[0],) + data.shape[1:], data.dtype)
+    return jnp.concatenate([data, pad], axis=0)
+
+
+def add(ctx: Context, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
+    """ct1 + ct2 (reference: add_inplace, evaluate.cu).
+
+    BGV operands with unequal correction factors are balanced first
+    (reference: balance_correction_factors)."""
+    _check_compatible(ct1, ct2)
+    if (ctx.params.scheme == Scheme.BGV
+            and ct1.correction_factor != ct2.correction_factor):
+        ct1, ct2 = _balance_correction(ctx, ct1, ct2)
+    cd = _cd(ctx, ct1)
+    size = max(ct1.size, ct2.size)
+    a = _pad_to(ct1.data, size)
+    b = _pad_to(ct2.data, size)
+    return ct1.replace(data=po.add_rns(a, b, cd.mv))
+
+
+def sub(ctx: Context, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
+    _check_compatible(ct1, ct2)
+    if (ctx.params.scheme == Scheme.BGV
+            and ct1.correction_factor != ct2.correction_factor):
+        ct1, ct2 = _balance_correction(ctx, ct1, ct2)
+    cd = _cd(ctx, ct1)
+    size = max(ct1.size, ct2.size)
+    a = _pad_to(ct1.data, size)
+    b = _pad_to(ct2.data, size)
+    return ct1.replace(data=po.sub_rns(a, b, cd.mv))
+
+
+def _balance_correction(ctx: Context, ct1: Ciphertext, ct2: Ciphertext):
+    """Scale both BGV operands to a common correction factor
+    (reference: balance_correction_factors / prepare_side, evaluate.cu)."""
+    from ..host import numth
+    t = ctx.params.plain_modulus
+    f1, f2 = ct1.correction_factor, ct2.correction_factor
+    # common factor: lcm-style smallest multiplier pair mod t
+    f = (f1 * f2) % t
+    m1 = (f * numth.invert_mod(f1, t)) % t
+    m2 = (f * numth.invert_mod(f2, t)) % t
+    cd = _cd(ctx, ct1)
+
+    def scale_ct(ct, m):
+        if m == 1:
+            return ct
+        mv = cd.mv
+        marr = jnp.full((1, 1, 1), jnp.uint64(m))
+        return ct.replace(
+            data=mm.mul_mod(ct.data, marr, mv.q[:, None], mv.ratio_lo[:, None],
+                            mv.ratio_hi[:, None]),
+            correction_factor=f)
+
+    return scale_ct(ct1, m1).replace(correction_factor=f), \
+        scale_ct(ct2, m2).replace(correction_factor=f)
+
+
+# --------------------------------------------------------------------------
+# multiplication
+# --------------------------------------------------------------------------
+
+def _tables_d(ctx: Context, size_ql: int) -> nttmod.NTTTablesDevice:
+    """NTT tables for the combined base D = Ql u Rl (BFV HPS)."""
+    return nttmod.concat_tables(ctx.tables_q(size_ql),
+                                ctx.tables_r(size_ql + 1))
+
+
+def bfv_multiply_hps(ctx: Context, ct1: Ciphertext,
+                     ct2: Ciphertext) -> Ciphertext:
+    """BFV multiply, HPS technique (reference: bfv_multiply_hps,
+    src/evaluate.cu:648): lift both operands Ql -> D = Ql u Rl with exact
+    base conversion, dyadic product in NTT(D), exact scale-and-round
+    round(t/Ql * .) back down to Ql."""
+    from ..ops import bconv as bc
+    cd = _cd(ctx, ct1)
+    hps = cd.hps
+    k = cd.size_ql
+    td = _tables_d(ctx, k)
+
+    def lift(ct):
+        polys = []
+        for i in range(ct.size):
+            x_q = ct.data[i]
+            x_r = bc.bconv_exact(x_q, hps.q_to_r)
+            polys.append(jnp.concatenate([x_q, x_r], axis=0))
+        return jnp.stack(polys)
+
+    a = nttmod.ntt_forward(lift(ct1), td)
+    b = nttmod.ntt_forward(lift(ct2), td)
+    if ct1.size == 2 and ct2.size == 2:
+        prod = po.tensor_prod_2x2(a, b, hps.dbase)
+    else:
+        prod = po.tensor_prod_mxn(a, b, hps.dbase)
+    prod = nttmod.ntt_inverse(prod, td)
+    out = jnp.stack([sr.scale_and_round_hps(prod[i], hps)
+                     for i in range(prod.shape[0])])
+    return ct1.replace(data=out)
+
+
+def bfv_square_hps(ctx: Context, ct: Ciphertext) -> Ciphertext:
+    from ..ops import bconv as bc
+    cd = _cd(ctx, ct)
+    hps = cd.hps
+    td = _tables_d(ctx, cd.size_ql)
+    polys = []
+    for i in range(ct.size):
+        x_q = ct.data[i]
+        polys.append(jnp.concatenate(
+            [x_q, bc.bconv_exact(x_q, hps.q_to_r)], axis=0))
+    a = nttmod.ntt_forward(jnp.stack(polys), td)
+    prod = nttmod.ntt_inverse(po.tensor_square_2x2(a, hps.dbase), td)
+    out = jnp.stack([sr.scale_and_round_hps(prod[i], hps)
+                     for i in range(prod.shape[0])])
+    return ct.replace(data=out)
+
+
+def multiply(ctx: Context, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
+    """Scheme dispatch (reference: multiply_inplace, evaluate.cu:1029)."""
+    _check_compatible(ct1, ct2)
+    scheme = ctx.params.scheme
+    if scheme == Scheme.BFV:
+        return bfv_multiply_hps(ctx, ct1, ct2)
+    cd = _cd(ctx, ct1)
+    if ct1.size == 2 and ct2.size == 2:
+        prod = po.tensor_prod_2x2(ct1.data, ct2.data, cd.mv)
+    else:
+        prod = po.tensor_prod_mxn(ct1.data, ct2.data, cd.mv)
+    if scheme == Scheme.CKKS:
+        return ct1.replace(data=prod, scale=ct1.scale * ct2.scale)
+    # BGV: correction factors multiply mod t
+    t = ctx.params.plain_modulus
+    return ct1.replace(
+        data=prod,
+        correction_factor=(ct1.correction_factor * ct2.correction_factor) % t)
+
+
+def square(ctx: Context, ct: Ciphertext) -> Ciphertext:
+    scheme = ctx.params.scheme
+    if scheme == Scheme.BFV:
+        return bfv_square_hps(ctx, ct)
+    cd = _cd(ctx, ct)
+    prod = po.tensor_square_2x2(ct.data, cd.mv)
+    if scheme == Scheme.CKKS:
+        return ct.replace(data=prod, scale=ct.scale * ct.scale)
+    t = ctx.params.plain_modulus
+    return ct.replace(data=prod,
+                      correction_factor=(ct.correction_factor ** 2) % t)
+
+
+# --------------------------------------------------------------------------
+# relinearization
+# --------------------------------------------------------------------------
+
+def relinearize(ctx: Context, ct: Ciphertext, rlk) -> Ciphertext:
+    """3-poly -> 2-poly using the relinearization key
+    (reference: relinearize_inplace, evaluate.cu:1342)."""
+    if ct.size != 3:
+        raise ValueError("relinearize expects a size-3 ciphertext")
+    cd = _cd(ctx, ct)
+    size_ql = cd.size_ql
+    c2 = ct.data[2]
+    if ct.is_ntt_form:
+        c2 = nttmod.ntt_inverse(c2, ctx.tables_q(size_ql))
+    switched = keyswitch(ctx, cd, c2, rlk.data)  # (2, size_ql, N) NTT form
+    if not ct.is_ntt_form:
+        switched = nttmod.ntt_inverse(switched, ctx.tables_q(size_ql))
+    out = jnp.stack([po.add_rns(ct.data[0], switched[0], cd.mv),
+                     po.add_rns(ct.data[1], switched[1], cd.mv)])
+    return ct.replace(data=out)
+
+
+def multiply_and_relin(ctx: Context, ct1: Ciphertext, ct2: Ciphertext,
+                       rlk) -> Ciphertext:
+    """Fused multiply + relinearize (reference: multiply_and_relin_inplace,
+    evaluate.cu:1061)."""
+    return relinearize(ctx, multiply(ctx, ct1, ct2), rlk)
+
+
+# --------------------------------------------------------------------------
+# plaintext ops
+# --------------------------------------------------------------------------
+
+def _bfv_plain_centered_rns(ctx: Context, cd: ContextData, m: jnp.ndarray):
+    """Lift mod-t plaintext coefficients to centered RNS residues over Ql."""
+    t = ctx.params.plain_modulus
+    q = cd.mv.q[:, None]
+    lifted = jnp.broadcast_to(m[None, :], (cd.size_ql, m.shape[-1]))
+    thr = jnp.uint64((t + 1) >> 1)
+    return jnp.where(lifted >= thr, q - (jnp.uint64(t) - lifted), lifted)
+
+
+def add_plain(ctx: Context, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
+    cd = _cd(ctx, ct)
+    scheme = ctx.params.scheme
+    if scheme == Scheme.BFV:
+        lifted = sr.scale_plain_up(pt.data[0], cd.plain_lift)
+        c0 = po.add_rns(ct.data[0], lifted, cd.mv)
+    elif scheme == Scheme.CKKS:
+        c0 = po.add_rns(ct.data[0], pt.data, cd.mv)
+    else:  # BGV: plaintext enters scaled by the correction factor
+        from ..host import numth
+        t = ctx.params.plain_modulus
+        m = pt.data[0]
+        f = ct.correction_factor % t
+        if f != 1:
+            mf = (m.astype(jnp.uint64) * jnp.uint64(f)) % jnp.uint64(t)
+        else:
+            mf = m
+        from .keys import _bgv_lift_plain_ntt
+        c0 = po.add_rns(ct.data[0], _bgv_lift_plain_ntt(ctx, cd, mf), cd.mv)
+    return ct.replace(data=ct.data.at[0].set(c0))
+
+
+def sub_plain(ctx: Context, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
+    cd = _cd(ctx, ct)
+    scheme = ctx.params.scheme
+    if scheme == Scheme.BFV:
+        lifted = sr.scale_plain_up(pt.data[0], cd.plain_lift)
+        c0 = po.sub_rns(ct.data[0], lifted, cd.mv)
+    elif scheme == Scheme.CKKS:
+        c0 = po.sub_rns(ct.data[0], pt.data, cd.mv)
+    else:
+        from .keys import _bgv_lift_plain_ntt
+        t = ctx.params.plain_modulus
+        m = pt.data[0]
+        f = ct.correction_factor % t
+        if f != 1:
+            m = (m.astype(jnp.uint64) * jnp.uint64(f)) % jnp.uint64(t)
+        c0 = po.sub_rns(ct.data[0], _bgv_lift_plain_ntt(ctx, cd, m), cd.mv)
+    return ct.replace(data=ct.data.at[0].set(c0))
+
+
+def multiply_plain(ctx: Context, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
+    """ct * pt (reference: multiply_plain_inplace, evaluate.cu:1106)."""
+    cd = _cd(ctx, ct)
+    scheme = ctx.params.scheme
+    size_ql = cd.size_ql
+    if scheme == Scheme.BFV:
+        tq = ctx.tables_q(size_ql)
+        m_rns = _bfv_plain_centered_rns(ctx, cd, pt.data[0])
+        m_ntt = nttmod.ntt_forward(m_rns, tq)
+        ct_ntt = nttmod.ntt_forward(ct.data, tq)
+        prod = po.mul_rns(ct_ntt, m_ntt[None], cd.mv)
+        return ct.replace(data=nttmod.ntt_inverse(prod, tq))
+    if scheme == Scheme.CKKS:
+        prod = po.mul_rns(ct.data, pt.data[None], cd.mv)
+        return ct.replace(data=prod, scale=ct.scale * pt.scale)
+    # BGV: NTT-form ct times NTT(plain)
+    from .keys import _bgv_lift_plain_ntt
+    m_ntt = _bgv_lift_plain_ntt(ctx, cd, pt.data[0])
+    prod = po.mul_rns(ct.data, m_ntt[None], cd.mv)
+    return ct.replace(data=prod)
+
+
+# --------------------------------------------------------------------------
+# rescale / modulus switching
+# --------------------------------------------------------------------------
+
+def _divide_round_qlast_ntt(ctx: Context, cd: ContextData,
+                            x: jnp.ndarray) -> jnp.ndarray:
+    """round(x / q_last) over the remaining limbs, NTT form in/out.
+
+    Reference: DRNSTool::divide_and_round_q_last_ntt (rns.cu:1160)."""
+    rc = cd.rescale
+    k = cd.size_ql
+    last_tables = nttmod._limb_slice(ctx.ntt, (k - 1, k))
+    xl = nttmod.ntt_inverse(x[..., k - 1:k, :], last_tables)  # (...,1,N)
+    qlast = cd.mv.q[k - 1]
+    xl = mm.add_mod(xl, rc.half, qlast)
+    rest_mv_q = cd.mv.q[:k - 1][:, None]
+    rest_rhi = cd.mv.ratio_hi[:k - 1][:, None]
+    red = mm.barrett_reduce_u64(xl, rest_mv_q, rest_rhi)  # broadcast (k-1,N)
+    delta = mm.sub_mod(red, rc.half_mod_q[:, None], rest_mv_q)
+    delta_ntt = nttmod.ntt_forward(delta, ctx.tables_q(k - 1))
+    diff = mm.sub_mod(x[..., :k - 1, :], delta_ntt, rest_mv_q)
+    return mm.mul_mod_shoup(diff, rc.qlast_inv[:, None],
+                            rc.qlast_inv_shoup[:, None], rest_mv_q)
+
+
+def _divide_round_qlast_coeff(ctx: Context, cd: ContextData,
+                              x: jnp.ndarray) -> jnp.ndarray:
+    """Coefficient-form variant (reference: divide_and_round_q_last,
+    rns.cu:1114)."""
+    rc = cd.rescale
+    k = cd.size_ql
+    qlast = cd.mv.q[k - 1]
+    xl = mm.add_mod(x[..., k - 1:k, :], rc.half, qlast)
+    rest_q = cd.mv.q[:k - 1][:, None]
+    rest_rhi = cd.mv.ratio_hi[:k - 1][:, None]
+    red = mm.barrett_reduce_u64(xl, rest_q, rest_rhi)
+    delta = mm.sub_mod(red, rc.half_mod_q[:, None], rest_q)
+    diff = mm.sub_mod(x[..., :k - 1, :], delta, rest_q)
+    return mm.mul_mod_shoup(diff, rc.qlast_inv[:, None],
+                            rc.qlast_inv_shoup[:, None], rest_q)
+
+
+def rescale_to_next(ctx: Context, ct: Ciphertext) -> Ciphertext:
+    """CKKS rescale (reference: rescale_to_next, evaluate.cu:1545)."""
+    if ctx.params.scheme != Scheme.CKKS:
+        raise ValueError("rescale is CKKS-only; use mod_switch for BFV/BGV")
+    cd = _cd(ctx, ct)
+    if cd.size_ql < 2:
+        raise ValueError("cannot rescale: last level")
+    qlast = int(ctx.params.data_moduli[cd.size_ql - 1])
+    out = _divide_round_qlast_ntt(ctx, cd, ct.data)
+    return ct.replace(data=out, chain_index=ct.chain_index + 1,
+                      scale=ct.scale / qlast)
+
+
+def mod_switch_to_next(ctx: Context, ct: Ciphertext) -> Ciphertext:
+    """Drop the last prime (reference: mod_switch_to_next,
+    evaluate.cu:1376-1543): BFV scales by q_last with rounding, CKKS drops
+    the limb (scale unchanged), BGV applies the mod-t correction."""
+    cd = _cd(ctx, ct)
+    if cd.size_ql < 2:
+        raise ValueError("cannot mod-switch: last level")
+    scheme = ctx.params.scheme
+    if scheme == Scheme.BFV:
+        out = _divide_round_qlast_coeff(ctx, cd, ct.data)
+        return ct.replace(data=out, chain_index=ct.chain_index + 1)
+    if scheme == Scheme.CKKS:
+        return ct.replace(data=ct.data[..., :cd.size_ql - 1, :],
+                          chain_index=ct.chain_index + 1)
+    # BGV: divide by q_last while keeping the value mod t intact
+    out, new_factor = _bgv_mod_switch(ctx, cd, ct)
+    return ct.replace(data=out, chain_index=ct.chain_index + 1,
+                      correction_factor=new_factor)
+
+
+def _bgv_mod_switch(ctx: Context, cd: ContextData, ct: Ciphertext):
+    """BGV mod-switch: delta = -[x * q_last^{-1}]_t correction so the result
+    is divisible by q_last AND congruent mod t (reference:
+    mod_t_and_divide_q_last_ntt, rns.cu:1209)."""
+    raise NotImplementedError("lands with the BGV pass")
+
+
+def mod_switch_to(ctx: Context, ct: Ciphertext, chain_index: int) -> Ciphertext:
+    while ct.chain_index < chain_index:
+        ct = mod_switch_to_next(ctx, ct)
+    return ct

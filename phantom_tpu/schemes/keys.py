@@ -28,6 +28,7 @@ from ..ops import scaleround as sr
 from ..ops import bconv as bc
 from .ciphertext import Ciphertext, Plaintext
 from .context import Context, ContextData
+from .keyswitch import moddown_coeff as _moddown_coeff_ks, moddown_ntt as _moddown_ntt_ks
 from .params import Scheme
 
 
@@ -138,38 +139,6 @@ def gen_relin_key(ctx: Context, sk: SecretKey, rng: jax.Array) -> RelinKey:
 # encryption
 # --------------------------------------------------------------------------
 
-def _moddown_coeff(ctx: Context, cd: ContextData, x: jnp.ndarray):
-    """(x_Q - bconv(x_P)) * P^{-1} over Ql, coefficient domain.
-
-    x: (size_QlP, N) coeff form.  Reference: DRNSTool::moddown.
-    """
-    ks = cd.ks
-    size_ql = cd.size_ql
-    x_q = x[:size_ql]
-    x_p = x[size_ql:]
-    delta = bc.bconv_exact(x_p, ks.p_to_q)
-    diff = mm.sub_mod(x_q, delta, cd.mv.q[:, None])
-    return mm.mul_mod_shoup(diff, ks.pinv_mod_q[:, None],
-                            ks.pinv_shoup[:, None], cd.mv.q[:, None])
-
-
-def _moddown_ntt(ctx: Context, cd: ContextData, x: jnp.ndarray):
-    """Same as _moddown_coeff but input/output in NTT form.
-
-    Reference: DRNSTool::moddown_from_NTT (rns_bconv.cu:776): iNTT the P
-    part, convert, NTT back, fused (x - delta) * P^{-1}.
-    """
-    ks = cd.ks
-    size_ql = cd.size_ql
-    x_q = x[:size_ql]
-    x_p = nttmod.ntt_inverse(x[size_ql:], ctx.tables_p())
-    delta = bc.bconv_exact(x_p, ks.p_to_q)
-    delta_ntt = nttmod.ntt_forward(delta, ctx.tables_q(size_ql))
-    diff = mm.sub_mod(x_q, delta_ntt, cd.mv.q[:, None])
-    return mm.mul_mod_shoup(diff, ks.pinv_mod_q[:, None],
-                            ks.pinv_shoup[:, None], cd.mv.q[:, None])
-
-
 def encrypt_zero_asymmetric(ctx: Context, pk: PublicKey, chain_index: int,
                             rng: jax.Array, is_ntt_form: bool) -> jnp.ndarray:
     """Encryption of zero at `chain_index`: (2, size_Ql, N).
@@ -201,7 +170,7 @@ def encrypt_zero_asymmetric(ctx: Context, pk: PublicKey, chain_index: int,
     size_ql = cd.size_ql
     rows = list(range(size_ql)) + list(range(p.size_q, p.size_qp))
     x = x[:, jnp.asarray(rows)]
-    md = _moddown_ntt if is_ntt_form else _moddown_coeff
+    md = _moddown_ntt_ks if is_ntt_form else _moddown_coeff_ks
     return jnp.stack([md(ctx, cd, x[0]), md(ctx, cd, x[1])])
 
 

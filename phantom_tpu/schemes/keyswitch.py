@@ -1,0 +1,143 @@
+"""Hybrid (modup / inner-product / moddown) key switching.
+
+TPU-native equivalent of the reference's keyswitch engine
+(src/eval_key_switch.cu:95-183, DRNSTool::modup/moddown_from_NTT in
+src/rns_bconv.cu:530-828): the ciphertext digit c2 is split into beta
+digits of alpha primes each, every digit is base-extended to the full QlP
+base (own rows copied, complement rows fast-base-converted — the
+reference's modup_copy_partQl_kernel + padded bconv matmul), the extended
+digits are NTT'd and inner-producted against the evaluation key with a
+128-bit lazy accumulator (key_switch_inner_prod_c2_and_evk,
+eval_key_switch.cu:14-69), and both halves are brought back to Ql with a
+P^{-1}-corrected moddown.
+
+Everything here is jittable; digit geometry (alpha, beta, level sizes) is
+static Python, so each level specializes its own trace like the reference's
+per-level host dispatch.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from ..ops import bconv as bc
+from ..ops import modmath as mm
+from ..ops import ntt as nttmod
+from .context import Context, ContextData
+
+
+def qlp_rows(ctx: Context, size_ql: int):
+    """Static row indices of the QlP base inside the full QP key base."""
+    p = ctx.params
+    return list(range(size_ql)) + list(range(p.size_q, p.size_qp))
+
+
+def tables_qlp(ctx: Context, size_ql: int) -> nttmod.NTTTablesDevice:
+    return nttmod._limb_gather(ctx.ntt, qlp_rows(ctx, size_ql))
+
+
+def digit_bounds(ctx: Context, size_ql: int, d: int) -> Tuple[int, int]:
+    alpha = ctx.params.size_p
+    lo = d * alpha
+    return lo, min(lo + alpha, size_ql)
+
+
+def modup(ctx: Context, cd: ContextData, c2: jnp.ndarray) -> jnp.ndarray:
+    """Base-extend each digit of c2 to QlP and NTT the result.
+
+    c2: (size_ql, N) coefficient form in [0, q).
+    Returns (beta, size_qlp, N) NTT form.
+    Reference: DRNSTool::modup (rns_bconv.cu:530-628).
+    """
+    ks = cd.ks
+    size_ql = cd.size_ql
+    beta = len(ks.digit_convs)
+    tq = tables_qlp(ctx, size_ql)
+    out = []
+    for d in range(beta):
+        lo, hi = digit_bounds(ctx, size_ql, d)
+        x = c2[lo:hi]
+        compl = bc.bconv_approx(x, ks.digit_convs[d])
+        # assemble [data[:lo], own digit, data[hi:], P rows]
+        full = jnp.concatenate([compl[:lo], x, compl[lo:]], axis=0)
+        out.append(nttmod.ntt_forward(full, tq))
+    return jnp.stack(out)
+
+
+def inner_product_evk(t_modup: jnp.ndarray, evk: jnp.ndarray,
+                      cd: ContextData) -> jnp.ndarray:
+    """sum_d t_d * evk[d, j] over digits, NTT domain, 128-bit accumulation.
+
+    t_modup: (beta, K', N) in [0, q); evk: (beta, 2, K', N) in [0, q).
+    Returns (2, K', N) in [0, q).
+    Reference: key_switch_inner_prod_c2_and_evk (eval_key_switch.cu:14-69).
+    """
+    ks = cd.ks
+    beta = t_modup.shape[0]
+    kk, n = t_modup.shape[1], t_modup.shape[2]
+    q = ks.qlp.q[:, None]
+    rlo = ks.qlp.ratio_lo[:, None]
+    rhi = ks.qlp.ratio_hi[:, None]
+    pow64 = ks.pow64_mod_qlp[:, None]
+    halves = []
+    for j in range(2):
+        hi = jnp.zeros((kk, n), dtype=jnp.uint64)
+        lo = jnp.zeros((kk, n), dtype=jnp.uint64)
+        for d in range(beta):
+            h, l = mm.mul_wide(t_modup[d], evk[d, j])
+            hi, lo = mm.add_wide(hi, lo, h, l)
+        halves.append(bc.reduce_u128_any(hi, lo, q, rlo, rhi, pow64))
+    return jnp.stack(halves)
+
+
+def moddown_ntt(ctx: Context, cd: ContextData, x: jnp.ndarray) -> jnp.ndarray:
+    """(x_Q - bconv(x_P)) * P^{-1} over Ql, NTT-form input and output.
+
+    x: (size_qlp, N) NTT form.  Reference: DRNSTool::moddown_from_NTT
+    (rns_bconv.cu:776): iNTT the P part, exact-convert P -> Ql, NTT back,
+    fused (x - delta) * P^{-1}.
+    """
+    ks = cd.ks
+    size_ql = cd.size_ql
+    x_q = x[:size_ql]
+    x_p = nttmod.ntt_inverse(x[size_ql:], ctx.tables_p())
+    delta = bc.bconv_exact(x_p, ks.p_to_q)
+    delta_ntt = nttmod.ntt_forward(delta, ctx.tables_q(size_ql))
+    diff = mm.sub_mod(x_q, delta_ntt, cd.mv.q[:, None])
+    return mm.mul_mod_shoup(diff, ks.pinv_mod_q[:, None],
+                            ks.pinv_shoup[:, None], cd.mv.q[:, None])
+
+
+def moddown_coeff(ctx: Context, cd: ContextData,
+                  x: jnp.ndarray) -> jnp.ndarray:
+    """Moddown for coefficient-form input (reference: DRNSTool::moddown)."""
+    ks = cd.ks
+    size_ql = cd.size_ql
+    x_q = x[:size_ql]
+    delta = bc.bconv_exact(x[size_ql:], ks.p_to_q)
+    diff = mm.sub_mod(x_q, delta, cd.mv.q[:, None])
+    return mm.mul_mod_shoup(diff, ks.pinv_mod_q[:, None],
+                            ks.pinv_shoup[:, None], cd.mv.q[:, None])
+
+
+def evk_rows(ctx: Context, evk_data: jnp.ndarray, cd: ContextData):
+    """Restrict a (dnum, 2, K, N) key to this level's digits and QlP rows."""
+    size_ql = cd.size_ql
+    beta = len(cd.ks.digit_convs)
+    rows = jnp.asarray(qlp_rows(ctx, size_ql))
+    return evk_data[:beta, :, rows]
+
+
+def keyswitch(ctx: Context, cd: ContextData, c2: jnp.ndarray,
+              evk_data: jnp.ndarray) -> jnp.ndarray:
+    """Full hybrid keyswitch of one polynomial c2 (coefficient form).
+
+    c2: (size_ql, N) coeff form -> (2, size_ql, N) NTT form over Ql.
+    Reference: keyswitch_inplace (eval_key_switch.cu:95-183).
+    """
+    t_modup = modup(ctx, cd, c2)
+    prod = inner_product_evk(t_modup, evk_rows(ctx, evk_data, cd), cd)
+    return jnp.stack([moddown_ntt(ctx, cd, prod[0]),
+                      moddown_ntt(ctx, cd, prod[1])])
