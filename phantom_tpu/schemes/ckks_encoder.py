@@ -1,0 +1,127 @@
+"""CKKS encoder: complex slot vectors <-> RNS plaintext polynomials.
+
+Equivalent of the reference's PhantomCKKSEncoder (src/ckks.cu:17-190) and
+its special FFT (src/fft.cu).  The canonical embedding evaluates the
+plaintext polynomial at the odd primitive 2N-th roots zeta^{5^j}; here that
+is expressed as a *twisted* length-N DFT — p(zeta^{2k+1}) = DFT_k(p_j *
+zeta^j) — so encode/decode ride a standard FFT plus an O(N) twist, with the
+generator-5 slot permutation applied on the evaluation vector.
+
+Precision strategy (SURVEY hard part #3): the TPU has no fast f64, so the
+float stage (FFT) runs on host numpy in f64 — identical precision to the
+reference's double-precision device FFT — while the exact stages (scaled
+rounding to big ints, CRT decompose/compose) use exact Python integers.
+Encode/decode are data-ingress operations outside the homomorphic hot loop;
+the device-side NTT to/from evaluation form stays jitted.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import ntt as nttmod
+from .ciphertext import Plaintext
+from .context import Context
+from .params import Scheme
+
+
+class CKKSEncoder:
+    def __init__(self, ctx: Context):
+        if ctx.params.scheme != Scheme.CKKS:
+            raise ValueError("CKKSEncoder requires a CKKS context")
+        self.ctx = ctx
+        n = ctx.params.n
+        self.slots = n // 2
+        m = 2 * n
+        # slot j <-> evaluation at zeta^{5^j}; exponent e=2k+1 -> index k
+        pos = 1
+        idx1 = np.zeros(self.slots, dtype=np.int64)
+        idx2 = np.zeros(self.slots, dtype=np.int64)
+        for j in range(self.slots):
+            idx1[j] = (pos - 1) >> 1
+            idx2[j] = (m - pos - 1) >> 1
+            pos = (pos * 5) % m
+        self._idx1, self._idx2 = idx1, idx2
+        # twist: zeta^j for j in [0, N)
+        self._twist = np.exp(1j * np.pi * np.arange(n) / n)
+
+    # -- float stage ------------------------------------------------------
+    def _embed_inverse(self, z: np.ndarray) -> np.ndarray:
+        """slots (N/2 complex) -> real coefficient vector (N,) (unscaled)."""
+        n = self.ctx.params.n
+        ev = np.zeros(n, dtype=np.complex128)
+        ev[self._idx1] = z
+        ev[self._idx2] = np.conj(z)
+        # eval_k = p(zeta^{2k+1}) = n * ifft(p_j * zeta^j)[k]
+        p_twisted = np.fft.fft(ev) / n
+        return np.real(p_twisted * np.conj(self._twist))
+
+    def _embed_forward(self, coeffs: np.ndarray) -> np.ndarray:
+        """real coefficients (N,) -> slots (N/2 complex)."""
+        n = self.ctx.params.n
+        ev = n * np.fft.ifft(coeffs * self._twist)
+        return ev[self._idx1]
+
+    # -- public API -------------------------------------------------------
+    def encode(self, values: Sequence, scale: float,
+               chain_index: Optional[int] = None) -> Plaintext:
+        """Encode complex/real slot values at `scale` into NTT form.
+
+        Reference: encode_internal (src/ckks.cu:68-135), including the
+        max-coefficient budget check against Ql."""
+        ctx = self.ctx
+        ci = ctx.first_data_index if chain_index is None else chain_index
+        cd = ctx.get_context_data(ci)
+        z = np.zeros(self.slots, dtype=np.complex128)
+        v = np.asarray(values, dtype=np.complex128).ravel()
+        if v.shape[0] > self.slots:
+            raise ValueError("too many values for slot count")
+        z[: v.shape[0]] = v
+        coeffs = self._embed_inverse(z) * scale
+        max_coeff = float(np.max(np.abs(coeffs))) if coeffs.size else 0.0
+        total_q = 1
+        for q in cd.moduli:
+            total_q *= q
+        if max_coeff >= total_q / 2:
+            raise ValueError("encoded values are too large for parms at this "
+                             "level (scale out of bounds)")
+        ints = [int(round(c)) for c in coeffs]
+        rns = np.stack([
+            np.array([x % q for x in ints], dtype=np.uint64)
+            for q in cd.moduli])
+        data = nttmod.ntt_forward(jnp.asarray(rns),
+                                  ctx.tables_q(cd.size_ql))
+        return Plaintext(data=data, chain_index=ci, is_ntt_form=True,
+                         scale=scale)
+
+    def decode(self, plain: Plaintext) -> np.ndarray:
+        """NTT-form plaintext -> complex slot values.
+
+        Reference: decode_internal (src/ckks.cu:137-190)."""
+        ctx = self.ctx
+        cd = ctx.get_context_data(plain.chain_index)
+        coeffs_rns = np.asarray(
+            nttmod.ntt_inverse(plain.data, ctx.tables_q(cd.size_ql)))
+        # exact CRT compose, centered
+        moduli = list(cd.moduli)
+        total = 1
+        for q in moduli:
+            total *= q
+        punct = [total // q for q in moduli]
+        from ..host.numth import invert_mod
+        inv = [invert_mod(p % q, q) for p, q in zip(punct, moduli)]
+        n = ctx.params.n
+        vals = np.zeros(n, dtype=np.float64)
+        half = total // 2
+        for j in range(n):
+            acc = 0
+            for l, q in enumerate(moduli):
+                acc += (int(coeffs_rns[l, j]) * inv[l] % q) * punct[l]
+            acc %= total
+            if acc > half:
+                acc -= total
+            vals[j] = acc / plain.scale
+        return self._embed_forward(vals)

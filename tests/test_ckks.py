@@ -1,0 +1,110 @@
+"""CKKS end-to-end: encode/encrypt/add/mul/relin/rescale/decrypt.
+
+Mirrors the reference's CKKS golden examples (examples/3_ckks.cu:28-763),
+including the small-parameter N=2048-style case on a reduced degree.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from phantom_tpu.host import numth
+from phantom_tpu.schemes import (CKKSEncoder, EncryptionParameters, Scheme,
+                                 evaluate, keys, make_context)
+
+SCALE = 2.0 ** 30
+
+
+@pytest.fixture(scope="module")
+def setup():
+    n = 1024
+    qs = numth.get_primes(2 * n, 40, 2) + numth.get_primes(2 * n, 30, 2)
+    # order: q0(40) q1(30) q2(30, dropped by rescale) | p(40 special)
+    coeff = [qs[0], qs[2], qs[3], qs[1]]
+    params = EncryptionParameters.create(
+        Scheme.CKKS, n, coeff, special_modulus_size=1)
+    ctx = make_context(params)
+    rng = jax.random.PRNGKey(0)
+    k_sk, k_pk, k_rlk = jax.random.split(rng, 3)
+    sk = keys.gen_secret_key(ctx, k_sk)
+    pk = keys.gen_public_key(ctx, sk, k_pk)
+    rlk = keys.gen_relin_key(ctx, sk, k_rlk)
+    enc = CKKSEncoder(ctx)
+    return ctx, sk, pk, rlk, enc
+
+
+def test_encode_decode(setup):
+    ctx, sk, pk, rlk, enc = setup
+    rng = np.random.default_rng(1)
+    z = rng.standard_normal(enc.slots) + 1j * rng.standard_normal(enc.slots)
+    pt = enc.encode(z, SCALE)
+    out = enc.decode(pt)
+    np.testing.assert_allclose(out, z, atol=1e-5)
+
+
+def test_encrypt_decrypt(setup):
+    ctx, sk, pk, rlk, enc = setup
+    rng = np.random.default_rng(2)
+    z = rng.standard_normal(enc.slots)
+    ct = keys.encrypt_asymmetric(ctx, pk, enc.encode(z, SCALE),
+                                 jax.random.PRNGKey(5))
+    out = enc.decode(keys.decrypt(ctx, sk, ct))
+    np.testing.assert_allclose(out.real, z, atol=1e-4)
+
+
+def test_add_sub(setup):
+    ctx, sk, pk, rlk, enc = setup
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal(enc.slots)
+    b = rng.standard_normal(enc.slots)
+    ct_a = keys.encrypt_asymmetric(ctx, pk, enc.encode(a, SCALE),
+                                   jax.random.PRNGKey(6))
+    ct_b = keys.encrypt_asymmetric(ctx, pk, enc.encode(b, SCALE),
+                                   jax.random.PRNGKey(7))
+    np.testing.assert_allclose(
+        enc.decode(keys.decrypt(ctx, sk, evaluate.add(ctx, ct_a, ct_b))).real,
+        a + b, atol=1e-4)
+    np.testing.assert_allclose(
+        enc.decode(keys.decrypt(ctx, sk, evaluate.sub(ctx, ct_a, ct_b))).real,
+        a - b, atol=1e-4)
+
+
+def test_mul_relin_rescale(setup):
+    ctx, sk, pk, rlk, enc = setup
+    rng = np.random.default_rng(4)
+    a = rng.standard_normal(enc.slots)
+    b = rng.standard_normal(enc.slots)
+    ct_a = keys.encrypt_asymmetric(ctx, pk, enc.encode(a, SCALE),
+                                   jax.random.PRNGKey(8))
+    ct_b = keys.encrypt_asymmetric(ctx, pk, enc.encode(b, SCALE),
+                                   jax.random.PRNGKey(9))
+    ct = evaluate.multiply_and_relin(ctx, ct_a, ct_b, rlk)
+    ct = evaluate.rescale_to_next(ctx, ct)
+    out = enc.decode(keys.decrypt(ctx, sk, ct))
+    np.testing.assert_allclose(out.real, a * b, atol=1e-2)
+
+
+def test_multiply_plain_and_add_plain(setup):
+    ctx, sk, pk, rlk, enc = setup
+    rng = np.random.default_rng(5)
+    a = rng.standard_normal(enc.slots)
+    b = rng.standard_normal(enc.slots)
+    ct = keys.encrypt_asymmetric(ctx, pk, enc.encode(a, SCALE),
+                                 jax.random.PRNGKey(10))
+    pt_b = enc.encode(b, SCALE)
+    prod = evaluate.rescale_to_next(ctx, evaluate.multiply_plain(ctx, ct, pt_b))
+    np.testing.assert_allclose(
+        enc.decode(keys.decrypt(ctx, sk, prod)).real, a * b, atol=1e-2)
+    add = evaluate.add_plain(ctx, ct, pt_b)
+    np.testing.assert_allclose(
+        enc.decode(keys.decrypt(ctx, sk, add)).real, a + b, atol=1e-4)
+
+
+def test_sym_encrypt(setup):
+    ctx, sk, pk, rlk, enc = setup
+    rng = np.random.default_rng(6)
+    z = rng.standard_normal(enc.slots)
+    ct = keys.encrypt_symmetric(ctx, sk, enc.encode(z, SCALE),
+                                jax.random.PRNGKey(12))
+    np.testing.assert_allclose(
+        enc.decode(keys.decrypt(ctx, sk, ct)).real, z, atol=1e-4)
