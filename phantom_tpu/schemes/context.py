@@ -64,6 +64,29 @@ class KeySwitchConsts(NamedTuple):
     bigp_shoup: jnp.ndarray
     qlp: ModulusVec                             # (size_QlP,) Ql then P rows
     pow64_mod_qlp: jnp.ndarray                  # (size_QlP,) 2^64 mod each
+    # BGV-only: t-corrected moddown so noise stays divisible by t
+    # (reference: bgv_moddown_kernel, rns_bconv.cu:636)
+    p_to_t: Optional[bc.BaseConvConsts] = None  # P -> {t}, exact
+    phalf_mod_p: Optional[jnp.ndarray] = None   # (size_P,) (P-1)/2 mod p_j
+    phalf_mod_q: Optional[jnp.ndarray] = None   # (size_Ql,) (P-1)/2 mod q_i
+    phalf_mod_t: Optional[jnp.ndarray] = None   # () (P-1)/2 mod t
+    neg_pinv_mod_t: Optional[jnp.ndarray] = None  # () [-P^{-1}]_t
+    t_mv: Optional[ModulusVec] = None
+
+
+class BGVConsts(NamedTuple):
+    """Per-level BGV tables: exact centered CRT conversion Ql -> {t} for
+    decryption (reference: exact_convert_array / decrypt_mod_t,
+    rns_bconv.cu:416, rns.cu:1237) and the mod-t-preserving q_last division
+    for modulus switching (mod_t_and_divide_q_last_ntt, rns.cu:1209)."""
+
+    q_to_t: bc.BaseConvConsts       # Ql -> {t}, exact
+    qhalf_mod_q: jnp.ndarray        # (k,) (Ql-1)/2 mod q_i (center shift)
+    qhalf_mod_t: jnp.ndarray        # ()  (Ql-1)/2 mod t
+    t_mv: ModulusVec                # modulus constants for t
+    # mod switch (absent at the last data level):
+    neg_qlast_inv_mod_t: Optional[jnp.ndarray]  # () [-q_last^{-1}]_t
+    qlast_mod_qi: Optional[jnp.ndarray]         # (k-1,) q_last mod q_i
 
 
 class HPSMulConsts(NamedTuple):
@@ -99,6 +122,7 @@ class ContextData:
     plain_lift: Optional[sr.PlainLiftConsts]         # BFV
     decrypt_sr: Optional[sr.DecryptScaleRoundConsts]  # BFV
     hps: Optional[HPSMulConsts]                      # BFV
+    bgv: Optional[BGVConsts] = None                  # BGV
     chain_index: int = flax.struct.field(pytree_node=False, default=0)
     moduli: Tuple[int, ...] = flax.struct.field(pytree_node=False, default=())
 
@@ -165,7 +189,8 @@ def _rescale_consts(moduli) -> Optional[RescaleConsts]:
     )
 
 
-def _keyswitch_consts(data_moduli, special_moduli) -> KeySwitchConsts:
+def _keyswitch_consts(data_moduli, special_moduli,
+                      t: int = 0) -> KeySwitchConsts:
     size_ql = len(data_moduli)
     alpha = len(special_moduli)
     beta = -(-size_ql // alpha)
@@ -182,6 +207,21 @@ def _keyswitch_consts(data_moduli, special_moduli) -> KeySwitchConsts:
     big_p = p_base.prod
     pinv = [numth.invert_mod(big_p % q, q) for q in data_moduli]
     pmod = [big_p % q for q in data_moduli]
+    bgv_extra = {}
+    if t:  # BGV t-corrected moddown tables
+        phalf = (big_p - 1) >> 1
+        bgv_extra = dict(
+            p_to_t=bc.consts_from_host(
+                BaseConverter(p_base, RNSBase([t]))),
+            phalf_mod_p=jnp.asarray(
+                to_u64_array([phalf % p for p in special_moduli])),
+            phalf_mod_q=jnp.asarray(
+                to_u64_array([phalf % q for q in data_moduli])),
+            phalf_mod_t=jnp.uint64(phalf % t),
+            neg_pinv_mod_t=jnp.uint64(
+                (t - numth.invert_mod(big_p % t, t)) % t),
+            t_mv=modulus_vec([t]),
+        )
     return KeySwitchConsts(
         digit_convs=tuple(digit_convs),
         p_to_q=p_to_q,
@@ -193,6 +233,7 @@ def _keyswitch_consts(data_moduli, special_moduli) -> KeySwitchConsts:
             [compute_shoup(v, q) for v, q in zip(pmod, data_moduli)])),
         qlp=modulus_vec(qlp),
         pow64_mod_qlp=jnp.asarray(to_u64_array([(1 << 64) % q for q in qlp])),
+        **bgv_extra,
     )
 
 
@@ -237,6 +278,30 @@ def _hps_mul_consts(data_moduli, rl_moduli, t: int) -> HPSMulConsts:
     )
 
 
+def _bgv_consts(data_moduli, t: int) -> BGVConsts:
+    base = RNSBase(data_moduli)
+    q_to_t = bc.consts_from_host(BaseConverter(base, RNSBase([t])))
+    half = (base.prod - 1) >> 1
+    k = len(data_moduli)
+    if k >= 2:
+        qlast = data_moduli[-1]
+        neg_inv = (t - numth.invert_mod(qlast % t, t)) % t
+        neg_qlast_inv_mod_t = jnp.uint64(neg_inv)
+        qlast_mod_qi = jnp.asarray(
+            to_u64_array([qlast % q for q in data_moduli[:-1]]))
+    else:
+        neg_qlast_inv_mod_t = None
+        qlast_mod_qi = None
+    return BGVConsts(
+        q_to_t=q_to_t,
+        qhalf_mod_q=jnp.asarray(to_u64_array([half % q for q in data_moduli])),
+        qhalf_mod_t=jnp.uint64(half % t),
+        t_mv=modulus_vec([t]),
+        neg_qlast_inv_mod_t=neg_qlast_inv_mod_t,
+        qlast_mod_qi=qlast_mod_qi,
+    )
+
+
 def make_context(params: EncryptionParameters) -> Context:
     """Build the full context chain (reference: PhantomContext ctor)."""
     n = params.n
@@ -277,18 +342,22 @@ def make_context(params: EncryptionParameters) -> Context:
     for lvl in range(num_levels):
         ql = data_moduli[: num_levels - lvl]
         base_ql = RNSBase(ql)
-        plain_lift = decrypt_sr = hps = None
+        plain_lift = decrypt_sr = hps = bgv = None
         if scheme == Scheme.BFV:
             plain_lift = sr.make_plain_lift_consts(base_ql, t)
             decrypt_sr = sr.make_decrypt_consts(base_ql, t)
             hps = _hps_mul_consts(ql, rl_moduli, t)
+        if scheme == Scheme.BGV:
+            bgv = _bgv_consts(ql, t)
         chain.append(ContextData(
             mv=modulus_vec(ql),
             rescale=_rescale_consts(ql),
-            ks=_keyswitch_consts(ql, special_moduli),
+            ks=_keyswitch_consts(ql, special_moduli,
+                                 t if scheme == Scheme.BGV else 0),
             plain_lift=plain_lift,
             decrypt_sr=decrypt_sr,
             hps=hps,
+            bgv=bgv,
             chain_index=lvl + 1,
             moduli=tuple(ql)))
 

@@ -385,10 +385,40 @@ def mod_switch_to_next(ctx: Context, ct: Ciphertext) -> Ciphertext:
 
 
 def _bgv_mod_switch(ctx: Context, cd: ContextData, ct: Ciphertext):
-    """BGV mod-switch: delta = -[x * q_last^{-1}]_t correction so the result
-    is divisible by q_last AND congruent mod t (reference:
+    """BGV mod-switch: subtract delta == c (mod q_last), == 0 (mod t), then
+    divide exactly by q_last; the plaintext picks up a factor
+    q_last^{-1} mod t, tracked in the correction factor (reference:
     mod_t_and_divide_q_last_ntt, rns.cu:1209)."""
-    raise NotImplementedError("lands with the BGV pass")
+    from ..host import numth
+    bgv = cd.bgv
+    rc = cd.rescale
+    k = cd.size_ql
+    x = ct.data  # (size, k, N) NTT form
+    last_tables = nttmod._limb_slice(ctx.ntt, (k - 1, k))
+    c_last = nttmod.ntt_inverse(x[..., k - 1:k, :], last_tables)
+    t = bgv.t_mv.q[0]
+    t_rhi = bgv.t_mv.ratio_hi[0]
+    # u = [c_last * (-q_last^{-1})]_t
+    r_t = mm.barrett_reduce_u64(c_last, t, t_rhi)
+    u = mm.mul_mod(r_t, bgv.neg_qlast_inv_mod_t, t,
+                   bgv.t_mv.ratio_lo[0], t_rhi)
+    rest_q = cd.mv.q[:k - 1][:, None]
+    rest_rlo = cd.mv.ratio_lo[:k - 1][:, None]
+    rest_rhi = cd.mv.ratio_hi[:k - 1][:, None]
+    c_last_mod_qi = mm.barrett_reduce_u64(c_last, rest_q, rest_rhi)
+    delta = mm.add_mod(
+        c_last_mod_qi,
+        mm.mul_mod(u, bgv.qlast_mod_qi[:, None], rest_q, rest_rlo, rest_rhi),
+        rest_q)
+    delta_ntt = nttmod.ntt_forward(delta, ctx.tables_q(k - 1))
+    diff = mm.sub_mod(x[..., :k - 1, :], delta_ntt, rest_q)
+    out = mm.mul_mod_shoup(diff, rc.qlast_inv[:, None],
+                           rc.qlast_inv_shoup[:, None], rest_q)
+    t_int = ctx.params.plain_modulus
+    qlast = int(ctx.params.data_moduli[k - 1])
+    new_factor = (ct.correction_factor
+                  * numth.invert_mod(qlast % t_int, t_int)) % t_int
+    return out, new_factor
 
 
 def mod_switch_to(ctx: Context, ct: Ciphertext, chain_index: int) -> Ciphertext:

@@ -289,14 +289,29 @@ def decrypt(ctx: Context, sk: SecretKey, ct: Ciphertext) -> Plaintext:
     if p.scheme == Scheme.CKKS:
         return Plaintext(data=acc_ntt, chain_index=ct.chain_index,
                          is_ntt_form=True, scale=ct.scale)
-    # BGV: iNTT then exact CRT conversion to t, then correction-factor fix
+    # BGV: iNTT then exact centered CRT conversion to t + correction fix
     x = nttmod.ntt_inverse(acc_ntt, ctx.tables_q(size_ql))
-    from ..host.rns import RNSBase, BaseConverter  # host consts cached in cd
-    m = bc.bconv_exact(x, cd.decrypt_sr) if False else _bgv_decrypt_to_t(
-        ctx, cd, x, ct.correction_factor)
-    return Plaintext(data=m[None, :], chain_index=ct.chain_index)
+    m = _bgv_decrypt_to_t(ctx, cd, x, ct.correction_factor)
+    return Plaintext(data=m, chain_index=ct.chain_index)
 
 
 def _bgv_decrypt_to_t(ctx: Context, cd: ContextData, x: jnp.ndarray,
-                      correction_factor: int):
-    raise NotImplementedError("BGV decrypt lands with the BGV scheme pass")
+                      correction_factor: int) -> jnp.ndarray:
+    """Exact centered conversion [x]_Ql -> mod t, then divide out the
+    correction factor (reference: decrypt_mod_t, rns.cu:1237 + the
+    correction-factor fix in bgv_decrypt, secretkey.cu:638).
+
+    The centered value is obtained with the (Ql-1)/2 shift trick: convert
+    the non-negative x + H exactly, then subtract H mod t."""
+    from ..host import numth
+    bgv = cd.bgv
+    t_mv = bgv.t_mv
+    shifted = mm.add_mod(x, bgv.qhalf_mod_q[:, None], cd.mv.q[:, None])
+    conv = bc.bconv_exact(shifted, bgv.q_to_t)  # (1, N) mod t
+    m = mm.sub_mod(conv, bgv.qhalf_mod_t, t_mv.q[:, None])
+    f = correction_factor % ctx.params.plain_modulus
+    if f != 1:
+        finv = numth.invert_mod(f, ctx.params.plain_modulus)
+        m = mm.mul_mod(m, jnp.uint64(finv), t_mv.q[:, None],
+                       t_mv.ratio_lo[:, None], t_mv.ratio_hi[:, None])
+    return m

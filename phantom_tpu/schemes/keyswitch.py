@@ -92,18 +92,42 @@ def inner_product_evk(t_modup: jnp.ndarray, evk: jnp.ndarray,
     return jnp.stack(halves)
 
 
+def _moddown_delta(ks, x_p: jnp.ndarray) -> jnp.ndarray:
+    """delta == x (mod P) over Ql rows; BGV additionally forces
+    delta == 0 (mod t) so the divided noise stays a multiple of t
+    (reference: moddown_bconv vs bgv_moddown_kernel, rns_bconv.cu:636,691).
+    """
+    if ks.p_to_t is None:
+        return bc.bconv_exact(x_p, ks.p_to_q)
+    q = ks.p_to_q.obase.q[:, None]
+    p_q = ks.p_to_q.ibase.q[:, None]
+    # centered conversion via the (P-1)/2 shift
+    shifted = mm.add_mod(x_p, ks.phalf_mod_p[:, None], p_q)
+    dq = mm.sub_mod(bc.bconv_exact(shifted, ks.p_to_q),
+                    ks.phalf_mod_q[:, None], q)
+    t = ks.t_mv.q[0]
+    dt = mm.sub_mod(bc.bconv_exact(shifted, ks.p_to_t), ks.phalf_mod_t, t)
+    # u = [-delta * P^{-1}]_t ; delta' = delta + P*u == 0 (mod t)
+    u = mm.mul_mod(dt, ks.neg_pinv_mod_t, t, ks.t_mv.ratio_lo[0],
+                   ks.t_mv.ratio_hi[0])
+    corr = mm.mul_mod(u, ks.bigp_mod_q[:, None], q,
+                      ks.p_to_q.obase.ratio_lo[:, None],
+                      ks.p_to_q.obase.ratio_hi[:, None])
+    return mm.add_mod(dq, corr, q)
+
+
 def moddown_ntt(ctx: Context, cd: ContextData, x: jnp.ndarray) -> jnp.ndarray:
-    """(x_Q - bconv(x_P)) * P^{-1} over Ql, NTT-form input and output.
+    """(x_Q - delta(x_P)) * P^{-1} over Ql, NTT-form input and output.
 
     x: (size_qlp, N) NTT form.  Reference: DRNSTool::moddown_from_NTT
-    (rns_bconv.cu:776): iNTT the P part, exact-convert P -> Ql, NTT back,
+    (rns_bconv.cu:776): iNTT the P part, convert P -> Ql, NTT back,
     fused (x - delta) * P^{-1}.
     """
     ks = cd.ks
     size_ql = cd.size_ql
     x_q = x[:size_ql]
     x_p = nttmod.ntt_inverse(x[size_ql:], ctx.tables_p())
-    delta = bc.bconv_exact(x_p, ks.p_to_q)
+    delta = _moddown_delta(ks, x_p)
     delta_ntt = nttmod.ntt_forward(delta, ctx.tables_q(size_ql))
     diff = mm.sub_mod(x_q, delta_ntt, cd.mv.q[:, None])
     return mm.mul_mod_shoup(diff, ks.pinv_mod_q[:, None],
@@ -116,7 +140,7 @@ def moddown_coeff(ctx: Context, cd: ContextData,
     ks = cd.ks
     size_ql = cd.size_ql
     x_q = x[:size_ql]
-    delta = bc.bconv_exact(x[size_ql:], ks.p_to_q)
+    delta = _moddown_delta(ks, x[size_ql:])
     diff = mm.sub_mod(x_q, delta, cd.mv.q[:, None])
     return mm.mul_mod_shoup(diff, ks.pinv_mod_q[:, None],
                             ks.pinv_shoup[:, None], cd.mv.q[:, None])
