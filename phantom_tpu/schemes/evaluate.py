@@ -425,3 +425,100 @@ def mod_switch_to(ctx: Context, ct: Ciphertext, chain_index: int) -> Ciphertext:
     while ct.chain_index < chain_index:
         ct = mod_switch_to_next(ctx, ct)
     return ct
+
+
+# --------------------------------------------------------------------------
+# Galois / rotations
+# --------------------------------------------------------------------------
+
+def _galois_tool(ctx: Context):
+    from . import galois as gal
+    tool = getattr(ctx.params, "_galois_tool", None)
+    if tool is None:
+        tool = gal.GaloisTool(ctx.params.n)
+        object.__setattr__(ctx.params, "_galois_tool", tool)
+    return tool
+
+
+def apply_galois(ctx: Context, ct: Ciphertext, elt: int, glk) -> Ciphertext:
+    """Apply sigma_elt and key-switch back to s (reference:
+    apply_galois_inplace, evaluate.cu:1567)."""
+    if ct.size != 2:
+        raise ValueError("apply_galois requires a size-2 ciphertext "
+                         "(relinearize first)")
+    if elt not in glk.elts:
+        raise ValueError(f"no galois key for element {elt}")
+    kidx = glk.elts.index(elt)
+    cd = _cd(ctx, ct)
+    size_ql = cd.size_ql
+    tool = _galois_tool(ctx)
+    tq = ctx.tables_q(size_ql)
+    if ct.is_ntt_form:
+        c0p = tool.apply_ntt(ct.data[0], elt)
+        c1p = tool.apply_ntt(ct.data[1], elt)
+        c1_coeff = nttmod.ntt_inverse(c1p, tq)
+        switched = keyswitch(ctx, cd, c1_coeff, glk.data[kidx])
+        out = jnp.stack([po.add_rns(c0p, switched[0], cd.mv), switched[1]])
+    else:
+        c0p = tool.apply_coeff(ct.data[0], elt, cd.mv.q)
+        c1p = tool.apply_coeff(ct.data[1], elt, cd.mv.q)
+        switched = nttmod.ntt_inverse(
+            keyswitch(ctx, cd, c1p, glk.data[kidx]), tq)
+        out = jnp.stack([po.add_rns(c0p, switched[0], cd.mv), switched[1]])
+    return ct.replace(data=out)
+
+
+def _naf(value: int):
+    """Non-adjacent form decomposition (reference: naf, host/numth.h:17)."""
+    out = []
+    while value:
+        zs = value & 3
+        if zs == 1:
+            out.append(1)
+            value -= 1
+        elif zs == 3:
+            out.append(-1)
+            value += 1
+        else:
+            out.append(0)
+        value >>= 1
+    return [d << i for i, d in enumerate(out) if d]
+
+
+def rotate(ctx: Context, ct: Ciphertext, step: int, glk) -> Ciphertext:
+    """Rotate slots by `step`, decomposing into available galois elements
+    via NAF when the direct element is missing (reference: rotate_inplace,
+    evaluate.cu:1633)."""
+    from . import galois as gal
+    n = ctx.params.n
+    if step % (n // 2) == 0:
+        return ct
+    elt = gal.get_elt_from_step(step, n)
+    if elt in glk.elts:
+        return apply_galois(ctx, ct, elt, glk)
+    for part in _naf(step):
+        e = gal.get_elt_from_step(part, n)
+        if e not in glk.elts:
+            raise ValueError(f"no galois key for step {part}")
+        ct = apply_galois(ctx, ct, e, glk)
+    return ct
+
+
+def rotate_rows(ctx: Context, ct: Ciphertext, step: int, glk) -> Ciphertext:
+    """BFV/BGV row rotation (reference: rotate_rows_inplace)."""
+    return rotate(ctx, ct, step, glk)
+
+
+def rotate_columns(ctx: Context, ct: Ciphertext, glk) -> Ciphertext:
+    """BFV/BGV column swap = conjugation element 2N-1."""
+    return apply_galois(ctx, ct, 2 * ctx.params.n - 1, glk)
+
+
+def rotate_vector(ctx: Context, ct: Ciphertext, step: int, glk) -> Ciphertext:
+    """CKKS slot rotation."""
+    return rotate(ctx, ct, step, glk)
+
+
+def complex_conjugate(ctx: Context, ct: Ciphertext, glk) -> Ciphertext:
+    """CKKS complex conjugation."""
+    return apply_galois(ctx, ct, 2 * ctx.params.n - 1, glk)

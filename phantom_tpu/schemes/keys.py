@@ -315,3 +315,29 @@ def _bgv_decrypt_to_t(ctx: Context, cd: ContextData, x: jnp.ndarray,
         m = mm.mul_mod(m, jnp.uint64(finv), t_mv.q[:, None],
                        t_mv.ratio_lo[:, None], t_mv.ratio_hi[:, None])
     return m
+
+
+# --------------------------------------------------------------------------
+# Galois keys
+# --------------------------------------------------------------------------
+
+def create_galois_keys(ctx: Context, sk: SecretKey, rng: jax.Array,
+                       steps=None, elts=None) -> GaloisKeys:
+    """One key-switching key per Galois element, switching sigma_elt(s) -> s
+    (reference: create_galois_keys, src/secretkey.cu:421)."""
+    from . import galois as gal
+    n = ctx.params.n
+    if elts is None:
+        if steps is not None:
+            elts = gal.get_elts_from_steps(steps, n)
+        elif ctx.params.galois_elts:
+            elts = list(ctx.params.galois_elts)
+        else:
+            elts = gal.default_elts(n)
+    tool = gal.GaloisTool(n)
+    all_keys = []
+    for elt in elts:
+        rng, sub = jax.random.split(rng)
+        s_perm = tool.apply_ntt(sk.data, elt)
+        all_keys.append(_gen_kswitch_key(ctx, sk, s_perm, sub))
+    return GaloisKeys(data=jnp.stack(all_keys), elts=tuple(elts))
