@@ -1,0 +1,106 @@
+"""Headline benchmark: CKKS homomorphic multiply+relinearize+rescale ops/s.
+
+Mirrors the reference's ckks_bench multiply_and_relin + rescale workload
+(benchmark/ckks_bench.cu:9-397) at the BASELINE north-star config
+(n=65536, <=30-limb chain) on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "ops/s", "vs_baseline": N}
+
+vs_baseline compares against an A100 estimate for the reference at this
+config (~300 mult+relin+rescale ops/s, from the Phantom paper's reported
+multiply+relin latency of a few ms at N=2^16 with a ~30-limb chain); the
+north-star target is >= 2x that per chip, i.e. vs_baseline >= 2.0.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+A100_BASELINE_OPS = 300.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=65536)
+    ap.add_argument("--limbs", type=int, default=16, help="data primes")
+    ap.add_argument("--alpha", type=int, default=4, help="special primes")
+    ap.add_argument("--trials", type=int, default=10)
+    ap.add_argument("--csv", action="store_true",
+                    help="also print per-op CSV (op,trials,median,mean)")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from phantom_tpu.host import numth
+    from phantom_tpu.schemes import (CKKSEncoder, EncryptionParameters,
+                                     Scheme, evaluate, keys, make_context)
+
+    n = args.n
+    t0 = time.time()
+    qs = numth.get_primes(2 * n, 50, args.limbs + 1)
+    ps = numth.get_primes(2 * n, 51, args.alpha)
+    coeff = [qs[0]] + qs[1:args.limbs] + ps  # q0 + rest + special
+    params = EncryptionParameters.create(
+        Scheme.CKKS, n, coeff, special_modulus_size=args.alpha)
+    ctx = make_context(params)
+    print(f"# context built in {time.time()-t0:.1f}s "
+          f"(n={n}, L={args.limbs}, alpha={args.alpha})", file=sys.stderr)
+
+    rng = jax.random.PRNGKey(0)
+    k_sk, k_pk, k_rlk, k1, k2 = jax.random.split(rng, 5)
+    t0 = time.time()
+    sk = keys.gen_secret_key(ctx, k_sk)
+    pk = keys.gen_public_key(ctx, sk, k_pk)
+    rlk = keys.gen_relin_key(ctx, sk, k_rlk)
+    enc = CKKSEncoder(ctx)
+    scale = 2.0 ** 50
+    z = np.random.default_rng(0).standard_normal(enc.slots)
+    pt = enc.encode(z, scale)
+    ct1 = keys.encrypt_asymmetric(ctx, pk, pt, k1)
+    ct2 = keys.encrypt_asymmetric(ctx, pk, pt, k2)
+    print(f"# keys+encrypt in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    def step(d1, d2):
+        a = ct1.replace(data=d1)
+        b = ct2.replace(data=d2)
+        out = evaluate.rescale_to_next(
+            ctx, evaluate.multiply_and_relin(ctx, a, b, rlk))
+        return out.data
+
+    step_jit = jax.jit(step)
+    t0 = time.time()
+    out = step_jit(ct1.data, ct2.data)
+    out.block_until_ready()
+    compile_s = time.time() - t0
+    print(f"# compile+first-run {compile_s:.1f}s", file=sys.stderr)
+
+    times = []
+    for _ in range(args.trials):
+        t0 = time.time()
+        out = step_jit(ct1.data, ct2.data)
+        out.block_until_ready()
+        times.append(time.time() - t0)
+    med = float(np.median(times))
+    mean = float(np.mean(times))
+    ops = 1.0 / med
+
+    if args.csv:
+        print(f"ckks_mult_relin_rescale,{args.trials},{med*1e6:.1f},"
+              f"{mean*1e6:.1f}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"CKKS n={n} L={args.limbs} mult+relin+rescale",
+        "value": round(ops, 3),
+        "unit": "ops/s",
+        "vs_baseline": round(ops / A100_BASELINE_OPS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Device-mesh construction and sharded execution of evaluator pipelines.
+
+The unit of data parallelism is a *batch* of ciphertexts (leading axis);
+the unit of model-style parallelism is the RNS limb axis: every elementwise
+RNS op and the whole NTT engine are independent per limb, so a
+limb-sharded ciphertext runs those stages with zero communication, while
+base conversion / keyswitch inner products induce all-gathers/psums that
+GSPMD derives from the annotations.
+
+Layout convention: ciphertext batch tensors are (B, size, L, N) with
+  B -> mesh axis "dp", L -> mesh axis "limb", N unsharded (NTT stages are
+  coefficient-local per limb; coefficient sharding + all-to-all stage
+  exchange is the planned Pallas ring kernel, SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
+              limb: Optional[int] = None) -> Mesh:
+    """Build a ("dp", "limb") mesh over the first n_devices devices."""
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    devs = devs[:n_devices]
+    if dp is None or limb is None:
+        # favor limb parallelism (keyswitch-heavy workloads), dp for the rest
+        limb = limb or _largest_pow2_leq(n_devices, 4)
+        dp = n_devices // limb
+    assert dp * limb == n_devices, (dp, limb, n_devices)
+    arr = np.array(devs).reshape(dp, limb)
+    return Mesh(arr, ("dp", "limb"))
+
+
+def _largest_pow2_leq(n: int, cap: int) -> int:
+    p = 1
+    while p * 2 <= min(n, cap):
+        p *= 2
+    return p
+
+
+def ct_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a ciphertext batch (B, size, L, N)."""
+    return NamedSharding(mesh, P("dp", None, "limb", None))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_ciphertext_data(data: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
+    return jax.device_put(data, ct_sharding(mesh))
+
+
+def sharded_mul_relin_rescale_step(ctx, ct_proto1, ct_proto2, rlk, mesh: Mesh):
+    """Build a jitted, mesh-sharded batched multiply+relin+rescale step.
+
+    Returns step(d1, d2) over (B, 2, L, N) batches; inputs/outputs carry
+    ("dp", None, "limb", None) shardings.  This is the flagship multi-chip
+    pipeline: NTTs and dyadic products stay limb-local, the keyswitch
+    inner product and base conversions resolve to ICI collectives.
+    """
+    from ..schemes import evaluate
+
+    def one(d1, d2):
+        a = ct_proto1.replace(data=d1)
+        b = ct_proto2.replace(data=d2)
+        out = evaluate.rescale_to_next(
+            ctx, evaluate.multiply_and_relin(ctx, a, b, rlk))
+        return out.data
+
+    batched = jax.vmap(one)
+    sh = ct_sharding(mesh)
+    # rescale drops one limb, so the output limb count need not divide the
+    # mesh axis; keep the batch axis sharded and let GSPMD lay out limbs
+    out_sh = NamedSharding(mesh, P("dp"))
+    return jax.jit(batched, in_shardings=(sh, sh), out_shardings=out_sh)
