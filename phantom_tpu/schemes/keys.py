@@ -341,3 +341,45 @@ def create_galois_keys(ctx: Context, sk: SecretKey, rng: jax.Array,
         s_perm = tool.apply_ntt(sk.data, elt)
         all_keys.append(_gen_kswitch_key(ctx, sk, s_perm, sub))
     return GaloisKeys(data=jnp.stack(all_keys), elts=tuple(elts))
+
+
+# --------------------------------------------------------------------------
+# noise budget
+# --------------------------------------------------------------------------
+
+def invariant_noise_budget(ctx: Context, sk: SecretKey,
+                           ct: Ciphertext) -> int:
+    """Remaining BFV noise budget in bits (reference:
+    invariant_noise_budget, src/secretkey.cu:752-839): compose
+    t*[ct(s)]_Ql on host, center, and return log2(Ql / (2*||v||_inf)).
+    """
+    import numpy as np
+    from ..host.numth import invert_mod
+    p = ctx.params
+    if p.scheme != Scheme.BFV:
+        raise ValueError("noise budget is defined for BFV")
+    cd = ctx.get_context_data(ct.chain_index)
+    acc_ntt = _dot_with_sk_powers(ctx, sk, ct)
+    x = np.asarray(nttmod.ntt_inverse(acc_ntt, ctx.tables_q(cd.size_ql)))
+    moduli = list(cd.moduli)
+    total = 1
+    for q in moduli:
+        total *= q
+    punct = [total // q for q in moduli]
+    inv = [invert_mod(h % q, q) for h, q in zip(punct, moduli)]
+    t = p.plain_modulus
+    half = total // 2
+    norm = 0
+    for j in range(p.n):
+        acc = 0
+        for l, q in enumerate(moduli):
+            acc += (int(x[l, j]) * inv[l] % q) * punct[l]
+        v = (t * (acc % total)) % total
+        if v > half:
+            v = total - v
+        if v > norm:
+            norm = v
+    if norm == 0:
+        return total.bit_length() - 1
+    budget = (total.bit_length() - 1) - (2 * norm).bit_length()
+    return max(budget, 0)
