@@ -155,65 +155,12 @@ def scale_plain_up(m: jnp.ndarray, c: PlainLiftConsts) -> jnp.ndarray:
 
 
 def scale_and_round_hps_to_r(x_d: jnp.ndarray, hps) -> jnp.ndarray:
-    """round((t/Ql) * x) : base D = Ql u Rl  ->  base Rl, unconditionally exact.
+    """round((t/Ql) * x) : base D = Ql u Rl -> base Rl, unconditionally exact.
 
-    x_d: (k_d, N) residues of the tensor-product coefficient x in the
-    combined base D.  Returns (size_Rl, N) residues of round(t*x/Ql).
-
-    Derivation (hps = context.HPSMulConsts): with CRT lift
-      x = sum_i y_i * (D/d_i) - v*D,   y_i = [x_i * (D/d_i)^{-1}]_{d_i}
-    and D/(d_i*Ql) = Rl/d_i, t*Rl = omega_i*d_i + rho_i:
-      t*x/Ql = sum_i y_i*omega_i + sum_i y_i*rho_i/d_i - v*t*Rl.
-    Modulo r_j the overshoot term v*t*Rl is == 0, so v never needs to be
-    computed: the integer part is an exact 128-bit-accumulated matmul and
-    the fractional part sum y_i*rho_i/d_i is rounded with exact Barrett
-    division + one extra 64-bit refinement level (error < k_d * 2^-128,
-    and that error only shifts the round() at half-integer ties, which the
-    tensor product never produces: 2*t*x is not an odd multiple of Ql
-    except with negligible probability).
-
+    The v-free construction (t*Rl == 0 mod r_j) — see ExactScaleRoundConsts.
     Reference counterpart: scaleAndRound_HPS_QlRl_Ql (src/rns.cu:1789),
-    which relies on double-precision rationals; this path is exact.
-    """
-    from . import bconv as bc
-
-    k_d, n = x_d.shape
-    d_q = hps.dbase.q[:, None]
-    d_rlo = hps.dbase.ratio_lo[:, None]
-    d_rhi = hps.dbase.ratio_hi[:, None]
-
-    y = mm.mul_mod_shoup(x_d, hps.dhat_inv[:, None],
-                         hps.dhat_inv_shoup[:, None], d_q)
-
-    # integer matmul part: sum_i y_i * (omega_i mod r_j), 128-bit accumulate
-    hi, lo = bc.accumulate_matmul_128(y, hps.omega_mod_r)
-    out_q = hps.rbase.q[:, None]
-    out_rlo = hps.rbase.ratio_lo[:, None]
-    out_rhi = hps.rbase.ratio_hi[:, None]
-    pow64 = hps.pow64_mod_r[:, None]
-    int_part = bc.reduce_u128_any(hi, lo, out_q, out_rlo, out_rhi, pow64)
-
-    # fractional part: round(sum_i y_i * rho_i / d_i)
-    ph, plv = mm.mul_wide(y, hps.rho[:, None])
-    g, r = mm.barrett_div_mod_u128(ph, plv, d_q, d_rlo, d_rhi)
-    f2, _ = mm.barrett_div_mod_u128(r, jnp.zeros_like(r), d_q, d_rlo, d_rhi)
-    g_hi = jnp.zeros((n,), dtype=jnp.uint64)
-    g_lo = jnp.zeros((n,), dtype=jnp.uint64)
-    e_hi = jnp.zeros((n,), dtype=jnp.uint64)
-    e_lo = jnp.zeros((n,), dtype=jnp.uint64)
-    for i in range(k_d):
-        g_lo, cr = mm.add_u64_carry(g_lo, g[i])
-        g_hi = g_hi + cr
-        e_lo, cr = mm.add_u64_carry(e_lo, f2[i])
-        e_hi = e_hi + cr
-    # rounding of the remainder sum: floor((E2 + 2^63)/2^64) = e_hi + carry
-    _, c3 = mm.add_u64_carry(e_lo, jnp.uint64(1 << 63) * jnp.ones_like(e_lo))
-    g_lo, cr = mm.add_u64_carry(g_lo, e_hi + c3)
-    g_hi = g_hi + cr
-    frac_part = bc.reduce_u128_any(g_hi[None, :], g_lo[None, :], out_q,
-                                   out_rlo, out_rhi, pow64)
-
-    return mm.add_mod(int_part, frac_part, out_q)
+    which relies on double-precision rationals; this path is exact."""
+    return scale_and_round_exact(x_d, hps.sr_to_r)
 
 
 def scale_and_round_hps(x_d: jnp.ndarray, hps) -> jnp.ndarray:
@@ -227,7 +174,90 @@ def scale_and_round_hps(x_d: jnp.ndarray, hps) -> jnp.ndarray:
     from . import bconv as bc
     w_r = scale_and_round_hps_to_r(x_d, hps)
     shifted = mm.add_mod(w_r, hps.rl_half_mod_r[:, None],
-                         hps.rbase.q[:, None])
+                         hps.sr_to_r.obase.q[:, None])
     conv = bc.bconv_exact(shifted, hps.r_to_q)
     return mm.sub_mod(conv, hps.rl_half_mod_q[:, None],
                       hps.r_to_q.obase.q[:, None])
+
+
+class ExactScaleRoundConsts(NamedTuple):
+    """Generic exact round((num/den) * x) : ibase -> obase, v-free.
+
+    Requires obase_j | G where G = num * prod(ibase) / den, which makes the
+    CRT-overshoot term v*G vanish mod every output prime — the construction
+    behind both the HPS tensor scale-down (t/Ql : QlRl -> Rl) and the
+    leveled HPS input scale-down (Ql/Q : Q -> Ql).
+    """
+
+    ibase: ModulusVec
+    ihat_inv: jnp.ndarray        # (k_in,) (I/d_i)^{-1} mod d_i
+    ihat_inv_shoup: jnp.ndarray
+    omega_mod_out: jnp.ndarray   # (k_out, k_in) floor(G/d_i) mod out_j
+    rho: jnp.ndarray             # (k_in,) G mod d_i
+    obase: ModulusVec
+    pow64_mod_out: jnp.ndarray   # (k_out,)
+
+
+def make_exact_scale_round(in_moduli, num: int, den: int,
+                           out_moduli) -> ExactScaleRoundConsts:
+    from ..host.rns import RNSBase
+    ibase = RNSBase(list(in_moduli))
+    assert ibase.prod % den == 0, "den must divide prod(ibase)"
+    G = num * (ibase.prod // den)
+    for p in out_moduli:
+        assert G % p == 0, "output primes must divide num*prod(I)/den"
+    omega = [G // d for d in in_moduli]
+    rho = [G - w * d for w, d in zip(omega, in_moduli)]
+    return ExactScaleRoundConsts(
+        ibase=modulus_vec(list(in_moduli)),
+        ihat_inv=jnp.asarray(to_u64_array(ibase.qhat_inv_mod_qi)),
+        ihat_inv_shoup=jnp.asarray(to_u64_array(ibase.qhat_inv_shoup)),
+        omega_mod_out=jnp.asarray(np.array(
+            [[w % p for w in omega] for p in out_moduli], dtype=np.uint64)),
+        rho=jnp.asarray(to_u64_array(rho)),
+        obase=modulus_vec(list(out_moduli)),
+        pow64_mod_out=jnp.asarray(
+            to_u64_array([(1 << 64) % p for p in out_moduli])),
+    )
+
+
+def scale_and_round_exact(x: jnp.ndarray,
+                          c: ExactScaleRoundConsts) -> jnp.ndarray:
+    """x: (k_in, N) residues -> (k_out, N) residues of round((num/den)*x).
+
+    Same 128-bit-matmul + two-level-Barrett structure as
+    scale_and_round_hps_to_r, for any (num, den) satisfying the v-free
+    condition (see ExactScaleRoundConsts)."""
+    from . import bconv as bc
+
+    k_in, n = x.shape
+    d_q = c.ibase.q[:, None]
+    d_rlo = c.ibase.ratio_lo[:, None]
+    d_rhi = c.ibase.ratio_hi[:, None]
+    y = mm.mul_mod_shoup(x, c.ihat_inv[:, None], c.ihat_inv_shoup[:, None],
+                         d_q)
+    hi, lo = bc.accumulate_matmul_128(y, c.omega_mod_out)
+    out_q = c.obase.q[:, None]
+    out_rlo = c.obase.ratio_lo[:, None]
+    out_rhi = c.obase.ratio_hi[:, None]
+    pow64 = c.pow64_mod_out[:, None]
+    int_part = bc.reduce_u128_any(hi, lo, out_q, out_rlo, out_rhi, pow64)
+
+    ph, plv = mm.mul_wide(y, c.rho[:, None])
+    g, r = mm.barrett_div_mod_u128(ph, plv, d_q, d_rlo, d_rhi)
+    f2, _ = mm.barrett_div_mod_u128(r, jnp.zeros_like(r), d_q, d_rlo, d_rhi)
+    g_hi = jnp.zeros((n,), dtype=jnp.uint64)
+    g_lo = jnp.zeros((n,), dtype=jnp.uint64)
+    e_hi = jnp.zeros((n,), dtype=jnp.uint64)
+    e_lo = jnp.zeros((n,), dtype=jnp.uint64)
+    for i in range(k_in):
+        g_lo, cr = mm.add_u64_carry(g_lo, g[i])
+        g_hi = g_hi + cr
+        e_lo, cr = mm.add_u64_carry(e_lo, f2[i])
+        e_hi = e_hi + cr
+    _, c3 = mm.add_u64_carry(e_lo, jnp.uint64(1 << 63) * jnp.ones_like(e_lo))
+    g_lo, cr = mm.add_u64_carry(g_lo, e_hi + c3)
+    g_hi = g_hi + cr
+    frac_part = bc.reduce_u128_any(g_hi[None, :], g_lo[None, :], out_q,
+                                   out_rlo, out_rhi, pow64)
+    return mm.add_mod(int_part, frac_part, out_q)

@@ -33,7 +33,7 @@ from ..ops import bconv as bc
 from ..ops import ntt as nttmod
 from ..ops import scaleround as sr
 from ..ops.rns_host import ModulusVec, modulus_vec, to_u64_array
-from .params import EncryptionParameters, Scheme
+from .params import EncryptionParameters, MulTech, Scheme
 
 
 class RescaleConsts(NamedTuple):
@@ -103,15 +103,27 @@ class HPSMulConsts(NamedTuple):
 
     q_to_r: bc.BaseConvConsts      # exact Ql -> Rl lift
     dbase: ModulusVec              # (k_d,) combined base D
-    dhat_inv: jnp.ndarray          # (k_d,)  (D/d_i)^{-1} mod d_i
-    dhat_inv_shoup: jnp.ndarray
-    omega_mod_r: jnp.ndarray       # (size_Rl, k_d) floor(t*Rl/d_i) mod r_j
-    rho: jnp.ndarray               # (k_d,) t*Rl mod d_i (exact frac numerators)
-    rbase: ModulusVec              # (size_Rl,) intermediate base Rl
-    pow64_mod_r: jnp.ndarray       # (size_Rl,) 2^64 mod r_j
+    sr_to_r: sr.ExactScaleRoundConsts  # round(t/Ql): D -> Rl, v-free exact
     r_to_q: bc.BaseConvConsts      # exact Rl -> Ql conversion
     rl_half_mod_r: jnp.ndarray     # (size_Rl,) (Rl-1)/2 mod r_j (center shift)
     rl_half_mod_q: jnp.ndarray     # (size_Ql,) (Rl-1)/2 mod q_j
+    # HPSoverQ: the 1/Ql scaling moves onto ct2 *before* the product
+    # (reference: bConv_BEHZ_var1 + scaleAndRound over Rl, evaluate.cu:748)
+    sr_ql_to_rl: sr.ExactScaleRoundConsts  # round(Rl/Ql): Ql -> Rl
+    sr_final_overq: sr.ExactScaleRoundConsts  # round(t/Rl): D -> Ql
+
+
+class LeveledConsts(NamedTuple):
+    """HPSoverQ-leveled tables: scale the operands from the full base Q down
+    to Ql before multiplying, expand the result back afterwards
+    (reference: scaleAndRound_HPS_Q_Ql + ExpandCRTBasis_Ql_Q,
+    rns.cu:1739,1825; driven by FindLevelsToDrop, evaluate.cu:550-643)."""
+
+    q_to_ql: Optional[sr.ExactScaleRoundConsts]  # round(Ql/Q): Q -> Ql
+    q_to_rl: sr.ExactScaleRoundConsts  # round(Rl/Q): full Q -> Rl
+    ql_to_drop: Optional[bc.BaseConvConsts]  # Ql -> dropped primes (expand)
+    qlhalf_mod_ql: jnp.ndarray       # (k_l,) (Ql-1)/2 mod q_i
+    qlhalf_mod_drop: Optional[jnp.ndarray]  # (k-k_l,) (Ql-1)/2 mod dropped
 
 
 @flax.struct.dataclass
@@ -123,6 +135,8 @@ class ContextData:
     decrypt_sr: Optional[sr.DecryptScaleRoundConsts]  # BFV
     hps: Optional[HPSMulConsts]                      # BFV
     bgv: Optional[BGVConsts] = None                  # BGV
+    behz: Optional[object] = None                    # BFV BEHZ (ops/behz.py)
+    leveled: Optional[LeveledConsts] = None          # BFV HPSoverQ-leveled
     chain_index: int = flax.struct.field(pytree_node=False, default=0)
     moduli: Tuple[int, ...] = flax.struct.field(pytree_node=False, default=())
 
@@ -142,6 +156,7 @@ class Context:
     t_mod_q_shoup: Optional[jnp.ndarray]
     params: EncryptionParameters = flax.struct.field(pytree_node=False,
                                                      default=None)
+    bsk_ntt: Optional[nttmod.NTTTablesDevice] = None  # BFV BEHZ: B + m_sk
 
     # ---- static helpers -------------------------------------------------
     @property
@@ -171,6 +186,12 @@ class Context:
 
     def tables_r(self, size_rl: int) -> nttmod.NTTTablesDevice:
         return nttmod._limb_slice(self.rl_ntt, (0, size_rl))
+
+    def tables_bsk(self, size_b: int) -> nttmod.NTTTablesDevice:
+        """B[:size_b] rows plus the final m_sk row."""
+        total = self.bsk_ntt.q.shape[0]
+        return nttmod._limb_gather(self.bsk_ntt,
+                                   list(range(size_b)) + [total - 1])
 
 
 def _rescale_consts(moduli) -> Optional[RescaleConsts]:
@@ -248,33 +269,57 @@ def _hps_mul_consts(data_moduli, rl_moduli, t: int) -> HPSMulConsts:
     size_rl = size_ql + 1
     rl = rl_moduli[:size_rl]
     d_moduli = list(data_moduli) + list(rl)
-    dbase = RNSBase(d_moduli)
+    ql_base = RNSBase(data_moduli)
     q_to_r = bc.consts_from_host(
-        BaseConverter(RNSBase(data_moduli), RNSBase(rl)))
+        BaseConverter(ql_base, RNSBase(rl)))
     r_to_q = bc.consts_from_host(
-        BaseConverter(RNSBase(rl), RNSBase(data_moduli)))
+        BaseConverter(RNSBase(rl), ql_base))
     big_rl = 1
     for r in rl:
         big_rl *= r
-    trl = t * big_rl
-    omega = [trl // d for d in d_moduli]
-    rho = [trl - w * d for w, d in zip(omega, d_moduli)]
-    omega_mod_r = np.array(
-        [[w % r for w in omega] for r in rl], dtype=np.uint64)
     return HPSMulConsts(
         q_to_r=q_to_r,
         dbase=modulus_vec(d_moduli),
-        dhat_inv=jnp.asarray(to_u64_array(dbase.qhat_inv_mod_qi)),
-        dhat_inv_shoup=jnp.asarray(to_u64_array(dbase.qhat_inv_shoup)),
-        omega_mod_r=jnp.asarray(omega_mod_r),
-        rho=jnp.asarray(to_u64_array(rho)),
-        rbase=modulus_vec(rl),
-        pow64_mod_r=jnp.asarray(to_u64_array([(1 << 64) % r for r in rl])),
+        sr_to_r=sr.make_exact_scale_round(d_moduli, t, ql_base.prod, rl),
         r_to_q=r_to_q,
         rl_half_mod_r=jnp.asarray(
             to_u64_array([((big_rl - 1) >> 1) % r for r in rl])),
         rl_half_mod_q=jnp.asarray(
             to_u64_array([((big_rl - 1) >> 1) % q for q in data_moduli])),
+        sr_ql_to_rl=sr.make_exact_scale_round(data_moduli, big_rl,
+                                              ql_base.prod, rl),
+        sr_final_overq=sr.make_exact_scale_round(d_moduli, t, big_rl,
+                                                 data_moduli),
+    )
+
+
+def _leveled_consts(full_moduli, ql, rl_moduli) -> LeveledConsts:
+    ql_base = RNSBase(list(ql))
+    full_base = RNSBase(list(full_moduli))
+    rl = rl_moduli[: len(ql) + 1]
+    dropped = list(full_moduli[len(ql):])
+    qlhalf = (ql_base.prod - 1) >> 1
+    if dropped:
+        q_to_ql = sr.make_exact_scale_round(full_moduli, ql_base.prod,
+                                            full_base.prod, ql)
+        ql_to_drop = bc.consts_from_host(
+            BaseConverter(ql_base, RNSBase(dropped)))
+        qlhalf_mod_drop = jnp.asarray(
+            to_u64_array([qlhalf % d for d in dropped]))
+    else:
+        q_to_ql = None
+        ql_to_drop = None
+        qlhalf_mod_drop = None
+    big_rl = 1
+    for r in rl:
+        big_rl *= r
+    return LeveledConsts(
+        q_to_ql=q_to_ql,
+        q_to_rl=sr.make_exact_scale_round(full_moduli, big_rl,
+                                          full_base.prod, rl),
+        ql_to_drop=ql_to_drop,
+        qlhalf_mod_ql=jnp.asarray(to_u64_array([qlhalf % q for q in ql])),
+        qlhalf_mod_drop=qlhalf_mod_drop,
     )
 
 
@@ -325,11 +370,21 @@ def make_context(params: EncryptionParameters) -> Context:
     # BFV HPS auxiliary base R: size_q+1 primes below min(q_i)
     rl_moduli: list = []
     rl_ntt = None
+    bsk_moduli: list = []
+    bsk_ntt = None
     if scheme == Scheme.BFV:
         rl_moduli = numth.get_primes_below(min(qp), 2 * n,
                                            params.size_q + 1)
         rl_ntt = nttmod.tables_from_host(
             make_rns_ntt_tables(n, [Modulus(r) for r in rl_moduli]))
+        if params.mul_tech == MulTech.BEHZ:
+            # BEHZ aux base: size_q B-primes + m_sk, 61-bit, distinct from QP
+            used = set(qp)
+            pool = [p for p in numth.get_primes(
+                2 * n, 61, params.size_q + 1 + len(qp)) if p not in used]
+            bsk_moduli = pool[: params.size_q + 1]  # B then m_sk
+            bsk_ntt = nttmod.tables_from_host(
+                make_rns_ntt_tables(n, [Modulus(b) for b in bsk_moduli]))
 
     # chain: index 0 = key level (QP), then data levels dropping one prime
     chain = []
@@ -342,11 +397,17 @@ def make_context(params: EncryptionParameters) -> Context:
     for lvl in range(num_levels):
         ql = data_moduli[: num_levels - lvl]
         base_ql = RNSBase(ql)
-        plain_lift = decrypt_sr = hps = bgv = None
+        plain_lift = decrypt_sr = hps = bgv = behz = leveled = None
         if scheme == Scheme.BFV:
             plain_lift = sr.make_plain_lift_consts(base_ql, t)
             decrypt_sr = sr.make_decrypt_consts(base_ql, t)
             hps = _hps_mul_consts(ql, rl_moduli, t)
+            if params.mul_tech == MulTech.HPS_OVERQ_LEVELED:
+                leveled = _leveled_consts(data_moduli, ql, rl_moduli)
+            if bsk_moduli:
+                from ..ops.behz import make_behz_consts
+                lvl_bsk = bsk_moduli[: len(ql)] + [bsk_moduli[-1]]
+                behz = make_behz_consts(ql, lvl_bsk, t)
         if scheme == Scheme.BGV:
             bgv = _bgv_consts(ql, t)
         chain.append(ContextData(
@@ -358,6 +419,8 @@ def make_context(params: EncryptionParameters) -> Context:
             decrypt_sr=decrypt_sr,
             hps=hps,
             bgv=bgv,
+            behz=behz,
+            leveled=leveled,
             chain_index=lvl + 1,
             moduli=tuple(ql)))
 
@@ -377,4 +440,5 @@ def make_context(params: EncryptionParameters) -> Context:
         t_mod_q=t_mod_q,
         t_mod_q_shoup=t_mod_q_shoup,
         params=params,
+        bsk_ntt=bsk_ntt,
     )

@@ -176,6 +176,12 @@ def multiply(ctx: Context, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
     _check_compatible(ct1, ct2)
     scheme = ctx.params.scheme
     if scheme == Scheme.BFV:
+        from .params import MulTech
+        mt = ctx.params.mul_tech
+        if mt == MulTech.BEHZ:
+            return bfv_multiply_behz(ctx, ct1, ct2)
+        if mt in (MulTech.HPS_OVERQ, MulTech.HPS_OVERQ_LEVELED):
+            return bfv_multiply_hps_overq(ctx, ct1, ct2)
         return bfv_multiply_hps(ctx, ct1, ct2)
     cd = _cd(ctx, ct1)
     if ct1.size == 2 and ct2.size == 2:
@@ -194,6 +200,12 @@ def multiply(ctx: Context, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
 def square(ctx: Context, ct: Ciphertext) -> Ciphertext:
     scheme = ctx.params.scheme
     if scheme == Scheme.BFV:
+        from .params import MulTech
+        mt = ctx.params.mul_tech
+        if mt == MulTech.BEHZ:
+            return bfv_multiply_behz(ctx, ct, ct)
+        if mt in (MulTech.HPS_OVERQ, MulTech.HPS_OVERQ_LEVELED):
+            return bfv_multiply_hps_overq(ctx, ct, ct)
         return bfv_square_hps(ctx, ct)
     cd = _cd(ctx, ct)
     prod = po.tensor_square_2x2(ct.data, cd.mv)
@@ -522,3 +534,132 @@ def rotate_vector(ctx: Context, ct: Ciphertext, step: int, glk) -> Ciphertext:
 def complex_conjugate(ctx: Context, ct: Ciphertext, glk) -> Ciphertext:
     """CKKS complex conjugation."""
     return apply_galois(ctx, ct, 2 * ctx.params.n - 1, glk)
+
+
+# --------------------------------------------------------------------------
+# BFV BEHZ multiplication
+# --------------------------------------------------------------------------
+
+def bfv_multiply_behz(ctx: Context, ct1: Ciphertext,
+                      ct2: Ciphertext) -> Ciphertext:
+    """BFV multiply, BEHZ technique (reference: bfv_multiply_behz,
+    src/evaluate.cu:451): lift to Ql u Bsk u {m_tilde} with small Montgomery
+    reduction, dyadic products in NTT(Ql) and NTT(Bsk), multiply by t,
+    divide-and-floor by Ql in Bsk, Shenoy-Kumaresan back to Ql."""
+    from ..ops import behz as bz
+    cd = _cd(ctx, ct1)
+    c = cd.behz
+    k = cd.size_ql
+    tq = ctx.tables_q(k)
+    tbsk = ctx.tables_bsk(k)
+    mv_bsk = c.bsk
+
+    def lift(ct):
+        qs, bs = [], []
+        for i in range(ct.size):
+            x_q = ct.data[i]
+            qs.append(x_q)
+            bs.append(bz.sm_mrq(x_q, c))
+        return jnp.stack(qs), jnp.stack(bs)
+
+    a_q, a_bsk = lift(ct1)
+    b_q, b_bsk = lift(ct2)
+    a_q = nttmod.ntt_forward(a_q, tq)
+    b_q = nttmod.ntt_forward(b_q, tq)
+    a_bsk = nttmod.ntt_forward(a_bsk, tbsk)
+    b_bsk = nttmod.ntt_forward(b_bsk, tbsk)
+    if ct1.size == 2 and ct2.size == 2:
+        prod_q = po.tensor_prod_2x2(a_q, b_q, cd.mv)
+        prod_bsk = po.tensor_prod_2x2(a_bsk, b_bsk, mv_bsk)
+    else:
+        prod_q = po.tensor_prod_mxn(a_q, b_q, cd.mv)
+        prod_bsk = po.tensor_prod_mxn(a_bsk, b_bsk, mv_bsk)
+    prod_q = nttmod.ntt_inverse(prod_q, tq)
+    prod_bsk = nttmod.ntt_inverse(prod_bsk, tbsk)
+    # multiply by t (reference fuses this into the inverse-NTT scale)
+    t = jnp.uint64(ctx.params.plain_modulus)
+    tq_prod = mm.mul_mod(prod_q, t, cd.mv.q[:, None], cd.mv.ratio_lo[:, None],
+                         cd.mv.ratio_hi[:, None])
+    tbsk_prod = mm.mul_mod_shoup(prod_bsk, c.t_mod_bsk[:, None],
+                                 c.t_mod_bsk_shoup[:, None], mv_bsk.q[:, None])
+    out = []
+    for i in range(prod_q.shape[0]):
+        floored = bz.fast_floor(tq_prod[i], tbsk_prod[i], c)
+        out.append(bz.fastbconv_sk(floored, c))
+    return ct1.replace(data=jnp.stack(out))
+
+
+# --------------------------------------------------------------------------
+# BFV HPSoverQ / HPSoverQ-leveled multiplication
+# --------------------------------------------------------------------------
+
+def bfv_multiply_hps_overq(ctx: Context, ct1: Ciphertext,
+                           ct2: Ciphertext) -> Ciphertext:
+    """BFV multiply, HPSoverQ (+ leveled) technique (reference:
+    bfv_multiply_hps with mul_tech hps_overq/_leveled, evaluate.cu:648-805).
+
+    The 1/Q scaling moves onto ct2 before the tensor product:
+      ct2 -> w2 = round(Rl*x2/Q) represented in QlRl (exact, v-free),
+      ct1 -> (leveled: round(Ql/Q*x1)) lifted Ql -> Rl exactly,
+      product in NTT(QlRl), final exact round(t/Rl * .) : D -> Ql.
+    Leveled additionally drops levels chosen by the noise model
+    (FindLevelsToDrop) and expands the result back to the full base Q."""
+    from ..host.noise import find_levels_to_drop
+    from ..ops import bconv as bc
+    from .params import MulTech
+
+    p = ctx.params
+    lvl = 0
+    if p.mul_tech == MulTech.HPS_OVERQ_LEVELED:
+        nsd = max(ct1.noise_scale_deg, ct2.noise_scale_deg)
+        dcrt_bits = max(int(q).bit_length() for q in p.data_moduli)
+        cd_full = ctx.get_context_data(ct1.chain_index)
+        beta = len(cd_full.ks.digit_convs)
+        lvl = find_levels_to_drop(p.n, p.size_q, p.size_p, beta,
+                                  p.plain_modulus, dcrt_bits, nsd - 1,
+                                  False, True)
+    cd = ctx.get_context_data(ct1.chain_index + lvl)
+    hps = cd.hps
+    k_l = cd.size_ql
+    td = _tables_d(ctx, k_l)
+
+    a_polys = []
+    for i in range(ct1.size):
+        x = ct1.data[i]
+        if lvl:
+            x = sr.scale_and_round_exact(x, cd.leveled.q_to_ql)
+        a_polys.append(jnp.concatenate(
+            [x, bc.bconv_exact(x, hps.q_to_r)], axis=0))
+    b_polys = []
+    sr_to_rl = cd.leveled.q_to_rl if lvl else hps.sr_ql_to_rl
+    for i in range(ct2.size):
+        w_rl = sr.scale_and_round_exact(ct2.data[i], sr_to_rl)
+        w_ql = bc.bconv_exact(w_rl, hps.r_to_q)
+        b_polys.append(jnp.concatenate([w_ql, w_rl], axis=0))
+
+    a = nttmod.ntt_forward(jnp.stack(a_polys), td)
+    b = nttmod.ntt_forward(jnp.stack(b_polys), td)
+    if ct1.size == 2 and ct2.size == 2:
+        prod = po.tensor_prod_2x2(a, b, hps.dbase)
+    else:
+        prod = po.tensor_prod_mxn(a, b, hps.dbase)
+    prod = nttmod.ntt_inverse(prod, td)
+    out = [sr.scale_and_round_exact(prod[i], hps.sr_final_overq)
+           for i in range(prod.shape[0])]
+    if lvl:
+        out = [_expand_ql_to_q(ctx, cd, w) for w in out]
+    new_nsd = max(ct1.noise_scale_deg, ct2.noise_scale_deg) + 1
+    return ct1.replace(data=jnp.stack(out), noise_scale_deg=new_nsd)
+
+
+def _expand_ql_to_q(ctx: Context, cd: ContextData, w: jnp.ndarray):
+    """Centered exact lift Ql -> full Q (reference: ExpandCRTBasis_Ql_Q,
+    rns.cu:1825): Ql rows are copied, dropped rows get the centered value
+    via the (Ql-1)/2 shift."""
+    from ..ops import bconv as bc
+    lc = cd.leveled
+    shifted = mm.add_mod(w, lc.qlhalf_mod_ql[:, None], cd.mv.q[:, None])
+    drop = bc.bconv_exact(shifted, lc.ql_to_drop)
+    drop = mm.sub_mod(drop, lc.qlhalf_mod_drop[:, None],
+                      lc.ql_to_drop.obase.q[:, None])
+    return jnp.concatenate([w, drop], axis=0)
