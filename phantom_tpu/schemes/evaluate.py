@@ -663,3 +663,51 @@ def _expand_ql_to_q(ctx: Context, cd: ContextData, w: jnp.ndarray):
     drop = mm.sub_mod(drop, lc.qlhalf_mod_drop[:, None],
                       lc.ql_to_drop.obase.q[:, None])
     return jnp.concatenate([w, drop], axis=0)
+
+
+def hoisting(ctx: Context, ct: Ciphertext, glk, steps) -> Ciphertext:
+    """Sum of rotations with a single modup/moddown (reference:
+    hoisting_inplace, evaluate.cu:1670-1865): c1 is base-extended once; each
+    step permutes the extended digits in the NTT domain and runs only the
+    evk inner product; one moddown finishes the batch.
+
+    Returns sum_s rotate(ct, s)."""
+    from . import galois as gal
+    from .keyswitch import evk_rows, inner_product_evk, modup, moddown_ntt
+    if ct.size != 2:
+        raise ValueError("hoisting requires a size-2 ciphertext")
+    p = ctx.params
+    cd = _cd(ctx, ct)
+    size_ql = cd.size_ql
+    tool = _galois_tool(ctx)
+    tq = ctx.tables_q(size_ql)
+    elts = [gal.get_elt_from_step(s, p.n) for s in steps]
+    for e in elts:
+        if e not in glk.elts:
+            raise ValueError(f"no galois key for element {e}")
+
+    c0, c1 = ct.data[0], ct.data[1]
+    c1_coeff = nttmod.ntt_inverse(c1, tq) if ct.is_ntt_form else c1
+    t_modup = modup(ctx, cd, c1_coeff)  # (beta, K', N) NTT form
+
+    acc_c0 = None
+    acc_cx = None
+    qlp_q = cd.ks.qlp.q[:, None]
+    for elt in elts:
+        kidx = glk.elts.index(elt)
+        if ct.is_ntt_form:
+            c0p = tool.apply_ntt(c0, elt)
+        else:
+            c0p = tool.apply_coeff(c0, elt, cd.mv.q)
+        tperm = tool.apply_ntt(t_modup, elt)
+        prod = inner_product_evk(tperm, evk_rows(ctx, glk.data[kidx], cd), cd)
+        acc_c0 = c0p if acc_c0 is None else po.add_rns(acc_c0, c0p, cd.mv)
+        acc_cx = prod if acc_cx is None else mm.add_mod(acc_cx, prod, qlp_q)
+
+    cx0 = moddown_ntt(ctx, cd, acc_cx[0])
+    cx1 = moddown_ntt(ctx, cd, acc_cx[1])
+    if not ct.is_ntt_form:
+        cx0 = nttmod.ntt_inverse(cx0, tq)
+        cx1 = nttmod.ntt_inverse(cx1, tq)
+    out = jnp.stack([po.add_rns(acc_c0, cx0, cd.mv), cx1])
+    return ct.replace(data=out)

@@ -110,3 +110,34 @@ def test_ckks_conjugate(ckks_setup):
     ct_c = evaluate.complex_conjugate(ctx, ct, glk)
     got = enc.decode(keys.decrypt(ctx, sk, ct_c))
     np.testing.assert_allclose(got, np.conj(z), atol=1e-3)
+
+
+def test_bfv_hoisting(bfv_setup):
+    """hoisting == sum of individual rotations (evaluate.cu:1670)."""
+    ctx, sk, pk, glk = bfv_setup
+    enc = BatchEncoder(ctx)
+    n, t = ctx.params.n, ctx.params.plain_modulus
+    vals = np.arange(n, dtype=np.uint64) % t
+    ct = keys.encrypt_asymmetric(ctx, pk, enc.encode(vals),
+                                 jax.random.PRNGKey(30))
+    steps = [1, 2, 4]
+    hct = evaluate.hoisting(ctx, ct, glk, steps)
+    got = enc.decode(keys.decrypt(ctx, sk, hct)).astype(object)
+    rows = vals.reshape(2, n // 2).astype(object)
+    expect = sum(np.roll(rows, -s, axis=1) for s in steps).ravel() % t
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_ckks_hoisting(ckks_setup):
+    ctx, sk, pk, glk = ckks_setup
+    from phantom_tpu.schemes import CKKSEncoder
+    enc = CKKSEncoder(ctx)
+    rng = np.random.default_rng(31)
+    z = rng.standard_normal(enc.slots)
+    ct = keys.encrypt_asymmetric(ctx, pk, enc.encode(z, 2.0 ** 30),
+                                 jax.random.PRNGKey(32))
+    steps = [1, 2]
+    hct = evaluate.hoisting(ctx, ct, glk, steps)
+    got = enc.decode(keys.decrypt(ctx, sk, hct))
+    expect = np.roll(z, -1) + np.roll(z, -2)
+    np.testing.assert_allclose(got.real, expect, atol=1e-3)
