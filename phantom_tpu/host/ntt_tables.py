@@ -66,6 +66,20 @@ def make_ntt_tables(poly_modulus_degree: int, modulus: Modulus) -> NTTTables:
         raise ValueError(f"modulus {q} is not NTT-friendly for N={n}")
     psi = numth.minimal_primitive_root(2 * n, q)
 
+    # Native fast path: fill all four tables in C++ (phantom_tpu/native).
+    from .. import native
+    inv_psi_n = numth.invert_mod(psi, q)
+    fast = native.fill_ntt_tables(q, psi, inv_psi_n, logn)
+    if fast is not None:
+        rp, rps, irp, irps = fast
+        return NTTTables(
+            modulus=modulus, coeff_count_power=logn, root=psi,
+            root_powers=rp, root_powers_shoup=rps,
+            inv_root_powers=irp, inv_root_powers_shoup=irps,
+            inv_degree=numth.invert_mod(n, q),
+            inv_degree_shoup=compute_shoup(numth.invert_mod(n, q), q),
+        )
+
     # Forward: powers of psi in bit-reversed order.
     powers = [1] * n
     for i in range(1, n):

@@ -56,6 +56,10 @@ def get_primes(factor: int, bit_size: int, count: int) -> List[int]:
     """
     if bit_size < 2 or bit_size > 61:
         raise ValueError(f"prime bit_size must be in [2, 61], got {bit_size}")
+    from .. import native
+    fast = native.get_primes(factor, bit_size, count)
+    if fast is not None:
+        return fast
     out: List[int] = []
     # Largest candidate < 2**bit_size that is == 1 mod factor.
     value = (1 << bit_size) - 1
@@ -80,6 +84,10 @@ def get_primes_below(upper_bound: int, factor: int, count: int) -> List[int]:
     Used by the HPS multiplication technique to build the auxiliary base Rl
     below min(q_i) (reference: src/host/numth.cu:235 equivalent).
     """
+    from .. import native
+    fast = native.get_primes_below(upper_bound, factor, count)
+    if fast is not None:
+        return fast
     out: List[int] = []
     value = upper_bound - 1
     value -= (value - 1) % factor
