@@ -1,0 +1,19 @@
+"""Menu driver running every example (reference: examples/example.cu:6-116)."""
+
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import importlib
+
+MODULES = ["1_bfv", "2_bgv", "3_ckks", "4_serialization"]
+
+if __name__ == "__main__":
+    for name in (sys.argv[1:] or MODULES):
+        mod = importlib.import_module(name.replace(".py", ""))
+        print(f"=== {name} ===")
+        for attr in ("bfv_demo", "bgv_demo", "ckks_demo", "demo"):
+            if hasattr(mod, attr):
+                getattr(mod, attr)(1024)
+                break
+    print("ALL EXAMPLES PASSED")
