@@ -35,6 +35,9 @@ def main():
 
     import jax
     jax.config.update("jax_enable_x64", True)
+    # persistent compilation cache: repeated bench runs skip the big compile
+    jax.config.update("jax_compilation_cache_dir", "/tmp/phantom_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from phantom_tpu.host import numth
@@ -66,16 +69,18 @@ def main():
     ct2 = keys.encrypt_asymmetric(ctx, pk, pt, k2)
     print(f"# keys+encrypt in {time.time()-t0:.1f}s", file=sys.stderr)
 
-    def step(d1, d2):
+    def step(c, r, d1, d2):
         a = ct1.replace(data=d1)
         b = ct2.replace(data=d2)
         out = evaluate.rescale_to_next(
-            ctx, evaluate.multiply_and_relin(ctx, a, b, rlk))
+            c, evaluate.multiply_and_relin(c, a, b, r))
         return out.data
 
+    # ctx and rlk enter as jit *arguments* (pytrees), not captured
+    # constants — keeps XLA from constant-folding the twiddle tables
     step_jit = jax.jit(step)
     t0 = time.time()
-    out = step_jit(ct1.data, ct2.data)
+    out = step_jit(ctx, rlk, ct1.data, ct2.data)
     out.block_until_ready()
     compile_s = time.time() - t0
     print(f"# compile+first-run {compile_s:.1f}s", file=sys.stderr)
@@ -83,7 +88,7 @@ def main():
     times = []
     for _ in range(args.trials):
         t0 = time.time()
-        out = step_jit(ct1.data, ct2.data)
+        out = step_jit(ctx, rlk, ct1.data, ct2.data)
         out.block_until_ready()
         times.append(time.time() - t0)
     med = float(np.median(times))

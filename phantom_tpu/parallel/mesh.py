@@ -69,16 +69,19 @@ def sharded_mul_relin_rescale_step(ctx, ct_proto1, ct_proto2, rlk, mesh: Mesh):
     """
     from ..schemes import evaluate
 
-    def one(d1, d2):
+    def one(c, r, d1, d2):
         a = ct_proto1.replace(data=d1)
         b = ct_proto2.replace(data=d2)
         out = evaluate.rescale_to_next(
-            ctx, evaluate.multiply_and_relin(ctx, a, b, rlk))
+            c, evaluate.multiply_and_relin(c, a, b, r))
         return out.data
 
-    batched = jax.vmap(one)
+    batched = jax.vmap(one, in_axes=(None, None, 0, 0))
     sh = ct_sharding(mesh)
     # rescale drops one limb, so the output limb count need not divide the
     # mesh axis; keep the batch axis sharded and let GSPMD lay out limbs
     out_sh = NamedSharding(mesh, P("dp"))
-    return jax.jit(batched, in_shardings=(sh, sh), out_shardings=out_sh)
+    rep = replicate(mesh)
+    jitted = jax.jit(batched, in_shardings=(rep, rep, sh, sh),
+                     out_shardings=out_sh)
+    return lambda d1, d2: jitted(ctx, rlk, d1, d2)

@@ -88,10 +88,17 @@ class CKKSEncoder:
         if max_coeff >= total_q / 2:
             raise ValueError("encoded values are too large for parms at this "
                              "level (scale out of bounds)")
-        ints = [int(round(c)) for c in coeffs]
-        rns = np.stack([
-            np.array([x % q for x in ints], dtype=np.uint64)
-            for q in cd.moduli])
+        if max_coeff < 2 ** 62:
+            # fast path: coefficients fit int64, vectorized numpy decompose
+            ints64 = np.round(coeffs).astype(np.int64)
+            rns = np.stack([
+                (ints64 % np.int64(q)).astype(np.uint64)
+                for q in cd.moduli])
+        else:
+            ints = [int(round(c)) for c in coeffs]
+            rns = np.stack([
+                np.array([x % q for x in ints], dtype=np.uint64)
+                for q in cd.moduli])
         data = nttmod.ntt_forward(jnp.asarray(rns),
                                   ctx.tables_q(cd.size_ql))
         return Plaintext(data=data, chain_index=ci, is_ntt_form=True,
@@ -114,14 +121,14 @@ class CKKSEncoder:
         from ..host.numth import invert_mod
         inv = [invert_mod(p % q, q) for p, q in zip(punct, moduli)]
         n = ctx.params.n
-        vals = np.zeros(n, dtype=np.float64)
         half = total // 2
-        for j in range(n):
-            acc = 0
-            for l, q in enumerate(moduli):
-                acc += (int(coeffs_rns[l, j]) * inv[l] % q) * punct[l]
-            acc %= total
-            if acc > half:
-                acc -= total
-            vals[j] = acc / plain.scale
+        # vectorized exact CRT compose on object arrays (one numpy pass per
+        # limb instead of a Python double loop)
+        acc = np.zeros(n, dtype=object)
+        for l, q in enumerate(moduli):
+            y = (coeffs_rns[l].astype(object) * inv[l]) % q
+            acc += y * punct[l]
+        acc %= total
+        centered = np.where(acc > half, acc - total, acc)
+        vals = (centered / plain.scale).astype(np.float64)
         return self._embed_forward(vals)

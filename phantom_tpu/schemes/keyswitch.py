@@ -55,15 +55,15 @@ def modup(ctx: Context, cd: ContextData, c2: jnp.ndarray) -> jnp.ndarray:
     size_ql = cd.size_ql
     beta = len(ks.digit_convs)
     tq = tables_qlp(ctx, size_ql)
-    out = []
+    assembled = []
     for d in range(beta):
         lo, hi = digit_bounds(ctx, size_ql, d)
         x = c2[lo:hi]
         compl = bc.bconv_approx(x, ks.digit_convs[d])
         # assemble [data[:lo], own digit, data[hi:], P rows]
-        full = jnp.concatenate([compl[:lo], x, compl[lo:]], axis=0)
-        out.append(nttmod.ntt_forward(full, tq))
-    return jnp.stack(out)
+        assembled.append(jnp.concatenate([compl[:lo], x, compl[lo:]], axis=0))
+    # one batched NTT over all digits (keeps the trace O(1) in beta)
+    return nttmod.ntt_forward(jnp.stack(assembled), tq)
 
 
 def inner_product_evk(t_modup: jnp.ndarray, evk: jnp.ndarray,
