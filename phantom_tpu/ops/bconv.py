@@ -162,7 +162,7 @@ def bconv_approx(x: jnp.ndarray, c: BaseConvConsts) -> jnp.ndarray:
 
 
 def _matmul_reduce(y: jnp.ndarray, c: BaseConvConsts) -> jnp.ndarray:
-    hi, lo = accumulate_matmul_128(y, c.qhat_mod_p)
+    hi, lo = _accumulate(y, c.qhat_mod_p)
     p = c.obase.q[:, None]
     return reduce_u128_any(hi, lo, p, c.obase.ratio_lo[:, None],
                            c.obase.ratio_hi[:, None], c.pow64_mod_p[:, None])
@@ -181,3 +181,71 @@ def bconv_exact(x: jnp.ndarray, c: BaseConvConsts) -> jnp.ndarray:
     corr = mm.mul_mod(v[None, :], c.q_mod_p[:, None], p,
                       c.obase.ratio_lo[:, None], c.obase.ratio_hi[:, None])
     return mm.sub_mod(raw, corr, p)
+
+
+def accumulate_matmul_128_mxu(y: jnp.ndarray, mat: jnp.ndarray):
+    """MXU-friendly exact 128-bit accumulate matmul.
+
+    Same contract as accumulate_matmul_128, but the u64 x u64 MACs are
+    decomposed into 8-bit planes and computed as int32-accumulated dot
+    products that XLA tiles onto the MXU (SURVEY.md §2: "bconv as int
+    matmul on the MXU"):
+
+        out = sum_s 2^(8s) * P_s,   P_s = sum_{a+b=s} M_a @ Y_b
+
+    with Y_b, M_a the b-th/a-th byte planes.  Each P_s entry is
+    < 256^2 * k_in * 8 < 2^28 (k_in <= 63), so int32 accumulation is exact;
+    the 15 diagonal partial sums are recombined into an exact (hi, lo)
+    uint64 pair with 128-bit carries.
+    """
+    k_in, n = y.shape
+    k_out = mat.shape[0]
+    assert mat.shape[1] == k_in and k_in <= 63
+
+    def bytes_of(x, planes):
+        # (planes, ...) uint8-valued int32 arrays, little-endian
+        return [((x >> jnp.uint64(8 * b)) & jnp.uint64(0xFF)).astype(jnp.int32)
+                for b in range(planes)]
+
+    yb = bytes_of(y, 8)          # 8 x (k_in, N)
+    mb = bytes_of(mat, 8)        # 8 x (k_out, k_in)
+
+    # diagonal partial sums P_s, s in [0, 15)
+    partials = []
+    for s_idx in range(15):
+        acc = None
+        for a in range(max(0, s_idx - 7), min(8, s_idx + 1)):
+            b = s_idx - a
+            term = jax.lax.dot_general(
+                mb[a], yb[b], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc = term if acc is None else acc + term
+        partials.append(acc.astype(jnp.uint64))
+
+    # recombine: out = sum_s P_s << (8 s), exact over 128 bits
+    hi = jnp.zeros((k_out, n), dtype=jnp.uint64)
+    lo = jnp.zeros((k_out, n), dtype=jnp.uint64)
+    for s_idx, p in enumerate(partials):
+        shift = 8 * s_idx
+        if shift < 64:
+            p_lo = p << jnp.uint64(shift)
+            p_hi = p >> jnp.uint64(64 - shift) if shift else jnp.zeros_like(p)
+        else:
+            p_lo = jnp.zeros_like(p)
+            p_hi = p << jnp.uint64(shift - 64)
+        hi, lo = mm.add_wide(hi, lo, p_hi, p_lo)
+    return hi, lo
+
+
+# Route the bconv matmuls through the MXU path?  None = auto (TPU yes,
+# CPU no — int8 dots on CPU are slower than the scan).
+USE_MXU_MATMUL = None
+
+
+def _accumulate(y, mat):
+    use = USE_MXU_MATMUL
+    if use is None:
+        use = jax.default_backend() not in ("cpu",)
+    if use:
+        return accumulate_matmul_128_mxu(y, mat)
+    return accumulate_matmul_128(y, mat)

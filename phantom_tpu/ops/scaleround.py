@@ -236,7 +236,7 @@ def scale_and_round_exact(x: jnp.ndarray,
     d_rhi = c.ibase.ratio_hi[:, None]
     y = mm.mul_mod_shoup(x, c.ihat_inv[:, None], c.ihat_inv_shoup[:, None],
                          d_q)
-    hi, lo = bc.accumulate_matmul_128(y, c.omega_mod_out)
+    hi, lo = bc._accumulate(y, c.omega_mod_out)
     out_q = c.obase.q[:, None]
     out_rlo = c.obase.ratio_lo[:, None]
     out_rhi = c.obase.ratio_hi[:, None]
