@@ -19,8 +19,10 @@ Value ranges follow Harvey lazy reduction with q < 2^31: [0, 2q) and
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-U32 = jnp.uint32
+# numpy scalars act as literals inside Pallas kernels (no captured consts)
+U32 = np.uint32
 _MASK16 = U32(0xFFFF)
 _SH16 = U32(16)
 

@@ -1,0 +1,227 @@
+"""Pallas TPU kernel for the negacyclic NTT (32-bit fast path).
+
+TPU-native counterpart of the reference's 2D radix-8 shared-memory NTT
+(src/ntt/fntt_2d.cu, intt_2d.cu): N = n1 x n2 is processed as
+  phase A: cross-row butterfly stages on the (n1, n2) matrix view
+           (sublane-axis reshapes; lanes untouched),
+  transpose (the VMEM analogue of the reference's shared-memory exchange,
+           fntt_2d.cu phase boundary),
+  phase B: within-row stages in the transposed layout, with twiddle tables
+           pre-transposed on the host so every stage is a static slice +
+           broadcast.
+The whole transform stays in VMEM: one HBM read + one write per limb row,
+versus one round trip per stage for the stage-by-stage XLA path.
+
+Residues are single uint32 words (q < 2^30, ops/modmath32.py); a butterfly
+is ~15 native VPU int32 ops.  Grid = one limb row per program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .modmath32 import U32, csub32, mul_mod_shoup_lazy32
+from .ntt32 import NTTTables32
+
+
+def _split_n(n: int):
+    """n1 x n2 = N with n1 <= n2, both powers of two."""
+    logn = n.bit_length() - 1
+    log1 = logn // 2
+    return 1 << log1, 1 << (logn - log1)
+
+
+class PallasNTTTables(NamedTuple):
+    """Per-base tables with phase-B regions pre-transposed.
+
+    For stage m >= n1 the region [m, 2m) stores the (n1, m/n1) natural
+    layout transposed to (m/n1, n1) so the kernel reads it with a static
+    slice + reshape (no in-kernel gathers)."""
+
+    q: jnp.ndarray           # (L,) uint32
+    fwd: jnp.ndarray         # (L, N) value table, phase-B transposed
+    fwd_shoup: jnp.ndarray
+    inv: jnp.ndarray
+    inv_shoup: jnp.ndarray
+    inv_degree: jnp.ndarray        # (L,)
+    inv_degree_shoup: jnp.ndarray  # (L,)
+    n1: int
+    n2: int
+
+
+def _transpose_regions(table: np.ndarray, n1: int) -> np.ndarray:
+    """Transpose every stage region [m, 2m) for m >= n1, per limb row."""
+    out = table.copy()
+    n = table.shape[-1]
+    m = n1
+    while m < n:
+        seg = table[..., m:2 * m]
+        L = seg.shape[0]
+        out[..., m:2 * m] = seg.reshape(L, n1, m // n1).transpose(
+            0, 2, 1).reshape(L, m)
+        m <<= 1
+    return out
+
+
+def prepare_tables(t32: NTTTables32) -> PallasNTTTables:
+    n = t32.n
+    n1, n2 = _split_n(n)
+    fwd = np.asarray(t32.root_powers)
+    fws = np.asarray(t32.root_powers_shoup)
+    inv = np.asarray(t32.inv_root_powers)
+    ivs = np.asarray(t32.inv_root_powers_shoup)
+    return PallasNTTTables(
+        q=t32.q,
+        fwd=jnp.asarray(_transpose_regions(fwd, n1)),
+        fwd_shoup=jnp.asarray(_transpose_regions(fws, n1)),
+        inv=jnp.asarray(_transpose_regions(inv, n1)),
+        inv_shoup=jnp.asarray(_transpose_regions(ivs, n1)),
+        inv_degree=t32.inv_degree,
+        inv_degree_shoup=t32.inv_degree_shoup,
+        n1=n1, n2=n2)
+
+
+def _fwd_kernel(n1, n2, x_ref, w_ref, ws_ref, q_ref, o_ref):
+    n = n1 * n2
+    q = q_ref[0]
+    two_q = q * U32(2)
+    x = x_ref[0].reshape(n1, n2)
+
+    # phase A: cross-row stages m = 1 .. n1/2
+    m = 1
+    while m < n1:
+        h1 = n1 // (2 * m)
+        xr = x.reshape(m, 2, h1, n2)
+        w = w_ref[0, m:2 * m].reshape(m, 1, 1)
+        ws = ws_ref[0, m:2 * m].reshape(m, 1, 1)
+        u = xr[:, 0]
+        v = xr[:, 1]
+        u = u - jnp.where(u >= two_q, two_q, U32(0))
+        wv = mul_mod_shoup_lazy32(v, w, ws, q)
+        x = jnp.stack([u + wv, u - wv + two_q], axis=1).reshape(n1, n2)
+        m <<= 1
+
+    # phase boundary: transpose (the shared-memory exchange)
+    xt = x.T  # (n2, n1)
+
+    # phase B: within-row stages m = n1 .. n/2 (transposed twiddle regions)
+    while m < n:
+        mr = m // n1
+        t_len = n2 // (2 * mr)
+        xr = xt.reshape(mr, 2, t_len, n1)
+        w = w_ref[0, m:2 * m].reshape(mr, 1, n1)
+        ws = ws_ref[0, m:2 * m].reshape(mr, 1, n1)
+        u = xr[:, 0]
+        v = xr[:, 1]
+        u = u - jnp.where(u >= two_q, two_q, U32(0))
+        wv = mul_mod_shoup_lazy32(v, w, ws, q)
+        xt = jnp.stack([u + wv, u - wv + two_q], axis=1).reshape(n2, n1)
+        m <<= 1
+
+    out = xt.T.reshape(n)
+    o_ref[0] = csub32(csub32(out, two_q), q)
+
+
+def _inv_kernel(n1, n2, x_ref, w_ref, ws_ref, q_ref, sc_ref, scs_ref, o_ref):
+    n = n1 * n2
+    q = q_ref[0]
+    two_q = q * U32(2)
+    xt = x_ref[0].reshape(n1, n2).T  # (n2, n1)
+
+    # phase B': within-row GS stages m = n/2 .. n1
+    m = n // 2
+    while m >= n1:
+        mr = m // n1
+        t_len = n2 // (2 * mr)
+        xr = xt.reshape(mr, 2, t_len, n1)
+        w = w_ref[0, m:2 * m].reshape(mr, 1, n1)
+        ws = ws_ref[0, m:2 * m].reshape(mr, 1, n1)
+        u = xr[:, 0]
+        v = xr[:, 1]
+        s = u + v
+        s = s - jnp.where(s >= two_q, two_q, U32(0))
+        d = mul_mod_shoup_lazy32(u - v + two_q, w, ws, q)
+        xt = jnp.stack([s, d], axis=1).reshape(n2, n1)
+        m >>= 1
+
+    x = xt.T  # (n1, n2)
+
+    # phase A': cross-row stages m = n1/2 .. 1
+    while m >= 1:
+        h1 = n1 // (2 * m)
+        xr = x.reshape(m, 2, h1, n2)
+        w = w_ref[0, m:2 * m].reshape(m, 1, 1)
+        ws = ws_ref[0, m:2 * m].reshape(m, 1, 1)
+        u = xr[:, 0]
+        v = xr[:, 1]
+        s = u + v
+        s = s - jnp.where(s >= two_q, two_q, U32(0))
+        d = mul_mod_shoup_lazy32(u - v + two_q, w, ws, q)
+        x = jnp.stack([s, d], axis=1).reshape(n1, n2)
+        m >>= 1
+
+    out = x.reshape(n)
+    o_ref[0] = csub32(mul_mod_shoup_lazy32(out, sc_ref[0], scs_ref[0], q), q)
+
+
+def _row_call(kernel, nrows, num_l, n, extra_rows, interpret):
+    """pallas_call gridded one (limb) row per program; table rows are
+    reused across the leading batch via a modulo index map."""
+    data_spec = pl.BlockSpec((1, n), lambda l: (l, 0),
+                             memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec((1, n), lambda l: (l % num_l, 0),
+                              memory_space=pltpu.VMEM)
+    scalar_spec = pl.BlockSpec((1,), lambda l: (l % num_l,),
+                               memory_space=pltpu.VMEM)
+    in_specs = [data_spec, table_spec, table_spec, scalar_spec]
+    in_specs += [scalar_spec] * extra_rows
+    return pl.pallas_call(
+        kernel,
+        grid=(nrows,),
+        in_specs=in_specs,
+        out_specs=data_spec,
+        out_shape=jax.ShapeDtypeStruct((nrows, n), jnp.uint32),
+        interpret=interpret,
+    )
+
+
+def ntt_forward_pallas(x: jnp.ndarray, t: PallasNTTTables,
+                       interpret: bool = False) -> jnp.ndarray:
+    """x: (..., L, N) uint32 in [0, q) -> NTT form in [0, q)."""
+    n = t.n1 * t.n2
+    lead = x.shape[:-1]
+    num_l = x.shape[-2]
+    nrows = int(np.prod(lead)) if lead else 1
+    xf = x.reshape(nrows, n)
+    kern = functools.partial(_fwd_kernel, t.n1, t.n2)
+    out = _row_call(kern, nrows, num_l, n, 0, interpret)(
+        xf, t.fwd, t.fwd_shoup, t.q)
+    return out.reshape(*lead, n)
+
+
+def ntt_inverse_pallas(x: jnp.ndarray, t: PallasNTTTables,
+                       scale=None, scale_shoup=None,
+                       interpret: bool = False) -> jnp.ndarray:
+    """x: (..., L, N) uint32 in [0, 2q) -> coefficients in [0, q)."""
+    n = t.n1 * t.n2
+    lead = x.shape[:-1]
+    num_l = x.shape[-2]
+    nrows = int(np.prod(lead)) if lead else 1
+    xf = x.reshape(nrows, n)
+    if scale is None:
+        scale = t.inv_degree
+        scale_shoup = t.inv_degree_shoup
+    sc = jnp.asarray(scale, dtype=jnp.uint32)
+    scs = jnp.asarray(scale_shoup, dtype=jnp.uint32)
+    kern = functools.partial(_inv_kernel, t.n1, t.n2)
+    out = _row_call(kern, nrows, num_l, n, 2, interpret)(
+        xf, t.inv, t.inv_shoup, t.q, sc, scs)
+    return out.reshape(*lead, n)
