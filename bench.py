@@ -33,7 +33,10 @@ def main():
                     help="also print per-op CSV (op,trials,median,mean)")
     args = ap.parse_args()
 
+    import os
     import jax
+    if os.environ.get("PHANTOM_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["PHANTOM_PLATFORM"])
     jax.config.update("jax_enable_x64", True)
     # persistent compilation cache: repeated bench runs skip the big compile
     jax.config.update("jax_compilation_cache_dir", "/tmp/phantom_jax_cache")

@@ -1,0 +1,63 @@
+"""Hybrid keyswitch / modup latency (reference: benchmark/keyswitch_bench.cu
+— CKKS N=2^15, 30 primes + special primes, swept dropped levels)."""
+
+import argparse
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--logn", type=int, default=13)
+    ap.add_argument("--limbs", type=int, default=8)
+    ap.add_argument("--alpha", type=int, default=2)
+    ap.add_argument("--trials", type=int, default=10)
+    args = ap.parse_args()
+
+    import os
+    import jax
+    if os.environ.get("PHANTOM_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["PHANTOM_PLATFORM"])
+    jax.config.update("jax_enable_x64", True)
+    import numpy as np
+
+    from phantom_tpu.host import numth
+    from phantom_tpu.schemes import (EncryptionParameters, Scheme, keys,
+                                     keyswitch, make_context)
+    from phantom_tpu.utils.timer import OpTimer, print_timer_banner
+
+    n = 1 << args.logn
+    qs = numth.get_primes(2 * n, 40, args.limbs)
+    ps = numth.get_primes(2 * n, 41, args.alpha)
+    params = EncryptionParameters.create(
+        Scheme.CKKS, n, qs + ps, special_modulus_size=args.alpha)
+    ctx = make_context(params)
+    rng = jax.random.PRNGKey(0)
+    k_sk, k_rlk = jax.random.split(rng)
+    sk = keys.gen_secret_key(ctx, k_sk)
+    rlk = keys.gen_relin_key(ctx, sk, k_rlk)
+
+    print_timer_banner()
+    for drop in range(0, args.limbs - 1, max(1, (args.limbs - 1) // 3)):
+        cd = ctx.get_context_data(1 + drop)
+        k = cd.size_ql
+        c2 = jax.numpy.asarray(
+            np.stack([np.random.default_rng(1).integers(0, int(q), n)
+                      for q in cd.moduli]).astype(np.uint64))
+
+        modup_fn = jax.jit(lambda c, x: keyswitch.modup(
+            c, c.get_context_data(1 + drop), x))
+        t = OpTimer(f"modup_L{k}", trials=args.trials)
+        t.run(modup_fn, ctx, c2)
+        t.print_csv()
+
+        ks_fn = jax.jit(lambda c, x, r: keyswitch.keyswitch(
+            c, c.get_context_data(1 + drop), x, r.data))
+        t = OpTimer(f"keyswitch_L{k}", trials=args.trials)
+        t.run(ks_fn, ctx, c2, rlk)
+        t.print_csv()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""NTT throughput benchmark (reference: benchmark/ntt_bench.cu:39-43 —
+dims 2^8..2^17, batches {1,10,100,1000}).
+
+CSV: op,trials,median_us,mean_us plus a derived NTT/s column."""
+
+import argparse
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dims", type=int, nargs="*",
+                    default=[12, 13, 14, 15, 16])
+    ap.add_argument("--batches", type=int, nargs="*", default=[1, 10, 100])
+    ap.add_argument("--trials", type=int, default=20)
+    ap.add_argument("--u32", action="store_true",
+                    help="32-bit fast path (28-bit primes)")
+    ap.add_argument("--pallas", action="store_true")
+    args = ap.parse_args()
+
+    import os
+    import jax
+    if os.environ.get("PHANTOM_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["PHANTOM_PLATFORM"])
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from phantom_tpu.host import numth
+    from phantom_tpu.host.modulus import Modulus
+    from phantom_tpu.host.ntt_tables import make_rns_ntt_tables
+    from phantom_tpu.ops import ntt as ntt64
+    from phantom_tpu.ops import ntt32, ntt_pallas as ntp
+    from phantom_tpu.utils.timer import OpTimer, print_timer_banner
+
+    print_timer_banner()
+    rng = np.random.default_rng(0)
+    for logn in args.dims:
+        n = 1 << logn
+        bits = 28 if (args.u32 or args.pallas) else 50
+        q = numth.get_primes(2 * n, bits, 1)[0]
+        t64 = ntt64.tables_from_host(make_rns_ntt_tables(n, [Modulus(q)]))
+        if args.u32 or args.pallas:
+            t32 = ntt32.tables32_from_tables64(t64)
+            tp = ntp.prepare_tables(t32) if args.pallas else None
+        for batch in args.batches:
+            x = rng.integers(0, q, size=(batch, 1, n))
+            if args.pallas:
+                xd = jnp.asarray(x.astype(np.uint32))
+                fn = jax.jit(lambda v: ntp.ntt_forward_pallas(v, tp))
+            elif args.u32:
+                xd = jnp.asarray(x.astype(np.uint32))
+                fn = jax.jit(lambda v: ntt32.ntt_forward32(v, t32))
+            else:
+                xd = jnp.asarray(x.astype(np.uint64))
+                fn = jax.jit(lambda v: ntt64.ntt_forward(v, t64))
+            t = OpTimer(f"fntt_n{n}_b{batch}", trials=args.trials)
+            t.run(fn, xd)
+            t.print_csv()
+            print(f"#   -> {batch / (t.median_us * 1e-6):.0f} NTT/s",
+                  file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
