@@ -26,9 +26,14 @@ A100_BASELINE_OPS = 300.0
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=65536)
-    ap.add_argument("--limbs", type=int, default=16, help="data primes")
+    ap.add_argument("--limbs", type=int, default=28, help="data primes")
     ap.add_argument("--alpha", type=int, default=4, help="special primes")
     ap.add_argument("--trials", type=int, default=10)
+    ap.add_argument("--path", choices=["u32", "pallas", "u64"],
+                    default="u32",
+                    help="u32: 28-bit primes + uint32 fast pipeline "
+                         "(default); pallas: + fused NTT kernels; "
+                         "u64: generic evaluator")
     ap.add_argument("--csv", action="store_true",
                     help="also print per-op CSV (op,trials,median,mean)")
     args = ap.parse_args()
@@ -49,8 +54,9 @@ def main():
 
     n = args.n
     t0 = time.time()
-    qs = numth.get_primes(2 * n, 50, args.limbs + 1)
-    ps = numth.get_primes(2 * n, 51, args.alpha)
+    bits = 28 if args.path in ("u32", "pallas") else 50
+    qs = numth.get_primes(2 * n, bits, args.limbs + 1)
+    ps = numth.get_primes(2 * n, bits + 1, args.alpha)
     coeff = [qs[0]] + qs[1:args.limbs] + ps  # q0 + rest + special
     params = EncryptionParameters.create(
         Scheme.CKKS, n, coeff, special_modulus_size=args.alpha)
@@ -65,25 +71,36 @@ def main():
     pk = keys.gen_public_key(ctx, sk, k_pk)
     rlk = keys.gen_relin_key(ctx, sk, k_rlk)
     enc = CKKSEncoder(ctx)
-    scale = 2.0 ** 50
+    scale = 2.0 ** (bits - 6)
     z = np.random.default_rng(0).standard_normal(enc.slots)
     pt = enc.encode(z, scale)
     ct1 = keys.encrypt_asymmetric(ctx, pk, pt, k1)
     ct2 = keys.encrypt_asymmetric(ctx, pk, pt, k2)
     print(f"# keys+encrypt in {time.time()-t0:.1f}s", file=sys.stderr)
 
-    def step(c, r, d1, d2):
-        a = ct1.replace(data=d1)
-        b = ct2.replace(data=d2)
-        out = evaluate.rescale_to_next(
-            c, evaluate.multiply_and_relin(c, a, b, r))
-        return out.data
+    if args.path in ("u32", "pallas"):
+        from phantom_tpu.ops import pipeline32 as pp
+        pipe = pp.build_pipeline32(ctx, rlk,
+                                   use_pallas=(args.path == "pallas"))
+        d1 = jnp.asarray(np.asarray(ct1.data).astype(np.uint32))
+        d2 = jnp.asarray(np.asarray(ct2.data).astype(np.uint32))
+        step_jit = jax.jit(pp.mult_relin_rescale32)
+        run = lambda: step_jit(pipe, d1, d2)
+    else:
+        def step(c, r, da, db):
+            a = ct1.replace(data=da)
+            b = ct2.replace(data=db)
+            out = evaluate.rescale_to_next(
+                c, evaluate.multiply_and_relin(c, a, b, r))
+            return out.data
 
-    # ctx and rlk enter as jit *arguments* (pytrees), not captured
-    # constants — keeps XLA from constant-folding the twiddle tables
-    step_jit = jax.jit(step)
+        # ctx and rlk enter as jit *arguments* (pytrees), not captured
+        # constants — keeps XLA from constant-folding the twiddle tables
+        step_jit = jax.jit(step)
+        run = lambda: step_jit(ctx, rlk, ct1.data, ct2.data)
+
     t0 = time.time()
-    out = step_jit(ctx, rlk, ct1.data, ct2.data)
+    out = run()
     out.block_until_ready()
     compile_s = time.time() - t0
     print(f"# compile+first-run {compile_s:.1f}s", file=sys.stderr)
@@ -91,7 +108,7 @@ def main():
     times = []
     for _ in range(args.trials):
         t0 = time.time()
-        out = step_jit(ctx, rlk, ct1.data, ct2.data)
+        out = run()
         out.block_until_ready()
         times.append(time.time() - t0)
     med = float(np.median(times))
@@ -103,7 +120,8 @@ def main():
               f"{mean*1e6:.1f}", file=sys.stderr)
 
     print(json.dumps({
-        "metric": f"CKKS n={n} L={args.limbs} mult+relin+rescale",
+        "metric": f"CKKS n={n} L={args.limbs} mult+relin+rescale "
+                  f"({args.path})",
         "value": round(ops, 3),
         "unit": "ops/s",
         "vs_baseline": round(ops / A100_BASELINE_OPS, 4),

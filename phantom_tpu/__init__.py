@@ -13,3 +13,9 @@ import jax as _jax
 _jax.config.update("jax_enable_x64", True)
 
 __version__ = "0.1.0"
+
+# umbrella API (reference: include/phantom.h)
+from .schemes import (BatchEncoder, CKKSEncoder, Ciphertext,  # noqa: F401,E402
+                      Context, EncryptionParameters, MulTech, Plaintext,
+                      Scheme, evaluate, keys, make_context)
+from .host.modulus import CoeffModulus, Modulus, PlainModulus  # noqa: F401,E402

@@ -1,0 +1,158 @@
+"""RNS base conversion on the 32-bit fast path (q < 2^30).
+
+Mirrors ops/bconv.py with single-u32 residues: products are (hi, lo) u32
+pairs, the matmul accumulates into a (carry, hi, lo) u32 triple (exact for
+<= 63 input limbs: 63 * 2^60 < 2^66 < 2^96), and the floor-sum-div uses a
+three-level 2^32 cascade (error < k * 2^-96, still far tighter than the
+reference's 2^-52 doubles — rns_bconv.cu:354).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import modmath32 as m32
+from .modmath32 import U32
+
+
+class ModulusVec32(NamedTuple):
+    q: jnp.ndarray          # (L,) uint32, q < 2^30
+    ratio_hi: jnp.ndarray   # (L,) floor(2^64/q) >> 32
+    ratio_lo: jnp.ndarray   # (L,) floor(2^64/q) & 0xffffffff
+    pow32: jnp.ndarray      # (L,) 2^32 mod q
+    pow64: jnp.ndarray      # (L,) 2^64 mod q
+
+
+def modulus_vec32(moduli) -> ModulusVec32:
+    qs = [int(q) for q in moduli]
+    assert all(q < (1 << 30) for q in qs)
+    rh, rl = zip(*[m32.ratio32(q) for q in qs])
+    return ModulusVec32(
+        q=jnp.asarray(np.array(qs, dtype=np.uint32)),
+        ratio_hi=jnp.asarray(np.array(rh, dtype=np.uint32)),
+        ratio_lo=jnp.asarray(np.array(rl, dtype=np.uint32)),
+        pow32=jnp.asarray(np.array([(1 << 32) % q for q in qs],
+                                   dtype=np.uint32)),
+        pow64=jnp.asarray(np.array([(1 << 64) % q for q in qs],
+                                   dtype=np.uint32)),
+    )
+
+
+class BaseConvConsts32(NamedTuple):
+    ibase: ModulusVec32
+    obase: ModulusVec32
+    qhat_inv: jnp.ndarray        # (k_in,)
+    qhat_inv_shoup: jnp.ndarray  # (k_in,) 2^32 fixed point
+    qhat_mod_p: jnp.ndarray      # (k_out, k_in)
+    q_mod_p: jnp.ndarray         # (k_out,)
+    U: jnp.ndarray               # (k_in,) floor(2^32/q)
+    V: jnp.ndarray               # (k_in,) 2^32 mod q
+
+
+def consts32_from_host(conv) -> BaseConvConsts32:
+    """From a host BaseConverter (host/rns.py) with < 2^30 moduli."""
+    ib, ob = conv.ibase, conv.obase
+    u32a = lambda v: jnp.asarray(np.array([int(x) for x in v],
+                                          dtype=np.uint32))
+    return BaseConvConsts32(
+        ibase=modulus_vec32(ib.moduli),
+        obase=modulus_vec32(ob.moduli),
+        qhat_inv=u32a(ib.qhat_inv_mod_qi),
+        qhat_inv_shoup=u32a([(v << 32) // q for v, q in
+                             zip(ib.qhat_inv_mod_qi, ib.moduli)]),
+        qhat_mod_p=jnp.asarray(np.array(conv.qhat_mod_p,
+                                        dtype=np.uint32)),
+        q_mod_p=u32a(conv.q_mod_p),
+        U=u32a([(1 << 32) // q for q in ib.moduli]),
+        V=u32a([(1 << 32) % q for q in ib.moduli]),
+    )
+
+
+def accumulate_matmul_96(y: jnp.ndarray, mat: jnp.ndarray):
+    """sum_i y[i, :] * mat[:, i] as an exact (carry, hi, lo) u32 triple.
+
+    y: (k_in, N), mat: (k_out, k_in), entries < 2^30."""
+    k_in, n = y.shape
+    k_out = mat.shape[0]
+    c = jnp.zeros((k_out, n), dtype=jnp.uint32)
+    hi = jnp.zeros((k_out, n), dtype=jnp.uint32)
+    lo = jnp.zeros((k_out, n), dtype=jnp.uint32)
+    for i in range(k_in):
+        h, l = m32.mul_wide32(y[i][None, :], mat[:, i][:, None])
+        lo, cr = m32.add_u32_carry(lo, l)
+        hi2, cr2 = m32.add_u32_carry(hi, h + cr)  # h < 2^28, no overflow
+        hi = hi2
+        c = c + cr2
+    return c, hi, lo
+
+
+def reduce_u96_any32(c, hi, lo, mv: ModulusVec32):
+    """(c*2^64 + hi*2^32 + lo) mod q_j, per output row (broadcast consts)."""
+    q = mv.q[:, None]
+    rh = mv.ratio_hi[:, None]
+    rl = mv.ratio_lo[:, None]
+    t_c = m32.mul_mod32(m32.barrett_reduce_u32(c, q, rh), mv.pow64[:, None],
+                        q, rh, rl)
+    t_h = m32.mul_mod32(m32.barrett_reduce_u32(hi, q, rh), mv.pow32[:, None],
+                        q, rh, rl)
+    t_l = m32.barrett_reduce_u32(lo, q, rh)
+    return m32.add_mod32(m32.add_mod32(t_c, t_h, q), t_l, q)
+
+
+def scale_by_qhat_inv32(x: jnp.ndarray, c: BaseConvConsts32) -> jnp.ndarray:
+    return m32.mul_mod_shoup32(x, c.qhat_inv[:, None],
+                               c.qhat_inv_shoup[:, None], c.ibase.q[:, None])
+
+
+def bconv_approx32(x: jnp.ndarray, c: BaseConvConsts32) -> jnp.ndarray:
+    y = scale_by_qhat_inv32(x, c)
+    cc, hh, ll = accumulate_matmul_96(y, c.qhat_mod_p)
+    return reduce_u96_any32(cc, hh, ll, c.obase)
+
+
+def floor_sum_div32(y: jnp.ndarray, c: BaseConvConsts32) -> jnp.ndarray:
+    """v = floor(sum y_i / q_i), three-level 2^32 cascade (error 2^-96)."""
+    k_in, n = y.shape
+    q = c.ibase.q[:, None]
+    rh = c.ibase.ratio_hi[:, None]
+    rl = c.ibase.ratio_lo[:, None]
+    yU = y * c.U[:, None]
+    h, l = m32.mul_wide32(y, c.V[:, None])
+    q1, r1 = m32.barrett_div_mod_u64_32(h, l, q, rh, rl)
+    s2, r2 = m32.barrett_div_mod_u64_32(r1, jnp.zeros_like(r1), q, rh, rl)
+    s3, _ = m32.barrett_div_mod_u64_32(r2, jnp.zeros_like(r2), q, rh, rl)
+
+    a_hi = jnp.zeros((n,), dtype=jnp.uint32)
+    a_lo = jnp.zeros((n,), dtype=jnp.uint32)
+    b_hi = jnp.zeros((n,), dtype=jnp.uint32)
+    b_lo = jnp.zeros((n,), dtype=jnp.uint32)
+    c_hi = jnp.zeros((n,), dtype=jnp.uint32)
+    c_lo = jnp.zeros((n,), dtype=jnp.uint32)
+    for i in range(k_in):
+        a_lo, cr = m32.add_u32_carry(a_lo, yU[i])
+        a_hi = a_hi + cr
+        a_lo, cr = m32.add_u32_carry(a_lo, q1[i])
+        a_hi = a_hi + cr
+        b_lo, cr = m32.add_u32_carry(b_lo, s2[i])
+        b_hi = b_hi + cr
+        c_lo, cr = m32.add_u32_carry(c_lo, s3[i])
+        c_hi = c_hi + cr
+    # v = (A*2^64 + B*2^32 + C) >> 96: ripple the word carries upward
+    p1, cr1 = m32.add_u32_carry(b_lo, c_hi)
+    p2, cr2 = m32.add_u32_carry(a_lo, b_hi + cr1)
+    return a_hi + cr2
+
+
+def bconv_exact32(x: jnp.ndarray, c: BaseConvConsts32) -> jnp.ndarray:
+    """Value-exact conversion (reference bConv_HPS semantics)."""
+    y = scale_by_qhat_inv32(x, c)
+    cc, hh, ll = accumulate_matmul_96(y, c.qhat_mod_p)
+    raw = reduce_u96_any32(cc, hh, ll, c.obase)
+    v = floor_sum_div32(y, c)
+    q = c.obase.q[:, None]
+    corr = m32.mul_mod32(v[None, :], c.q_mod_p[:, None], q,
+                         c.obase.ratio_hi[:, None], c.obase.ratio_lo[:, None])
+    return m32.sub_mod32(raw, corr, q)

@@ -21,6 +21,7 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple
 
+import flax.struct
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -39,7 +40,8 @@ def _split_n(n: int):
     return 1 << log1, 1 << (logn - log1)
 
 
-class PallasNTTTables(NamedTuple):
+@flax.struct.dataclass
+class PallasNTTTables:
     """Per-base tables with phase-B regions pre-transposed.
 
     For stage m >= n1 the region [m, 2m) stores the (n1, m/n1) natural
@@ -53,8 +55,8 @@ class PallasNTTTables(NamedTuple):
     inv_shoup: jnp.ndarray
     inv_degree: jnp.ndarray        # (L,)
     inv_degree_shoup: jnp.ndarray  # (L,)
-    n1: int
-    n2: int
+    n1: int = flax.struct.field(pytree_node=False, default=0)
+    n2: int = flax.struct.field(pytree_node=False, default=0)
 
 
 def _transpose_regions(table: np.ndarray, n1: int) -> np.ndarray:
@@ -194,8 +196,10 @@ def _row_call(kernel, nrows, num_l, n, extra_rows, interpret):
 
 
 def ntt_forward_pallas(x: jnp.ndarray, t: PallasNTTTables,
-                       interpret: bool = False) -> jnp.ndarray:
+                       interpret=None) -> jnp.ndarray:
     """x: (..., L, N) uint32 in [0, q) -> NTT form in [0, q)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     n = t.n1 * t.n2
     lead = x.shape[:-1]
     num_l = x.shape[-2]
@@ -209,8 +213,10 @@ def ntt_forward_pallas(x: jnp.ndarray, t: PallasNTTTables,
 
 def ntt_inverse_pallas(x: jnp.ndarray, t: PallasNTTTables,
                        scale=None, scale_shoup=None,
-                       interpret: bool = False) -> jnp.ndarray:
+                       interpret=None) -> jnp.ndarray:
     """x: (..., L, N) uint32 in [0, 2q) -> coefficients in [0, q)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     n = t.n1 * t.n2
     lead = x.shape[:-1]
     num_l = x.shape[-2]

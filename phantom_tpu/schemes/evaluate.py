@@ -711,3 +711,20 @@ def hoisting(ctx: Context, ct: Ciphertext, glk, steps) -> Ciphertext:
         cx1 = nttmod.ntt_inverse(cx1, tq)
     out = jnp.stack([po.add_rns(acc_c0, cx0, cd.mv), cx1])
     return ct.replace(data=out)
+
+
+def mod_switch_plain_to_next(ctx: Context, pt: Plaintext) -> Plaintext:
+    """Drop the last prime of an NTT-form (CKKS) plaintext
+    (reference: mod_switch_to_next for plaintexts)."""
+    cd = ctx.get_context_data(pt.chain_index)
+    if cd.size_ql < 2:
+        raise ValueError("cannot mod-switch plaintext: last level")
+    return pt.replace(data=pt.data[..., :cd.size_ql - 1, :],
+                      chain_index=pt.chain_index + 1)
+
+
+def mod_switch_plain_to(ctx: Context, pt: Plaintext,
+                        chain_index: int) -> Plaintext:
+    while pt.chain_index < chain_index:
+        pt = mod_switch_plain_to_next(ctx, pt)
+    return pt

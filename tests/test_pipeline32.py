@@ -1,0 +1,45 @@
+"""u32 fast-path pipeline (mult+relin+rescale) bit-matches the u64
+evaluator, in both the XLA-stage and Pallas-kernel NTT variants."""
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from phantom_tpu.host import numth
+from phantom_tpu.ops import pipeline32 as pp
+from phantom_tpu.schemes import (CKKSEncoder, EncryptionParameters, Scheme,
+                                 evaluate, keys, make_context)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    n = 128
+    qs = numth.get_primes(2 * n, 28, 4)
+    ps = numth.get_primes(2 * n, 29, 2)
+    params = EncryptionParameters.create(
+        Scheme.CKKS, n, qs + ps, special_modulus_size=2)
+    ctx = make_context(params)
+    rng = jax.random.PRNGKey(0)
+    k_sk, k_pk, k_rlk, k1, k2 = jax.random.split(rng, 5)
+    sk = keys.gen_secret_key(ctx, k_sk)
+    pk = keys.gen_public_key(ctx, sk, k_pk)
+    rlk = keys.gen_relin_key(ctx, sk, k_rlk)
+    enc = CKKSEncoder(ctx)
+    z = np.random.default_rng(0).standard_normal(enc.slots)
+    pt = enc.encode(z, 2.0 ** 20)
+    ct1 = keys.encrypt_asymmetric(ctx, pk, pt, k1)
+    ct2 = keys.encrypt_asymmetric(ctx, pk, pt, k2)
+    ref = np.asarray(evaluate.rescale_to_next(
+        ctx, evaluate.multiply_and_relin(ctx, ct1, ct2, rlk)).data)
+    return ctx, rlk, ct1, ct2, ref
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_bit_match(setup, use_pallas):
+    ctx, rlk, ct1, ct2, ref = setup
+    p = pp.build_pipeline32(ctx, rlk, use_pallas=use_pallas)
+    d1 = jnp.asarray(np.asarray(ct1.data).astype(np.uint32))
+    d2 = jnp.asarray(np.asarray(ct2.data).astype(np.uint32))
+    out = np.asarray(pp.mult_relin_rescale32(p, d1, d2))
+    np.testing.assert_array_equal(out, ref.astype(np.uint32))
