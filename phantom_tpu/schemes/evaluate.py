@@ -728,3 +728,14 @@ def mod_switch_plain_to(ctx: Context, pt: Plaintext,
     while pt.chain_index < chain_index:
         pt = mod_switch_plain_to_next(ctx, pt)
     return pt
+
+
+def add_many(ctx: Context, cts) -> Ciphertext:
+    """Sum a list of ciphertexts (reference: add_many, evaluate.cuh)."""
+    cts = list(cts)
+    if not cts:
+        raise ValueError("add_many needs at least one ciphertext")
+    acc = cts[0]
+    for ct in cts[1:]:
+        acc = add(ctx, acc, ct)
+    return acc

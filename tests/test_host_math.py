@@ -118,3 +118,22 @@ def test_default_chains():
         assert m.value % (2 * 8192) == 1
     from phantom_tpu.host import hestd
     assert total.bit_length() <= hestd.max_coeff_modulus_bits(8192, 128)
+
+
+def test_hestd_budget_enforced():
+    """HE-std logQ caps reject oversized chains (hestdparms.h parity)."""
+    import pytest
+    from phantom_tpu.host import hestd, numth
+    from phantom_tpu.schemes import EncryptionParameters, Scheme
+    assert hestd.max_coeff_modulus_bits(8192, 128) == 218
+    assert hestd.max_coeff_modulus_bits(65536, 192) == 1229
+    assert hestd.max_coeff_modulus_bits_quantum(8192, 128) == 204
+    n = 4096
+    qs = numth.get_primes(2 * n, 40, 3)  # 120 bits > 109-bit budget
+    with pytest.raises(ValueError):
+        EncryptionParameters.create(
+            Scheme.CKKS, n, qs, special_modulus_size=1, sec_level=128)
+    # within budget passes
+    qs2 = numth.get_primes(2 * n, 30, 3)  # 90 bits
+    EncryptionParameters.create(
+        Scheme.CKKS, n, qs2, special_modulus_size=1, sec_level=128)
