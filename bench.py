@@ -67,15 +67,17 @@ def main():
     rng = jax.random.PRNGKey(0)
     k_sk, k_pk, k_rlk, k1, k2 = jax.random.split(rng, 5)
     t0 = time.time()
-    sk = keys.gen_secret_key(ctx, k_sk)
-    pk = keys.gen_public_key(ctx, sk, k_pk)
-    rlk = keys.gen_relin_key(ctx, sk, k_rlk)
+    # jitted keygen: one dispatch per key instead of eager op-by-op
+    sk = jax.jit(keys.gen_secret_key)(ctx, k_sk)
+    pk = jax.jit(keys.gen_public_key)(ctx, sk, k_pk)
+    rlk = jax.jit(keys.gen_relin_key)(ctx, sk, k_rlk)
     enc = CKKSEncoder(ctx)
     scale = 2.0 ** (bits - 6)
     z = np.random.default_rng(0).standard_normal(enc.slots)
     pt = enc.encode(z, scale)
-    ct1 = keys.encrypt_asymmetric(ctx, pk, pt, k1)
-    ct2 = keys.encrypt_asymmetric(ctx, pk, pt, k2)
+    enc_jit = jax.jit(keys.encrypt_asymmetric)
+    ct1 = enc_jit(ctx, pk, pt, k1)
+    ct2 = enc_jit(ctx, pk, pt, k2)
     print(f"# keys+encrypt in {time.time()-t0:.1f}s", file=sys.stderr)
 
     if args.path in ("u32", "pallas"):
