@@ -1,0 +1,110 @@
+"""Coefficient-sharded negacyclic NTT: butterfly stages exchanged
+all-to-all over the mesh interconnect.
+
+This is the distributed mapping SURVEY.md §5.7 / BASELINE call for: the
+reference's two-phase shared-memory NTT (fntt_2d.cu) becomes
+  phase A: stages local to each chip (the sharded axis is untouched),
+  transpose under a sharding constraint -> GSPMD lowers it to an
+           all-to-all over ICI (the inter-chip "shared-memory exchange"),
+  phase B: stages local again in the transposed layout.
+Twiddle tables ride replicated; phase-B regions are pre-transposed exactly
+as in ops/ntt_pallas.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import ntt as ntt64
+from ..ops.modmath import U64, csub, mul_mod_shoup_lazy
+from ..ops.ntt_pallas import _split_n, _transpose_regions
+
+
+class ShardedNTTTables(NamedTuple):
+    q: jnp.ndarray            # (L,)
+    fwd: jnp.ndarray          # (L, N), phase-B regions transposed
+    fwd_shoup: jnp.ndarray
+    inv: jnp.ndarray
+    inv_shoup: jnp.ndarray
+    inv_degree: jnp.ndarray
+    inv_degree_shoup: jnp.ndarray
+    n1: int
+    n2: int
+
+
+def prepare_sharded_tables(t: ntt64.NTTTablesDevice) -> ShardedNTTTables:
+    n = t.n
+    n1, n2 = _split_n(n)
+    return ShardedNTTTables(
+        q=t.q,
+        fwd=jnp.asarray(_transpose_regions(np.asarray(t.root_powers), n1)),
+        fwd_shoup=jnp.asarray(
+            _transpose_regions(np.asarray(t.root_powers_shoup), n1)),
+        inv=jnp.asarray(
+            _transpose_regions(np.asarray(t.inv_root_powers), n1)),
+        inv_shoup=jnp.asarray(
+            _transpose_regions(np.asarray(t.inv_root_powers_shoup), n1)),
+        inv_degree=t.inv_degree,
+        inv_degree_shoup=t.inv_degree_shoup,
+        n1=n1, n2=n2)
+
+
+def ntt_forward_sharded(x: jnp.ndarray, t: ShardedNTTTables, mesh: Mesh,
+                        axis: str = "limb") -> jnp.ndarray:
+    """Forward NTT with the coefficient axis sharded over `axis`.
+
+    x: (L, N) uint64 in [0, q).  Inside jit, annotate shardings and let
+    GSPMD place the phase-boundary all-to-all on the interconnect."""
+    n1, n2 = t.n1, t.n2
+    num_l, n = x.shape
+    q = t.q.reshape(num_l, 1, 1)
+    two_q = q * U64(2)
+
+    xm = x.reshape(num_l, n1, n2)
+    # phase A works on the n1 axis; keep n2 (last axis) sharded -> local
+    xm = jax.lax.with_sharding_constraint(
+        xm, NamedSharding(mesh, P(None, None, axis)))
+
+    m = 1
+    while m < n1:
+        h1 = n1 // (2 * m)
+        xr = xm.reshape(num_l, m, 2, h1, n2)
+        w = t.fwd[:, m:2 * m].reshape(num_l, m, 1, 1)
+        ws = t.fwd_shoup[:, m:2 * m].reshape(num_l, m, 1, 1)
+        u = xr[:, :, 0]
+        v = xr[:, :, 1]
+        qb = q.reshape(num_l, 1, 1, 1)
+        u = u - jnp.where(u >= qb * U64(2), qb * U64(2), U64(0))
+        wv = mul_mod_shoup_lazy(v, w, ws, qb)
+        xm = jnp.stack([u + wv, u - wv + qb * U64(2)],
+                       axis=2).reshape(num_l, n1, n2)
+        m <<= 1
+
+    # phase boundary: transpose + resharding constraint = all-to-all on ICI
+    xt = jnp.swapaxes(xm, 1, 2)  # (L, n2, n1)
+    xt = jax.lax.with_sharding_constraint(
+        xt, NamedSharding(mesh, P(None, None, axis)))
+
+    while m < n:
+        mr = m // n1
+        t_len = n2 // (2 * mr)
+        xr = xt.reshape(num_l, mr, 2, t_len, n1)
+        w = t.fwd[:, m:2 * m].reshape(num_l, mr, 1, n1)
+        ws = t.fwd_shoup[:, m:2 * m].reshape(num_l, mr, 1, n1)
+        u = xr[:, :, 0]
+        v = xr[:, :, 1]
+        qb = q.reshape(num_l, 1, 1, 1)
+        u = u - jnp.where(u >= qb * U64(2), qb * U64(2), U64(0))
+        wv = mul_mod_shoup_lazy(v, w, ws, qb)
+        xt = jnp.stack([u + wv, u - wv + qb * U64(2)],
+                       axis=2).reshape(num_l, n2, n1)
+        m <<= 1
+
+    out = jnp.swapaxes(xt, 1, 2).reshape(num_l, n)
+    qq = t.q.reshape(num_l, 1)
+    return csub(csub(out, qq * U64(2)), qq)
