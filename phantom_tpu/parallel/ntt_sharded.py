@@ -108,3 +108,53 @@ def ntt_forward_sharded(x: jnp.ndarray, t: ShardedNTTTables, mesh: Mesh,
     out = jnp.swapaxes(xt, 1, 2).reshape(num_l, n)
     qq = t.q.reshape(num_l, 1)
     return csub(csub(out, qq * U64(2)), qq)
+
+
+def ntt_inverse_sharded(x: jnp.ndarray, t: ShardedNTTTables, mesh: Mesh,
+                        axis: str = "limb") -> jnp.ndarray:
+    """Inverse NTT, mirrored phases (within-row GS stages first)."""
+    n1, n2 = t.n1, t.n2
+    num_l, n = x.shape
+    q = t.q.reshape(num_l, 1, 1, 1)
+
+    xt = jnp.swapaxes(x.reshape(num_l, n1, n2), 1, 2)  # (L, n2, n1)
+    xt = jax.lax.with_sharding_constraint(
+        xt, NamedSharding(mesh, P(None, None, axis)))
+
+    m = n // 2
+    while m >= n1:
+        mr = m // n1
+        t_len = n2 // (2 * mr)
+        xr = xt.reshape(num_l, mr, 2, t_len, n1)
+        w = t.inv[:, m:2 * m].reshape(num_l, mr, 1, n1)
+        ws = t.inv_shoup[:, m:2 * m].reshape(num_l, mr, 1, n1)
+        u = xr[:, :, 0]
+        v = xr[:, :, 1]
+        s = u + v
+        s = s - jnp.where(s >= q * U64(2), q * U64(2), U64(0))
+        d = mul_mod_shoup_lazy(u - v + q * U64(2), w, ws, q)
+        xt = jnp.stack([s, d], axis=2).reshape(num_l, n2, n1)
+        m >>= 1
+
+    xm = jnp.swapaxes(xt, 1, 2)  # all-to-all back
+    xm = jax.lax.with_sharding_constraint(
+        xm, NamedSharding(mesh, P(None, None, axis)))
+
+    while m >= 1:
+        h1 = n1 // (2 * m)
+        xr = xm.reshape(num_l, m, 2, h1, n2)
+        w = t.inv[:, m:2 * m].reshape(num_l, m, 1, 1)
+        ws = t.inv_shoup[:, m:2 * m].reshape(num_l, m, 1, 1)
+        u = xr[:, :, 0]
+        v = xr[:, :, 1]
+        s = u + v
+        s = s - jnp.where(s >= q * U64(2), q * U64(2), U64(0))
+        d = mul_mod_shoup_lazy(u - v + q * U64(2), w, ws, q)
+        xm = jnp.stack([s, d], axis=2).reshape(num_l, n1, n2)
+        m >>= 1
+
+    out = xm.reshape(num_l, n)
+    qq = t.q.reshape(num_l, 1)
+    sc = t.inv_degree.reshape(num_l, 1)
+    scs = t.inv_degree_shoup.reshape(num_l, 1)
+    return csub(mul_mod_shoup_lazy(out, sc, scs, qq), qq)

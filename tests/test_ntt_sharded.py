@@ -38,3 +38,19 @@ def test_sharded_ntt_matches():
     hlo = fn.lower(jnp.asarray(x)).compile().as_text()
     assert ("all-to-all" in hlo or "collective-permute" in hlo
             or "all_to_all" in hlo), "no collective found in lowered module"
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_sharded_roundtrip():
+    n = 512
+    qs = numth.get_primes(2 * n, 45, 2)
+    t64 = ntt64.tables_from_host(
+        make_rns_ntt_tables(n, [Modulus(q) for q in qs]))
+    tp = ns.prepare_sharded_tables(t64)
+    rng = np.random.default_rng(1)
+    x = np.stack([rng.integers(0, q, n, dtype=np.uint64) for q in qs])
+    mesh = Mesh(np.array(jax.devices()[:8]), ("limb",))
+    fn = jax.jit(lambda v: ns.ntt_inverse_sharded(
+        ns.ntt_forward_sharded(v, tp, mesh), tp, mesh))
+    got = np.asarray(fn(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, x)
