@@ -93,7 +93,7 @@ def prepare_tables(t32: NTTTables32) -> PallasNTTTables:
 
 def _fwd_kernel(n1, n2, x_ref, w_ref, ws_ref, q_ref, o_ref):
     n = n1 * n2
-    q = q_ref[0]
+    q = q_ref[0, 0]
     two_q = q * U32(2)
     x = x_ref[0].reshape(n1, n2)
 
@@ -134,7 +134,7 @@ def _fwd_kernel(n1, n2, x_ref, w_ref, ws_ref, q_ref, o_ref):
 
 def _inv_kernel(n1, n2, x_ref, w_ref, ws_ref, q_ref, sc_ref, scs_ref, o_ref):
     n = n1 * n2
-    q = q_ref[0]
+    q = q_ref[0, 0]
     two_q = q * U32(2)
     xt = x_ref[0].reshape(n1, n2).T  # (n2, n1)
 
@@ -171,18 +171,20 @@ def _inv_kernel(n1, n2, x_ref, w_ref, ws_ref, q_ref, sc_ref, scs_ref, o_ref):
         m >>= 1
 
     out = x.reshape(n)
-    o_ref[0] = csub32(mul_mod_shoup_lazy32(out, sc_ref[0], scs_ref[0], q), q)
+    o_ref[0] = csub32(mul_mod_shoup_lazy32(out, sc_ref[0, 0], scs_ref[0, 0], q), q)
 
 
 def _row_call(kernel, nrows, num_l, n, extra_rows, interpret):
     """pallas_call gridded one (limb) row per program; table rows are
-    reused across the leading batch via a modulo index map."""
+    reused across the leading batch via a modulo index map.  Per-limb
+    scalars travel as (L, 1) arrays with (1, 1) SMEM blocks (Mosaic wants
+    2D scalars)."""
     data_spec = pl.BlockSpec((1, n), lambda l: (l, 0),
                              memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec((1, n), lambda l: (l % num_l, 0),
                               memory_space=pltpu.VMEM)
-    scalar_spec = pl.BlockSpec((1,), lambda l: (l % num_l,),
-                               memory_space=pltpu.VMEM)
+    scalar_spec = pl.BlockSpec((1, 1), lambda l: (l % num_l, 0),
+                               memory_space=pltpu.SMEM)
     in_specs = [data_spec, table_spec, table_spec, scalar_spec]
     in_specs += [scalar_spec] * extra_rows
     return pl.pallas_call(
@@ -207,7 +209,7 @@ def ntt_forward_pallas(x: jnp.ndarray, t: PallasNTTTables,
     xf = x.reshape(nrows, n)
     kern = functools.partial(_fwd_kernel, t.n1, t.n2)
     out = _row_call(kern, nrows, num_l, n, 0, interpret)(
-        xf, t.fwd, t.fwd_shoup, t.q)
+        xf, t.fwd, t.fwd_shoup, t.q.reshape(-1, 1))
     return out.reshape(*lead, n)
 
 
@@ -229,5 +231,6 @@ def ntt_inverse_pallas(x: jnp.ndarray, t: PallasNTTTables,
     scs = jnp.asarray(scale_shoup, dtype=jnp.uint32)
     kern = functools.partial(_inv_kernel, t.n1, t.n2)
     out = _row_call(kern, nrows, num_l, n, 2, interpret)(
-        xf, t.inv, t.inv_shoup, t.q, sc, scs)
+        xf, t.inv, t.inv_shoup, t.q.reshape(-1, 1), sc.reshape(-1, 1),
+        scs.reshape(-1, 1))
     return out.reshape(*lead, n)

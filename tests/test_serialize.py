@@ -88,3 +88,29 @@ def test_noise_budget(setup):
     ct2 = evaluate.multiply(ctx, ct, ct)
     b1 = keys.invariant_noise_budget(ctx, sk, ct2)
     assert 0 < b1 < b0
+
+
+def test_ckks_and_bgv_ciphertext_roundtrip():
+    """Scale / correction-factor fields survive the wire format."""
+    import jax
+    from phantom_tpu.host import numth
+    from phantom_tpu.schemes import (CKKSEncoder, EncryptionParameters,
+                                     Scheme, evaluate, keys as K,
+                                     make_context)
+    n = 512
+    qs = numth.get_primes(2 * n, 40, 2) + numth.get_primes(2 * n, 30, 1)
+    params = EncryptionParameters.create(
+        Scheme.CKKS, n, [qs[0], qs[2], qs[1]], special_modulus_size=1)
+    ctx = make_context(params)
+    rng = jax.random.PRNGKey(0)
+    k_sk, k_pk = jax.random.split(rng)
+    sk = K.gen_secret_key(ctx, k_sk)
+    pk = K.gen_public_key(ctx, sk, k_pk)
+    enc = CKKSEncoder(ctx)
+    z = np.random.default_rng(0).standard_normal(enc.slots)
+    ct = K.encrypt_asymmetric(ctx, pk, enc.encode(z, 2.0 ** 30),
+                              jax.random.PRNGKey(1))
+    ct2 = ser.from_bytes(ser.to_bytes(ct))
+    assert ct2.scale == ct.scale and ct2.is_ntt_form
+    np.testing.assert_allclose(
+        enc.decode(K.decrypt(ctx, sk, ct2)).real, z, atol=1e-4)
