@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--limbs", type=int, default=28, help="data primes")
     ap.add_argument("--alpha", type=int, default=4, help="special primes")
     ap.add_argument("--trials", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="ciphertext pairs per step (vmapped); ops/s "
+                         "scales accordingly")
     ap.add_argument("--path", choices=["u32", "pallas", "u64"],
                     default="u32",
                     help="u32: 28-bit primes + uint32 fast pipeline "
@@ -86,7 +89,13 @@ def main():
                                    use_pallas=(args.path == "pallas"))
         d1 = jnp.asarray(np.asarray(ct1.data).astype(np.uint32))
         d2 = jnp.asarray(np.asarray(ct2.data).astype(np.uint32))
-        step_jit = jax.jit(pp.mult_relin_rescale32)
+        if args.batch > 1:
+            d1 = jnp.broadcast_to(d1[None], (args.batch,) + d1.shape)
+            d2 = jnp.broadcast_to(d2[None], (args.batch,) + d2.shape)
+            step_jit = jax.jit(jax.vmap(pp.mult_relin_rescale32,
+                                        in_axes=(None, 0, 0)))
+        else:
+            step_jit = jax.jit(pp.mult_relin_rescale32)
         run = lambda: step_jit(pipe, d1, d2)
     else:
         def step(c, r, da, db):
@@ -115,7 +124,7 @@ def main():
         times.append(time.time() - t0)
     med = float(np.median(times))
     mean = float(np.mean(times))
-    ops = 1.0 / med
+    ops = args.batch / med
 
     if args.csv:
         print(f"ckks_mult_relin_rescale,{args.trials},{med*1e6:.1f},"

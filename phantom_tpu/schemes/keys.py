@@ -99,29 +99,34 @@ def _gen_kswitch_key(ctx: Context, sk: SecretKey, new_key: jnp.ndarray,
 
     Digit d's key = encrypt-zero + P*new_key restricted to digit-d's modulus
     block (reference: generate_one_kswitch_key, multiply_temp_mod_and_add).
+    The dnum digit keys are generated with one vmapped trace (digit
+    restriction is a static mask, so every digit shares the same graph).
     """
     p = ctx.params
     alpha = p.size_p
     dnum = -(-p.size_q // alpha)
     mult_t = p.scheme == Scheme.BGV
-    # P mod q_i over all QP rows (P rows get P mod p_j, unused entries masked)
     big_p = 1
     for q in p.special_moduli:
         big_p *= q
-    keys = []
+
+    subkeys = jax.random.split(rng, dnum)
+    c0s, c1s = jax.vmap(
+        lambda k: _encrypt_zero_symmetric_ntt(ctx, sk, k, mult_t=mult_t)
+    )(subkeys)  # (dnum, K, N) each
+
+    # P*new_key over every QP row once; digit membership masks select rows
+    mv = ctx.key_mv
+    pm = jnp.asarray([big_p % q for q in p.coeff_modulus], dtype=jnp.uint64)
+    term = mm.mul_mod(new_key, pm[:, None], mv.q[:, None],
+                      mv.ratio_lo[:, None], mv.ratio_hi[:, None])  # (K, N)
+    import numpy as _np
+    mask = _np.zeros((dnum, p.size_qp, 1), dtype=bool)
     for d in range(dnum):
-        rng, sub = jax.random.split(rng)
-        c0, c1 = _encrypt_zero_symmetric_ntt(ctx, sk, sub, mult_t=mult_t)
-        lo = d * alpha
-        hi = min(lo + alpha, p.size_q)
-        block_moduli = p.coeff_modulus[lo:hi]
-        pm = jnp.asarray([big_p % q for q in block_moduli], dtype=jnp.uint64)
-        blk_mv = _mv_slice(ctx.key_mv, lo, hi)
-        term = mm.mul_mod(new_key[lo:hi], pm[:, None], blk_mv.q[:, None],
-                          blk_mv.ratio_lo[:, None], blk_mv.ratio_hi[:, None])
-        c0 = c0.at[lo:hi].set(mm.add_mod(c0[lo:hi], term, blk_mv.q[:, None]))
-        keys.append(jnp.stack([c0, c1]))
-    return jnp.stack(keys)
+        mask[d, d * alpha: min((d + 1) * alpha, p.size_q)] = True
+    c0s = jnp.where(jnp.asarray(mask),
+                    mm.add_mod(c0s, term[None], mv.q[:, None]), c0s)
+    return jnp.stack([c0s, c1s], axis=1)  # (dnum, 2, K, N)
 
 
 def _mv_slice(mv, lo, hi):
