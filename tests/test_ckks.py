@@ -108,3 +108,48 @@ def test_sym_encrypt(setup):
                                 jax.random.PRNGKey(12))
     np.testing.assert_allclose(
         enc.decode(keys.decrypt(ctx, sk, ct)).real, z, atol=1e-4)
+
+
+def test_depth2_pipeline(setup):
+    """Two multiplicative levels with rescale + level alignment
+    (reference: 3_ckks.cu depth scenarios)."""
+    ctx, sk, pk, rlk, enc = setup
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal(enc.slots) * 0.5
+    b = rng.standard_normal(enc.slots) * 0.5
+    c = rng.standard_normal(enc.slots) * 0.5
+    ct_a = keys.encrypt_asymmetric(ctx, pk, enc.encode(a, SCALE),
+                                   jax.random.PRNGKey(20))
+    ct_b = keys.encrypt_asymmetric(ctx, pk, enc.encode(b, SCALE),
+                                   jax.random.PRNGKey(21))
+    ab = evaluate.rescale_to_next(
+        ctx, evaluate.multiply_and_relin(ctx, ct_a, ct_b, rlk))
+    # encode c directly at ab's level and scale, then multiply again
+    pt_c = enc.encode(c, ab.scale, chain_index=ab.chain_index)
+    ct_c = keys.encrypt_asymmetric(ctx, pk, pt_c, jax.random.PRNGKey(22))
+    abc = evaluate.rescale_to_next(
+        ctx, evaluate.multiply_and_relin(ctx, ab, ct_c, rlk))
+    out = enc.decode(keys.decrypt(ctx, sk, abc))
+    np.testing.assert_allclose(out.real, a * b * c, atol=5e-2)
+
+
+def test_add_many_and_plain_modswitch(setup):
+    ctx, sk, pk, rlk, enc = setup
+    rng = np.random.default_rng(8)
+    vs = [rng.standard_normal(enc.slots) for _ in range(3)]
+    cts = [keys.encrypt_asymmetric(ctx, pk, enc.encode(v, SCALE),
+                                   jax.random.PRNGKey(30 + i))
+           for i, v in enumerate(vs)]
+    total = evaluate.add_many(ctx, cts)
+    np.testing.assert_allclose(
+        enc.decode(keys.decrypt(ctx, sk, total)).real, sum(vs), atol=1e-3)
+    # plaintext mod switch follows a rescaled ciphertext's level
+    prod = evaluate.rescale_to_next(
+        ctx, evaluate.multiply_and_relin(ctx, cts[0], cts[1], rlk))
+    pt = enc.encode(vs[2], prod.scale)
+    pt_dn = evaluate.mod_switch_plain_to(ctx, pt, prod.chain_index)
+    assert pt_dn.chain_index == prod.chain_index
+    summed = evaluate.add_plain(ctx, prod, pt_dn)
+    np.testing.assert_allclose(
+        enc.decode(keys.decrypt(ctx, sk, summed)).real,
+        vs[0] * vs[1] + vs[2], atol=1e-2)
