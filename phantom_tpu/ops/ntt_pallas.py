@@ -234,3 +234,60 @@ def ntt_inverse_pallas(x: jnp.ndarray, t: PallasNTTTables,
         xf, t.inv, t.inv_shoup, t.q.reshape(-1, 1), sc.reshape(-1, 1),
         scs.reshape(-1, 1))
     return out.reshape(*lead, n)
+
+
+# ---------------------------------------------------------------------------
+# keyswitch inner product kernel
+# ---------------------------------------------------------------------------
+
+def _ip_kernel(beta, t_ref, e_ref, q_ref, rh_ref, rl_ref, p32_ref, p64_ref,
+               o_ref):
+    """sum_d t[d] * evk[d] over digits with a (carry, hi, lo) u32 triple,
+    reduced once (reference: key_switch_inner_prod_c2_and_evk,
+    eval_key_switch.cu:14-69)."""
+    from .modmath32 import (add_mod32, add_u32_carry, barrett_reduce_u32,
+                            mul_mod32, mul_wide32)
+    q = q_ref[0, 0]
+    rh = rh_ref[0, 0]
+    rl = rl_ref[0, 0]
+    c = jnp.zeros_like(t_ref[0, 0])
+    hi = jnp.zeros_like(c)
+    lo = jnp.zeros_like(c)
+    for d in range(beta):
+        h, l = mul_wide32(t_ref[d, 0], e_ref[d, 0, 0])
+        lo, cr = add_u32_carry(lo, l)
+        hi2, cr2 = add_u32_carry(hi, h + cr)
+        hi = hi2
+        c = c + cr2
+    t_c = mul_mod32(barrett_reduce_u32(c, q, rh), p64_ref[0, 0], q, rh, rl)
+    t_h = mul_mod32(barrett_reduce_u32(hi, q, rh), p32_ref[0, 0], q, rh, rl)
+    t_l = barrett_reduce_u32(lo, q, rh)
+    o_ref[0, 0] = add_mod32(add_mod32(t_c, t_h, q), t_l, q)
+
+
+def keyswitch_inner_product_pallas(t_modup: jnp.ndarray, evk: jnp.ndarray,
+                                   mv, interpret=None) -> jnp.ndarray:
+    """t_modup: (beta, K, N) u32; evk: (beta, 2, K, N) u32; mv: ModulusVec32
+    for the K rows.  Returns (2, K, N) u32 in [0, q)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    beta, kk, n = t_modup.shape
+    t_spec = pl.BlockSpec((beta, 1, n), lambda j, k: (0, k, 0),
+                          memory_space=pltpu.VMEM)
+    e_spec = pl.BlockSpec((beta, 1, 1, n), lambda j, k: (0, j, k, 0),
+                          memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((1, 1), lambda j, k: (k, 0),
+                          memory_space=pltpu.SMEM)
+    out_spec = pl.BlockSpec((1, 1, n), lambda j, k: (j, k, 0),
+                            memory_space=pltpu.VMEM)
+    kern = functools.partial(_ip_kernel, beta)
+    col = lambda a: a.reshape(-1, 1)
+    return pl.pallas_call(
+        kern,
+        grid=(2, kk),
+        in_specs=[t_spec, e_spec, s_spec, s_spec, s_spec, s_spec, s_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((2, kk, n), jnp.uint32),
+        interpret=interpret,
+    )(t_modup, evk, col(mv.q), col(mv.ratio_hi), col(mv.ratio_lo),
+      col(mv.pow32), col(mv.pow64))

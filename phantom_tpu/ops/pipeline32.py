@@ -159,6 +159,9 @@ def _modup(p: CKKSPipeline32, c2_coeff):
 def _inner_product(p: CKKSPipeline32, t_modup):
     """128-bit-free inner product: per-digit u32xu32 products accumulate in
     a (carry, hi, lo) u32 triple, one reduction at the end."""
+    if p.use_pallas:
+        out = ntp.keyswitch_inner_product_pallas(t_modup, p.evk, p.mv_qlp)
+        return out[0], out[1]
     beta = t_modup.shape[0]
     halves = []
     for j in range(2):
