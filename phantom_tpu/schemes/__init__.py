@@ -6,5 +6,5 @@ from .ciphertext import Ciphertext, Plaintext  # noqa: F401
 from . import keys  # noqa: F401
 from .batch_encoder import BatchEncoder  # noqa: F401
 from . import evaluate  # noqa: F401
-from .ckks_encoder import CKKSEncoder  # noqa: F401
+from .ckks_encoder import CKKSDeviceEncoder, CKKSEncoder  # noqa: F401
 from . import keyswitch  # noqa: F401

@@ -132,3 +132,105 @@ class CKKSEncoder:
         centered = np.where(acc > half, acc - total, acc)
         vals = (centered / plain.scale).astype(np.float64)
         return self._embed_forward(vals)
+
+
+class CKKSDeviceEncoder:
+    """Device-side encode/decode using the double-float special FFT
+    (ops/ckks_fft.py) — the TPU-native analogue of the reference's
+    double-precision device encoder (src/ckks.cu encode/decode_internal).
+
+    Precision: ~2^-48 relative (two-f32 double-float) vs the reference's
+    2^-52 doubles; both are far below fresh-encryption noise at standard
+    scales.  Decode composes the centered value from the first two RNS
+    limbs exactly (Garner), valid while |value| < q0*q1/2 — amply true for
+    any decodable plaintext."""
+
+    def __init__(self, ctx: Context):
+        from ..ops import ckks_fft as cf
+        if ctx.params.scheme != Scheme.CKKS:
+            raise ValueError("CKKSDeviceEncoder requires a CKKS context")
+        self.ctx = ctx
+        self.tables = cf.make_fft_tables(ctx.params.n)
+        self.slots = ctx.params.n // 2
+
+    def encode(self, values, scale: float,
+               chain_index: Optional[int] = None) -> Plaintext:
+        import jax
+        from ..ops import ckks_fft as cf
+        from ..ops import modmath as mm
+        ctx = self.ctx
+        n = ctx.params.n
+        ci = ctx.first_data_index if chain_index is None else chain_index
+        cd = ctx.get_context_data(ci)
+        z = np.zeros(self.slots, dtype=np.complex128)
+        v = np.asarray(values, dtype=np.complex128).ravel()
+        z[: v.shape[0]] = v
+        z = z * scale  # scale on host (f64), FFT on device
+
+        ev_re = np.zeros(n, dtype=np.float64)
+        ev_im = np.zeros(n, dtype=np.float64)
+        sp = np.asarray(self.tables.slot_pos)
+        sc = np.asarray(self.tables.slot_conj)
+        ev_re[sp] = z.real
+        ev_im[sp] = z.imag
+        ev_re[sc] = z.real
+        ev_im[sc] = -z.imag
+        re = tuple(jnp.asarray(p) for p in cf.df_from_f64(ev_re))
+        im = tuple(jnp.asarray(p) for p in cf.df_from_f64(ev_im))
+
+        coeffs = cf.fft_inverse((re, im), self.tables)
+        re_hi, re_lo = coeffs[0]
+        # round the double-float real part to int64 exactly enough
+        a = jnp.round(re_hi).astype(jnp.int64)
+        b = jnp.round(re_lo + (re_hi - a.astype(jnp.float32))).astype(jnp.int64)
+        ints = a + b
+        rns = mm.reduce_i64_centered(ints[None, :], cd.mv.q[:, None])
+        data = nttmod.ntt_forward(rns, ctx.tables_q(cd.size_ql))
+        return Plaintext(data=data, chain_index=ci, is_ntt_form=True,
+                         scale=scale)
+
+    def decode(self, plain: Plaintext) -> np.ndarray:
+        from ..host.numth import invert_mod
+        from ..ops import ckks_fft as cf
+        from ..ops import modmath as mm
+        ctx = self.ctx
+        cd = ctx.get_context_data(plain.chain_index)
+        x = nttmod.ntt_inverse(plain.data, ctx.tables_q(cd.size_ql))
+        q0 = int(cd.moduli[0])
+        if cd.size_ql >= 2:
+            # Garner 2-limb compose, centered (|value| << q0*q1/2)
+            q1 = int(cd.moduli[1])
+            q0_inv_q1 = invert_mod(q0 % q1, q1)
+            x0 = x[0]
+            x1 = x[1]
+            mv1_q = cd.mv.q[1]
+            diff = mm.sub_mod(mm.barrett_reduce_u64(
+                x1, mv1_q, cd.mv.ratio_hi[1]),
+                mm.barrett_reduce_u64(x0, mv1_q, cd.mv.ratio_hi[1]), mv1_q)
+            t_ = mm.mul_mod(diff, jnp.uint64(q0_inv_q1), mv1_q,
+                            cd.mv.ratio_lo[1], cd.mv.ratio_hi[1])
+            # center the Garner digit first: for any decodable magnitude
+            # |m| << 2^62, so m = x0 + q0 * t_centered fits int64 even
+            # though q0*q1 itself does not
+            t_c = jnp.where(t_ > jnp.uint64(q1 // 2),
+                            t_.astype(jnp.int64) - jnp.int64(q1),
+                            t_.astype(jnp.int64))
+            m = x0.astype(jnp.int64) + jnp.int64(q0) * t_c
+        else:
+            half = q0 // 2
+            m = jnp.where(x[0] > jnp.uint64(half),
+                          x[0].astype(jnp.int64) - jnp.int64(q0),
+                          x[0].astype(jnp.int64))
+        inv_scale = 1.0 / plain.scale
+        hi = (m.astype(jnp.float32))
+        lo = (m - hi.astype(jnp.int64)).astype(jnp.float32)
+        hi = hi * jnp.float32(inv_scale)
+        lo = lo * jnp.float32(inv_scale)
+        zero = jnp.zeros_like(hi)
+        ev = cf.fft_forward(((hi, lo), (zero, zero)), self.tables)
+        sp = self.tables.slot_pos
+        re = np.asarray(ev[0][0])[sp].astype(np.float64) + \
+            np.asarray(ev[0][1])[sp].astype(np.float64)
+        im = np.asarray(ev[1][0])[sp].astype(np.float64) + \
+            np.asarray(ev[1][1])[sp].astype(np.float64)
+        return re + 1j * im
