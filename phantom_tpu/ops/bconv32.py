@@ -109,7 +109,7 @@ def scale_by_qhat_inv32(x: jnp.ndarray, c: BaseConvConsts32) -> jnp.ndarray:
 
 def bconv_approx32(x: jnp.ndarray, c: BaseConvConsts32) -> jnp.ndarray:
     y = scale_by_qhat_inv32(x, c)
-    cc, hh, ll = accumulate_matmul_96(y, c.qhat_mod_p)
+    cc, hh, ll = _accumulate32(y, c.qhat_mod_p)
     return reduce_u96_any32(cc, hh, ll, c.obase)
 
 
@@ -149,10 +149,76 @@ def floor_sum_div32(y: jnp.ndarray, c: BaseConvConsts32) -> jnp.ndarray:
 def bconv_exact32(x: jnp.ndarray, c: BaseConvConsts32) -> jnp.ndarray:
     """Value-exact conversion (reference bConv_HPS semantics)."""
     y = scale_by_qhat_inv32(x, c)
-    cc, hh, ll = accumulate_matmul_96(y, c.qhat_mod_p)
+    cc, hh, ll = _accumulate32(y, c.qhat_mod_p)
     raw = reduce_u96_any32(cc, hh, ll, c.obase)
     v = floor_sum_div32(y, c)
     q = c.obase.q[:, None]
     corr = m32.mul_mod32(v[None, :], c.q_mod_p[:, None], q,
                          c.obase.ratio_hi[:, None], c.obase.ratio_lo[:, None])
     return m32.sub_mod32(raw, corr, q)
+
+
+def accumulate_matmul_96_mxu(y: jnp.ndarray, mat: jnp.ndarray):
+    """MXU variant of accumulate_matmul_96: byte-plane int8 dots
+    (see ops/bconv.py accumulate_matmul_128_mxu), recombined into the
+    (carry, hi, lo) u32 triple.  Exact: P_s < 256^2*k*4 < 2^26 (k <= 63)."""
+    import jax
+    k_in, n = y.shape
+    k_out = mat.shape[0]
+
+    def bytes_of(x):
+        return [((x >> U32(8 * b)) & U32(0xFF)).astype(jnp.int32)
+                for b in range(4)]
+
+    yb = bytes_of(y)
+    mb = bytes_of(mat)
+    partials = []
+    for s_idx in range(7):
+        acc = None
+        for a in range(max(0, s_idx - 3), min(4, s_idx + 1)):
+            b = s_idx - a
+            term = jax.lax.dot_general(
+                mb[a], yb[b], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc = term if acc is None else acc + term
+        partials.append(acc.astype(jnp.uint32))
+
+    c = jnp.zeros((k_out, n), dtype=jnp.uint32)
+    hi = jnp.zeros((k_out, n), dtype=jnp.uint32)
+    lo = jnp.zeros((k_out, n), dtype=jnp.uint32)
+    zero = jnp.zeros((k_out, n), dtype=jnp.uint32)
+    for s_idx, p_ in enumerate(partials):
+        shift = 8 * s_idx
+        # split p * 2^shift into three u32 words (wrapping shifts keep the
+        # low word; explicit >> recovers the spilled bits)
+        if shift == 0:
+            w0, w1, w2 = p_, zero, zero
+        elif shift < 32:
+            w0 = p_ << U32(shift)
+            w1 = p_ >> U32(32 - shift)
+            w2 = zero
+        elif shift == 32:
+            w0, w1, w2 = zero, p_, zero
+        else:
+            w0 = zero
+            w1 = p_ << U32(shift - 32)
+            w2 = p_ >> U32(64 - shift)
+        lo, cr = m32.add_u32_carry(lo, w0)
+        hi, cra = m32.add_u32_carry(hi, w1)
+        hi, crb = m32.add_u32_carry(hi, cr)
+        c = c + cra + crb + w2
+    return c, hi, lo
+
+
+# None = auto (accelerators yes, CPU no)
+USE_MXU_MATMUL32 = None
+
+
+def _accumulate32(y, mat):
+    import jax
+    use = USE_MXU_MATMUL32
+    if use is None:
+        use = jax.default_backend() not in ("cpu",)
+    if use:
+        return accumulate_matmul_96_mxu(y, mat)
+    return accumulate_matmul_96(y, mat)

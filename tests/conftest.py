@@ -20,3 +20,9 @@ import jax  # noqa: E402
 if not os.environ.get("PHANTOM_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: repeated suite runs skip recompiles of
+# the u64-emulation graphs (the dominant cost of this suite on CPU).
+jax.config.update("jax_compilation_cache_dir", "/tmp/phantom_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
