@@ -64,6 +64,10 @@ class KeySwitchConsts(NamedTuple):
     bigp_shoup: jnp.ndarray
     qlp: ModulusVec                             # (size_QlP,) Ql then P rows
     pow64_mod_qlp: jnp.ndarray                  # (size_QlP,) 2^64 mod each
+    # fused modup-from-NTT scale: n^-1 * (digit-base QhatInv) per Ql row
+    # (reference: the iNTT x QHatInv fusion in ntt_modup.cu)
+    modup_scale: Optional[jnp.ndarray] = None   # (size_Ql,)
+    modup_scale_shoup: Optional[jnp.ndarray] = None
     # BGV-only: t-corrected moddown so noise stays divisible by t
     # (reference: bgv_moddown_kernel, rns_bconv.cu:636)
     p_to_t: Optional[bc.BaseConvConsts] = None  # P -> {t}, exact
@@ -211,18 +215,26 @@ def _rescale_consts(moduli) -> Optional[RescaleConsts]:
 
 
 def _keyswitch_consts(data_moduli, special_moduli,
-                      t: int = 0) -> KeySwitchConsts:
+                      t: int = 0, n: int = 0) -> KeySwitchConsts:
     size_ql = len(data_moduli)
     alpha = len(special_moduli)
     beta = -(-size_ql // alpha)
     qlp = list(data_moduli) + list(special_moduli)
     digit_convs = []
+    modup_scale = []
+    modup_scale_shoup = []
     for d in range(beta):
         lo, hi = d * alpha, min((d + 1) * alpha, size_ql)
         digit = data_moduli[lo:hi]
         compl = data_moduli[:lo] + data_moduli[hi:] + list(special_moduli)
-        conv = BaseConverter(RNSBase(digit), RNSBase(compl))
+        base_digit = RNSBase(digit)
+        conv = BaseConverter(base_digit, RNSBase(compl))
         digit_convs.append(bc.consts_from_host(conv))
+        if n:
+            for qi, qhi in zip(digit, base_digit.qhat_inv_mod_qi):
+                sc = (numth.invert_mod(n, qi) * qhi) % qi
+                modup_scale.append(sc)
+                modup_scale_shoup.append(compute_shoup(sc, qi))
     p_base = RNSBase(special_moduli)
     p_to_q = bc.consts_from_host(BaseConverter(p_base, RNSBase(data_moduli)))
     big_p = p_base.prod
@@ -254,6 +266,9 @@ def _keyswitch_consts(data_moduli, special_moduli,
             [compute_shoup(v, q) for v, q in zip(pmod, data_moduli)])),
         qlp=modulus_vec(qlp),
         pow64_mod_qlp=jnp.asarray(to_u64_array([(1 << 64) % q for q in qlp])),
+        modup_scale=(jnp.asarray(to_u64_array(modup_scale)) if n else None),
+        modup_scale_shoup=(jnp.asarray(to_u64_array(modup_scale_shoup))
+                           if n else None),
         **bgv_extra,
     )
 
@@ -414,7 +429,7 @@ def make_context(params: EncryptionParameters) -> Context:
             mv=modulus_vec(ql),
             rescale=_rescale_consts(ql),
             ks=_keyswitch_consts(ql, special_moduli,
-                                 t if scheme == Scheme.BGV else 0),
+                                 t if scheme == Scheme.BGV else 0, n),
             plain_lift=plain_lift,
             decrypt_sr=decrypt_sr,
             hps=hps,

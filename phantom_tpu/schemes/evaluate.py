@@ -225,12 +225,13 @@ def relinearize(ctx: Context, ct: Ciphertext, rlk) -> Ciphertext:
     (reference: relinearize_inplace, evaluate.cu:1342)."""
     if ct.size != 3:
         raise ValueError("relinearize expects a size-3 ciphertext")
+    from .keyswitch import keyswitch_from_ntt
     cd = _cd(ctx, ct)
     size_ql = cd.size_ql
-    c2 = ct.data[2]
     if ct.is_ntt_form:
-        c2 = nttmod.ntt_inverse(c2, ctx.tables_q(size_ql))
-    switched = keyswitch(ctx, cd, c2, rlk.data)  # (2, size_ql, N) NTT form
+        switched = keyswitch_from_ntt(ctx, cd, ct.data[2], rlk.data)
+    else:
+        switched = keyswitch(ctx, cd, ct.data[2], rlk.data)
     if not ct.is_ntt_form:
         switched = nttmod.ntt_inverse(switched, ctx.tables_q(size_ql))
     out = jnp.stack([po.add_rns(ct.data[0], switched[0], cd.mv),
@@ -466,10 +467,10 @@ def apply_galois(ctx: Context, ct: Ciphertext, elt: int, glk) -> Ciphertext:
     tool = _galois_tool(ctx)
     tq = ctx.tables_q(size_ql)
     if ct.is_ntt_form:
+        from .keyswitch import keyswitch_from_ntt
         c0p = tool.apply_ntt(ct.data[0], elt)
         c1p = tool.apply_ntt(ct.data[1], elt)
-        c1_coeff = nttmod.ntt_inverse(c1p, tq)
-        switched = keyswitch(ctx, cd, c1_coeff, glk.data[kidx])
+        switched = keyswitch_from_ntt(ctx, cd, c1p, glk.data[kidx])
         out = jnp.stack([po.add_rns(c0p, switched[0], cd.mv), switched[1]])
     else:
         c0p = tool.apply_coeff(ct.data[0], elt, cd.mv.q)
@@ -686,9 +687,12 @@ def hoisting(ctx: Context, ct: Ciphertext, glk, steps) -> Ciphertext:
         if e not in glk.elts:
             raise ValueError(f"no galois key for element {e}")
 
+    from .keyswitch import modup_from_ntt
     c0, c1 = ct.data[0], ct.data[1]
-    c1_coeff = nttmod.ntt_inverse(c1, tq) if ct.is_ntt_form else c1
-    t_modup = modup(ctx, cd, c1_coeff)  # (beta, K', N) NTT form
+    if ct.is_ntt_form:
+        t_modup = modup_from_ntt(ctx, cd, c1)
+    else:
+        t_modup = modup(ctx, cd, c1)  # (beta, K', N) NTT form
 
     acc_c0 = None
     acc_cx = None

@@ -165,3 +165,44 @@ def keyswitch(ctx: Context, cd: ContextData, c2: jnp.ndarray,
     prod = inner_product_evk(t_modup, evk_rows(ctx, evk_data, cd), cd)
     return jnp.stack([moddown_ntt(ctx, cd, prod[0]),
                       moddown_ntt(ctx, cd, prod[1])])
+
+
+def modup_from_ntt(ctx: Context, cd: ContextData,
+                   c2_ntt: jnp.ndarray) -> jnp.ndarray:
+    """Fused modup for NTT-form input (reference: ntt_modup.cu — iNTT fused
+    with the x QHatInv scaling; own digit rows reused in NTT form, so only
+    complement rows are forward-transformed).
+
+    c2_ntt: (size_ql, N) NTT form -> (beta, size_qlp, N) NTT form.
+    Bit-identical to ntt_inverse + modup."""
+    ks = cd.ks
+    size_ql = cd.size_ql
+    alpha = ctx.params.size_p
+    beta = len(ks.digit_convs)
+    if ks.modup_scale is None or size_ql % alpha != 0:
+        return modup(ctx, cd, nttmod.ntt_inverse(
+            c2_ntt, ctx.tables_q(size_ql)))
+    # one fused iNTT over all Ql rows: output y = x * QhatInv (coeff form)
+    y = nttmod.ntt_inverse(c2_ntt, ctx.tables_q(size_ql),
+                           scale=ks.modup_scale,
+                           scale_shoup=ks.modup_scale_shoup)
+    rows_full = qlp_rows(ctx, size_ql)
+    out = []
+    for d in range(beta):
+        lo, hi = digit_bounds(ctx, size_ql, d)
+        compl = bc._matmul_reduce(y[lo:hi], ks.digit_convs[d])
+        compl_rows = rows_full[:lo] + rows_full[hi:]
+        compl_ntt = nttmod.ntt_forward(
+            compl, nttmod._limb_gather(ctx.ntt, compl_rows))
+        out.append(jnp.concatenate(
+            [compl_ntt[:lo], c2_ntt[lo:hi], compl_ntt[lo:]], axis=0))
+    return jnp.stack(out)
+
+
+def keyswitch_from_ntt(ctx: Context, cd: ContextData, c2_ntt: jnp.ndarray,
+                       evk_data: jnp.ndarray) -> jnp.ndarray:
+    """Hybrid keyswitch for NTT-form c2 with the fused modup."""
+    t_modup = modup_from_ntt(ctx, cd, c2_ntt)
+    prod = inner_product_evk(t_modup, evk_rows(ctx, evk_data, cd), cd)
+    return jnp.stack([moddown_ntt(ctx, cd, prod[0]),
+                      moddown_ntt(ctx, cd, prod[1])])
