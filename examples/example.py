@@ -6,7 +6,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import importlib
 
-MODULES = ["1_bfv", "2_bgv", "3_ckks", "4_serialization", "5_kernel_fusing"]
+MODULES = ["1_bfv", "2_bgv", "3_ckks", "4_serialization", "5_kernel_fusing", "6_encrypted_matmul"]
 
 if __name__ == "__main__":
     for name in (sys.argv[1:] or MODULES):
