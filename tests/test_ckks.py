@@ -153,3 +153,30 @@ def test_add_many_and_plain_modswitch(setup):
     np.testing.assert_allclose(
         enc.decode(keys.decrypt(ctx, sk, summed)).real,
         vs[0] * vs[1] + vs[2], atol=1e-2)
+
+
+def test_encrypted_matvec(setup):
+    """Halevi-Shoup diagonal matvec (BASELINE config 5 building block)."""
+    ctx, sk, pk, rlk, enc = setup
+    rng = np.random.default_rng(9)
+    d = 4
+    M = rng.standard_normal((d, d)) * 0.3
+    x = rng.standard_normal(d) * 0.3
+    vec_rep = np.zeros(enc.slots)
+    for i in range(2 * d):
+        vec_rep[i] = x[i % d]
+    glk = keys.create_galois_keys(ctx, sk, jax.random.PRNGKey(40),
+                                  steps=list(range(1, d)))
+    ct_x = keys.encrypt_asymmetric(ctx, pk, enc.encode(vec_rep, SCALE),
+                                   jax.random.PRNGKey(41))
+    acc = None
+    for k in range(d):
+        diag = np.zeros(enc.slots)
+        diag[:d] = [M[i % d, (i + k) % d] for i in range(d)]
+        pt = enc.encode(diag, SCALE)
+        rot = evaluate.rotate_vector(ctx, ct_x, k, glk) if k else ct_x
+        term = evaluate.multiply_plain(ctx, rot, pt)
+        acc = term if acc is None else evaluate.add(ctx, acc, term)
+    y = evaluate.rescale_to_next(ctx, acc)
+    got = enc.decode(keys.decrypt(ctx, sk, y)).real[:d]
+    np.testing.assert_allclose(got, M @ x, atol=1e-3)
