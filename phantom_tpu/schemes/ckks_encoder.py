@@ -234,3 +234,26 @@ class CKKSDeviceEncoder:
         im = np.asarray(ev[1][0])[sp].astype(np.float64) + \
             np.asarray(ev[1][1])[sp].astype(np.float64)
         return re + 1j * im
+
+
+def encode_extended(enc: CKKSEncoder, values, scale: float,
+                    chain_index: int = 1):
+    """Encode slot values over the *extended* base QlP in NTT form.
+
+    Used by weighted hoisting (evaluate.hoisted_linear_combo): the
+    plaintext weights multiply keyswitch products that still live over
+    QlP, so their residues must cover the special primes too."""
+    from .keyswitch import qlp_rows, tables_qlp
+    ctx = enc.ctx
+    cd = ctx.get_context_data(chain_index)
+    z = np.zeros(enc.slots, dtype=np.complex128)
+    v = np.asarray(values, dtype=np.complex128).ravel()
+    z[: v.shape[0]] = v
+    coeffs = enc._embed_inverse(z) * scale
+    ints64 = np.round(coeffs).astype(np.int64)
+    rows = qlp_rows(ctx, cd.size_ql)
+    moduli = [int(ctx.params.coeff_modulus[r]) for r in rows]
+    rns = np.stack([(ints64 % np.int64(q)).astype(np.uint64)
+                    for q in moduli])
+    data = nttmod.ntt_forward(jnp.asarray(rns), tables_qlp(ctx, cd.size_ql))
+    return data  # (size_qlp, N) NTT form

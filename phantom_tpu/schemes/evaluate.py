@@ -743,3 +743,69 @@ def add_many(ctx: Context, cts) -> Ciphertext:
     for ct in cts[1:]:
         acc = add(ctx, acc, ct)
     return acc
+
+
+def hoisted_linear_combo(ctx: Context, ct: Ciphertext, glk, steps,
+                         pts_qlp, pts_scale: float) -> Ciphertext:
+    """sum_s pt_s * rotate(ct, s) with ONE modup and ONE moddown.
+
+    The hoisted-rotation PPML primitive (Halevi-Shoup matvec inner loop):
+    the plaintext weights multiply the per-step keyswitch products while
+    they still live over the extended base QlP, so the expensive moddown
+    is shared across all steps (reference building blocks: hoisting,
+    evaluate.cu:1670 + multiply_plain).
+
+    pts_qlp: list of (size_qlp, N) NTT-form weights from
+    ckks_encoder.encode_extended, aligned with `steps`."""
+    from . import galois as gal
+    from .keyswitch import (evk_rows, inner_product_evk, modup_from_ntt,
+                            moddown_ntt)
+    if ctx.params.scheme != Scheme.CKKS or not ct.is_ntt_form:
+        raise ValueError("hoisted_linear_combo expects NTT-form CKKS input")
+    if ct.size != 2:
+        raise ValueError("requires a size-2 ciphertext")
+    p = ctx.params
+    cd = _cd(ctx, ct)
+    size_ql = cd.size_ql
+    tool = _galois_tool(ctx)
+    qlp_q = cd.ks.qlp.q[:, None]
+    qlp_rlo = cd.ks.qlp.ratio_lo[:, None]
+    qlp_rhi = cd.ks.qlp.ratio_hi[:, None]
+
+    c0, c1 = ct.data[0], ct.data[1]
+    t_modup = modup_from_ntt(ctx, cd, c1)
+
+    acc_c0 = None      # weighted permuted c0 terms (mod Ql)
+    acc_c1 = None      # identity steps contribute pt*c1 directly (mod Ql)
+    acc_cx = None      # weighted keyswitch products (mod QlP)
+    for s, pt in zip(steps, pts_qlp):
+        if s % (p.n // 2) == 0:
+            # identity rotation: no keyswitch needed at all
+            term0 = po.mul_rns(c0, pt[:size_ql], cd.mv)
+            term1 = po.mul_rns(c1, pt[:size_ql], cd.mv)
+            acc_c1 = term1 if acc_c1 is None else po.add_rns(acc_c1, term1,
+                                                             cd.mv)
+        else:
+            elt = gal.get_elt_from_step(s, p.n)
+            if elt not in glk.elts:
+                raise ValueError(f"no galois key for step {s}")
+            kidx = glk.elts.index(elt)
+            c0p = tool.apply_ntt(c0, elt)
+            tperm = tool.apply_ntt(t_modup, elt)
+            prod = inner_product_evk(tperm, evk_rows(ctx, glk.data[kidx], cd),
+                                     cd)
+            weighted = mm.mul_mod(prod, pt[None], qlp_q, qlp_rlo, qlp_rhi)
+            term0 = po.mul_rns(c0p, pt[:size_ql], cd.mv)
+            acc_cx = weighted if acc_cx is None else mm.add_mod(
+                acc_cx, weighted, qlp_q)
+        acc_c0 = term0 if acc_c0 is None else po.add_rns(acc_c0, term0, cd.mv)
+    if acc_cx is not None:
+        cx0 = moddown_ntt(ctx, cd, acc_cx[0])
+        cx1 = moddown_ntt(ctx, cd, acc_cx[1])
+        out0 = po.add_rns(acc_c0, cx0, cd.mv)
+        out1 = cx1 if acc_c1 is None else po.add_rns(cx1, acc_c1, cd.mv)
+    else:
+        out0 = acc_c0
+        out1 = acc_c1
+    return ct.replace(data=jnp.stack([out0, out1]),
+                      scale=ct.scale * pts_scale)

@@ -180,3 +180,32 @@ def test_encrypted_matvec(setup):
     y = evaluate.rescale_to_next(ctx, acc)
     got = enc.decode(keys.decrypt(ctx, sk, y)).real[:d]
     np.testing.assert_allclose(got, M @ x, atol=1e-3)
+
+
+def test_hoisted_linear_combo(setup):
+    """Weighted hoisting == sum of multiply_plain(rotate) (one modup)."""
+    from phantom_tpu.schemes.ckks_encoder import encode_extended
+    ctx, sk, pk, rlk, enc = setup
+    rng = np.random.default_rng(10)
+    d = 4
+    z = rng.standard_normal(enc.slots) * 0.3
+    ct = keys.encrypt_asymmetric(ctx, pk, enc.encode(z, SCALE),
+                                 jax.random.PRNGKey(50))
+    glk = keys.create_galois_keys(ctx, sk, jax.random.PRNGKey(51),
+                                  steps=list(range(1, d)))
+    weights = [rng.standard_normal(enc.slots) * 0.3 for _ in range(d)]
+    steps = list(range(d))
+    pts_ext = [encode_extended(enc, w, SCALE, ct.chain_index)
+               for w in weights]
+    fast = evaluate.hoisted_linear_combo(ctx, ct, glk, steps, pts_ext, SCALE)
+    # naive reference
+    acc = None
+    for s, w in zip(steps, weights):
+        rot = evaluate.rotate_vector(ctx, ct, s, glk) if s else ct
+        term = evaluate.multiply_plain(ctx, rot, enc.encode(w, SCALE))
+        acc = term if acc is None else evaluate.add(ctx, acc, term)
+    got = enc.decode(keys.decrypt(ctx, sk, fast))
+    ref = enc.decode(keys.decrypt(ctx, sk, acc))
+    np.testing.assert_allclose(got.real, ref.real, atol=1e-3)
+    expect = sum(w * np.roll(z, -s) for s, w in zip(steps, weights))
+    np.testing.assert_allclose(got.real, expect, atol=1e-3)
