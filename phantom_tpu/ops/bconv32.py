@@ -113,6 +113,13 @@ def bconv_approx32(x: jnp.ndarray, c: BaseConvConsts32) -> jnp.ndarray:
     return reduce_u96_any32(cc, hh, ll, c.obase)
 
 
+def matmul_reduce32(y: jnp.ndarray, c: BaseConvConsts32) -> jnp.ndarray:
+    """The bconv matmul + reduction on *pre-scaled* y (x * QhatInv already
+    applied, e.g. fused into an inverse NTT — reference: ntt_modup.cu)."""
+    cc, hh, ll = _accumulate32(y, c.qhat_mod_p)
+    return reduce_u96_any32(cc, hh, ll, c.obase)
+
+
 def floor_sum_div32(y: jnp.ndarray, c: BaseConvConsts32) -> jnp.ndarray:
     """v = floor(sum y_i / q_i), three-level 2^32 cascade (error 2^-96)."""
     k_in, n = y.shape

@@ -174,6 +174,52 @@ def _inv_kernel(n1, n2, x_ref, w_ref, ws_ref, q_ref, sc_ref, scs_ref, o_ref):
     o_ref[0] = csub32(mul_mod_shoup_lazy32(out, sc_ref[0, 0], scs_ref[0, 0], q), q)
 
 
+def _fwd_fused_kernel(n1, n2, x_ref, w_ref, ws_ref, q_ref, s_ref, sc_ref,
+                      scs_ref, o_ref):
+    """Forward NTT with the moddown/rescale epilogue fused:
+    out = (sub_from - NTT(x)) * scale mod q, all in one VMEM pass
+    (reference: nwt_2d_radix8_forward_inplace_fuse_moddown,
+    ntt_moddown.cu:222).  Bit-identical to fNTT + sub_mod32 +
+    mul_mod_shoup32."""
+    n = n1 * n2
+    q = q_ref[0, 0]
+    two_q = q * U32(2)
+    x = x_ref[0].reshape(n1, n2)
+
+    m = 1
+    while m < n1:
+        h1 = n1 // (2 * m)
+        xr = x.reshape(m, 2, h1, n2)
+        w = w_ref[0, m:2 * m].reshape(m, 1, 1)
+        ws = ws_ref[0, m:2 * m].reshape(m, 1, 1)
+        u = xr[:, 0]
+        v = xr[:, 1]
+        u = u - jnp.where(u >= two_q, two_q, U32(0))
+        wv = mul_mod_shoup_lazy32(v, w, ws, q)
+        x = jnp.stack([u + wv, u - wv + two_q], axis=1).reshape(n1, n2)
+        m <<= 1
+
+    xt = x.T
+
+    while m < n:
+        mr = m // n1
+        t_len = n2 // (2 * mr)
+        xr = xt.reshape(mr, 2, t_len, n1)
+        w = w_ref[0, m:2 * m].reshape(mr, 1, n1)
+        ws = ws_ref[0, m:2 * m].reshape(mr, 1, n1)
+        u = xr[:, 0]
+        v = xr[:, 1]
+        u = u - jnp.where(u >= two_q, two_q, U32(0))
+        wv = mul_mod_shoup_lazy32(v, w, ws, q)
+        xt = jnp.stack([u + wv, u - wv + two_q], axis=1).reshape(n2, n1)
+        m <<= 1
+
+    ntt = csub32(csub32(xt.T.reshape(n), two_q), q)
+    diff = s_ref[0] - ntt + q  # sub_from in [0,q): diff in (0, 2q)
+    o_ref[0] = csub32(mul_mod_shoup_lazy32(diff, sc_ref[0, 0],
+                                           scs_ref[0, 0], q), q)
+
+
 def _row_call(kernel, nrows, num_l, n, extra_rows, interpret):
     """pallas_call gridded one (limb) row per program; table rows are
     reused across the leading batch via a modulo index map.  Per-limb
@@ -198,8 +244,13 @@ def _row_call(kernel, nrows, num_l, n, extra_rows, interpret):
 
 
 def ntt_forward_pallas(x: jnp.ndarray, t: PallasNTTTables,
+                       sub_from=None, epi_scale=None, epi_scale_shoup=None,
                        interpret=None) -> jnp.ndarray:
-    """x: (..., L, N) uint32 in [0, q) -> NTT form in [0, q)."""
+    """x: (..., L, N) uint32 in [0, q) -> NTT form in [0, q).
+
+    With sub_from/epi_scale set, returns (sub_from - NTT(x)) * epi_scale
+    instead — the fused moddown/rescale epilogue (one VMEM pass; reference:
+    ntt_moddown.cu:222)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n = t.n1 * t.n2
@@ -207,9 +258,30 @@ def ntt_forward_pallas(x: jnp.ndarray, t: PallasNTTTables,
     num_l = x.shape[-2]
     nrows = int(np.prod(lead)) if lead else 1
     xf = x.reshape(nrows, n)
-    kern = functools.partial(_fwd_kernel, t.n1, t.n2)
-    out = _row_call(kern, nrows, num_l, n, 0, interpret)(
-        xf, t.fwd, t.fwd_shoup, t.q.reshape(-1, 1))
+    if sub_from is None:
+        kern = functools.partial(_fwd_kernel, t.n1, t.n2)
+        out = _row_call(kern, nrows, num_l, n, 0, interpret)(
+            xf, t.fwd, t.fwd_shoup, t.q.reshape(-1, 1))
+        return out.reshape(*lead, n)
+    sf = jnp.asarray(sub_from, dtype=jnp.uint32).reshape(nrows, n)
+    sc = jnp.asarray(epi_scale, dtype=jnp.uint32).reshape(-1, 1)
+    scs = jnp.asarray(epi_scale_shoup, dtype=jnp.uint32).reshape(-1, 1)
+    data_spec = pl.BlockSpec((1, n), lambda l: (l, 0),
+                             memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec((1, n), lambda l: (l % num_l, 0),
+                              memory_space=pltpu.VMEM)
+    scalar_spec = pl.BlockSpec((1, 1), lambda l: (l % num_l, 0),
+                               memory_space=pltpu.SMEM)
+    kern = functools.partial(_fwd_fused_kernel, t.n1, t.n2)
+    out = pl.pallas_call(
+        kern,
+        grid=(nrows,),
+        in_specs=[data_spec, table_spec, table_spec, scalar_spec,
+                  data_spec, scalar_spec, scalar_spec],
+        out_specs=data_spec,
+        out_shape=jax.ShapeDtypeStruct((nrows, n), jnp.uint32),
+        interpret=interpret,
+    )(xf, t.fwd, t.fwd_shoup, t.q.reshape(-1, 1), sf, sc, scs)
     return out.reshape(*lead, n)
 
 

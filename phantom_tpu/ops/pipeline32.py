@@ -1,16 +1,29 @@
-"""End-to-end 32-bit CKKS pipeline: multiply + relinearize + rescale.
+"""End-to-end 32-bit fast pipelines: the TPU-native hot path for all
+schemes.
 
-The TPU-native fast path for the headline benchmark (BASELINE north star):
-all residues are single uint32 words (primes < 2^30), NTTs run on the u32
-engine (optionally the Pallas kernel), base conversions on ops/bconv32.
+All residues are single uint32 words (primes < 2^30), NTTs run on the u32
+engine (optionally the Pallas kernels), base conversions on ops/bconv32.
 Consts convert losslessly from a u64 Context; results are bit-identical to
-the u64 evaluator path, so encrypt/decrypt/encode stay on the generic
-stack and only the hot loop switches representation.
+the u64 evaluator path (tested in tests/test_pipeline32.py /
+test_fastpath32.py), so encrypt/decrypt/encode stay on the generic stack
+and only the hot loop switches representation.
+
+Layout:
+  KeySwitch32 + modup32/inner_product32/moddown32/keyswitch32 — the shared
+    hybrid-keyswitch engine (reference: eval_key_switch.cu:95-183,
+    rns_bconv.cu:530-828), incl. the BGV t-corrected moddown and the fused
+    NTT-form modup (iNTT x QhatInv, digit rows reused — ntt_modup.cu).
+  CKKSPipeline32 + mult_relin_rescale32 — the headline benchmark step
+    (reference: multiply_and_relin + rescale, ckks_bench.cu workload).
+  Galois32 + rotate32/hoisting_sum32 — NTT-domain rotations and hoisted
+    rotation sums (reference: apply_galois/hoisting, evaluate.cu:1567-1865).
+
+Scheme-specific multiply pipelines: ops/bfv32.py (HPS), ops/bgv32.py.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import Optional, Tuple
 
 import flax.struct
 import jax.numpy as jnp
@@ -28,65 +41,75 @@ def _u32(v) -> jnp.ndarray:
 
 
 def _shoup32_from64(shoup64) -> jnp.ndarray:
+    """floor(w*2^64/q) >> 32 == floor(w*2^32/q): exact u32 Shoup word."""
     return jnp.asarray((np.asarray(shoup64) >> 32).astype(np.uint32))
 
 
-@flax.struct.dataclass
-class CKKSPipeline32:
-    """Precomputed u32 state for one (context level, relin key) pair.
+# ---------------------------------------------------------------------------
+# Shared hybrid key-switch engine
+# ---------------------------------------------------------------------------
 
-    Static geometry fields are pytree aux data so the whole pipeline object
-    can ride through jit as an argument (tables stay runtime parameters,
-    never constant-folded)."""
+@flax.struct.dataclass
+class KeySwitch32:
+    """u32 tables for hybrid key switching at one context level.
+
+    Holds no key material: the evaluation key rides as a separate function
+    argument so one KeySwitch32 serves relinearization, every rotation
+    element, and hoisting (the reference's DRNSTool split,
+    include/rns.cuh:37-44)."""
 
     n: int = flax.struct.field(pytree_node=False)
     size_ql: int = flax.struct.field(pytree_node=False)
     size_p: int = flax.struct.field(pytree_node=False)
+    use_pallas: bool = flax.struct.field(pytree_node=False, default=False)
     mv_ql: ModulusVec32 = None
     mv_qlp: ModulusVec32 = None
     # NTT tables
     t_qlp: object = None     # rows: Ql then P
     t_ql: object = None
     t_p: object = None
-    t_ql_next: object = None  # Ql minus last (rescale output)
-    use_pallas: bool = flax.struct.field(pytree_node=False, default=False)
-    # keyswitch
+    # modup / moddown
     digit_convs: Tuple[BaseConvConsts32, ...] = None
     p_to_q: BaseConvConsts32 = None
     pinv: jnp.ndarray = None
     pinv_shoup: jnp.ndarray = None
-    evk: jnp.ndarray = None  # (beta, 2, size_qlp, N) uint32
-    # rescale
-    qlast_inv: jnp.ndarray = None
-    qlast_inv_shoup: jnp.ndarray = None
-    half: jnp.ndarray = None  # () u32
-    half_mod_q: jnp.ndarray = None  # (k-1,)
+    # fused NTT-form modup: iNTT scale = n^-1 * QhatInv per Ql row
+    modup_scale: Optional[jnp.ndarray] = None
+    modup_scale_shoup: Optional[jnp.ndarray] = None
+    # BGV-only t-corrected moddown (reference: bgv_moddown_kernel)
+    p_to_t: Optional[BaseConvConsts32] = None
+    phalf_mod_p: Optional[jnp.ndarray] = None
+    phalf_mod_q: Optional[jnp.ndarray] = None
+    phalf_mod_t: Optional[jnp.ndarray] = None
+    neg_pinv_mod_t: Optional[jnp.ndarray] = None
+    bigp_mod_q: Optional[jnp.ndarray] = None
+    t_mv: Optional[ModulusVec32] = None
 
 
-def build_pipeline32(ctx, rlk, chain_index: int = 1,
-                     use_pallas: bool = False) -> CKKSPipeline32:
-    from ..schemes.keyswitch import qlp_rows
+def _conv_tables(t64, use_pallas: bool):
+    t32 = ntt32.tables32_from_tables64(t64)
+    return ntp.prepare_tables(t32) if use_pallas else t32
+
+
+def build_keyswitch32(ctx, chain_index: int = 1,
+                      use_pallas: bool = False,
+                      for_bgv: bool = False) -> KeySwitch32:
+    """Convert one level's u64 keyswitch consts to the u32 representation."""
+    from ..host.rns import BaseConverter, RNSBase
     from ..ops import ntt as ntt64mod
+    from ..schemes.keyswitch import qlp_rows
+
     cd = ctx.get_context_data(chain_index)
     ks = cd.ks
-    rc = cd.rescale
     k = cd.size_ql
     rows = qlp_rows(ctx, k)
     t_qlp64 = ntt64mod._limb_gather(ctx.ntt, rows)
-
-    def conv_tables(t64):
-        t32 = ntt32.tables32_from_tables64(t64)
-        return ntp.prepare_tables(t32) if use_pallas else t32
-
     qlp_moduli = [int(v) for v in np.asarray(t_qlp64.q)]
-    evk64 = np.asarray(rlk.data)  # (dnum, 2, K, N)
-    beta = len(ks.digit_convs)
-    evk32 = evk64[:beta][:, :, np.asarray(rows)].astype(np.uint32)
 
-    from ..host.rns import BaseConverter, RNSBase
     data_moduli = list(cd.moduli)
     alpha = ctx.params.size_p
     special = list(ctx.params.special_moduli)
+    beta = len(ks.digit_convs)
     digit_convs = []
     for d in range(beta):
         lo, hi = d * alpha, min((d + 1) * alpha, k)
@@ -97,118 +120,66 @@ def build_pipeline32(ctx, rlk, chain_index: int = 1,
     p_to_q = bc32.consts32_from_host(
         BaseConverter(RNSBase(special), RNSBase(data_moduli)))
 
-    return CKKSPipeline32(
+    bgv_extra = {}
+    if for_bgv and ks.p_to_t is not None:
+        t = int(ctx.params.plain_modulus)
+        bgv_extra = dict(
+            p_to_t=bc32.consts32_from_host(
+                BaseConverter(RNSBase(special), RNSBase([t]))),
+            phalf_mod_p=_u32(ks.phalf_mod_p),
+            phalf_mod_q=_u32(ks.phalf_mod_q),
+            phalf_mod_t=_u32(ks.phalf_mod_t),
+            neg_pinv_mod_t=_u32(ks.neg_pinv_mod_t),
+            bigp_mod_q=_u32(ks.bigp_mod_q),
+            t_mv=modulus_vec32([t]),
+        )
+
+    fused = ks.modup_scale is not None and k % alpha == 0
+    return KeySwitch32(
         n=ctx.params.n,
         size_ql=k,
         size_p=alpha,
+        use_pallas=use_pallas,
         mv_ql=modulus_vec32(data_moduli),
         mv_qlp=modulus_vec32(qlp_moduli),
-        t_qlp=conv_tables(t_qlp64),
-        t_ql=conv_tables(ctx.tables_q(k)),
-        t_p=conv_tables(ctx.tables_p()),
-        t_ql_next=conv_tables(ctx.tables_q(k - 1)),
-        use_pallas=use_pallas,
+        t_qlp=_conv_tables(t_qlp64, use_pallas),
+        t_ql=_conv_tables(ctx.tables_q(k), use_pallas),
+        t_p=_conv_tables(ctx.tables_p(), use_pallas),
         digit_convs=tuple(digit_convs),
         p_to_q=p_to_q,
         pinv=_u32(ks.pinv_mod_q),
         pinv_shoup=_shoup32_from64(np.asarray(ks.pinv_shoup)),
-        evk=jnp.asarray(evk32),
-        qlast_inv=_u32(rc.qlast_inv),
-        qlast_inv_shoup=_shoup32_from64(np.asarray(rc.qlast_inv_shoup)),
-        half=_u32(rc.half),
-        half_mod_q=_u32(rc.half_mod_q),
+        modup_scale=_u32(ks.modup_scale) if fused else None,
+        modup_scale_shoup=(_shoup32_from64(np.asarray(ks.modup_scale_shoup))
+                           if fused else None),
+        **bgv_extra,
     )
 
 
-def _fwd(p: CKKSPipeline32, x, tables):
-    if p.use_pallas:
+def convert_key32(ctx, key_data, chain_index: int = 1) -> jnp.ndarray:
+    """(dnum, 2, K, N) u64 key -> (beta, 2, size_qlp, N) u32 at this level."""
+    from ..schemes.keyswitch import qlp_rows
+    cd = ctx.get_context_data(chain_index)
+    rows = qlp_rows(ctx, cd.size_ql)
+    beta = len(cd.ks.digit_convs)
+    k64 = np.asarray(key_data)
+    return jnp.asarray(k64[:beta][:, :, np.asarray(rows)].astype(np.uint32))
+
+
+def _fwd(ks, x, tables):
+    if ks.use_pallas:
         return ntp.ntt_forward_pallas(x, tables)
     return ntt32.ntt_forward32(x, tables)
 
 
-def _inv(p: CKKSPipeline32, x, tables, **kw):
-    if p.use_pallas:
+def _inv(ks, x, tables, **kw):
+    if ks.use_pallas:
         return ntp.ntt_inverse_pallas(x, tables, **kw)
     return ntt32.ntt_inverse32(x, tables, **kw)
 
 
-def _tensor_2x2(p: CKKSPipeline32, a, b):
-    q = p.mv_ql.q[:, None]
-    rh = p.mv_ql.ratio_hi[:, None]
-    rl = p.mv_ql.ratio_lo[:, None]
-    c0 = m32.mul_mod32(a[0], b[0], q, rh, rl)
-    c1 = m32.add_mod32(m32.mul_mod32(a[0], b[1], q, rh, rl),
-                       m32.mul_mod32(a[1], b[0], q, rh, rl), q)
-    c2 = m32.mul_mod32(a[1], b[1], q, rh, rl)
-    return c0, c1, c2
-
-
-def _modup(p: CKKSPipeline32, c2_coeff):
-    k = p.size_ql
-    alpha = p.size_p
-    beta = len(p.digit_convs)
-    assembled = []
-    for d in range(beta):
-        lo, hi = d * alpha, min((d + 1) * alpha, k)
-        x = c2_coeff[lo:hi]
-        compl = bc32.bconv_approx32(x, p.digit_convs[d])
-        assembled.append(jnp.concatenate([compl[:lo], x, compl[lo:]], axis=0))
-    return _fwd(p, jnp.stack(assembled), p.t_qlp)
-
-
-def _inner_product(p: CKKSPipeline32, t_modup):
-    """128-bit-free inner product: per-digit u32xu32 products accumulate in
-    a (carry, hi, lo) u32 triple, one reduction at the end."""
-    if p.use_pallas:
-        out = ntp.keyswitch_inner_product_pallas(t_modup, p.evk, p.mv_qlp)
-        return out[0], out[1]
-    beta = t_modup.shape[0]
-    halves = []
-    for j in range(2):
-        c = jnp.zeros(t_modup.shape[1:], dtype=jnp.uint32)
-        hi = jnp.zeros(t_modup.shape[1:], dtype=jnp.uint32)
-        lo = jnp.zeros(t_modup.shape[1:], dtype=jnp.uint32)
-        for d in range(beta):
-            h, l = m32.mul_wide32(t_modup[d], p.evk[d, j])
-            lo, cr = m32.add_u32_carry(lo, l)
-            hi2, cr2 = m32.add_u32_carry(hi, h + cr)
-            hi = hi2
-            c = c + cr2
-        halves.append(bc32.reduce_u96_any32(c, hi, lo, p.mv_qlp))
-    return halves
-
-
-def _moddown(p: CKKSPipeline32, x):
-    k = p.size_ql
-    x_q = x[:k]
-    x_p = _inv(p, x[k:], p.t_p)
-    delta = bc32.bconv_exact32(x_p, p.p_to_q)
-    delta_ntt = _fwd(p, delta, p.t_ql)
-    q = p.mv_ql.q[:, None]
-    diff = m32.sub_mod32(x_q, delta_ntt, q)
-    return m32.mul_mod_shoup32(diff, p.pinv[:, None], p.pinv_shoup[:, None],
-                               q)
-
-
-def _rescale(p: CKKSPipeline32, x):
-    """round(x / q_last) on NTT-form (k, N) -> (k-1, N)."""
-    k = p.size_ql
-    t_last = _slice_tables(p, p.t_ql, k - 1, k)
-    xl = _inv(p, x[..., k - 1:k, :], t_last)
-    qlast = p.mv_ql.q[k - 1]
-    xl = m32.add_mod32(xl, p.half, qlast)
-    rest_q = p.mv_ql.q[:k - 1][:, None]
-    rest_rh = p.mv_ql.ratio_hi[:k - 1][:, None]
-    red = m32.barrett_reduce_u32(xl, rest_q, rest_rh)
-    delta = m32.sub_mod32(red, p.half_mod_q[:, None], rest_q)
-    delta_ntt = _fwd(p, delta, p.t_ql_next)
-    diff = m32.sub_mod32(x[..., :k - 1, :], delta_ntt, rest_q)
-    return m32.mul_mod_shoup32(diff, p.qlast_inv[:, None],
-                               p.qlast_inv_shoup[:, None], rest_q)
-
-
-def _slice_tables(p: CKKSPipeline32, tables, lo, hi):
-    if p.use_pallas:
+def slice_tables32(use_pallas: bool, tables, lo, hi):
+    if use_pallas:
         return ntp.PallasNTTTables(
             q=tables.q[lo:hi], fwd=tables.fwd[lo:hi],
             fwd_shoup=tables.fwd_shoup[lo:hi], inv=tables.inv[lo:hi],
@@ -219,18 +190,313 @@ def _slice_tables(p: CKKSPipeline32, tables, lo, hi):
     return ntt32.NTTTables32(*(a[lo:hi] for a in tables))
 
 
+def modup32(ks: KeySwitch32, c2_coeff: jnp.ndarray) -> jnp.ndarray:
+    """(size_ql, N) coeff form -> (beta, size_qlp, N) NTT form.
+    Reference: DRNSTool::modup (rns_bconv.cu:530-628)."""
+    k = ks.size_ql
+    alpha = ks.size_p
+    beta = len(ks.digit_convs)
+    assembled = []
+    for d in range(beta):
+        lo, hi = d * alpha, min((d + 1) * alpha, k)
+        x = c2_coeff[lo:hi]
+        compl = bc32.bconv_approx32(x, ks.digit_convs[d])
+        assembled.append(jnp.concatenate([compl[:lo], x, compl[lo:]], axis=0))
+    return _fwd(ks, jnp.stack(assembled), ks.t_qlp)
+
+
+def modup_from_ntt32(ks: KeySwitch32, c2_ntt: jnp.ndarray) -> jnp.ndarray:
+    """Fused modup for NTT-form input: one iNTT with the x QhatInv scale
+    folded in, own digit rows reused in NTT form, only complement rows
+    forward-transformed (reference: ntt_modup.cu).  Bit-identical to
+    ntt_inverse + modup32."""
+    k = ks.size_ql
+    alpha = ks.size_p
+    beta = len(ks.digit_convs)
+    if ks.modup_scale is None:
+        return modup32(ks, _inv(ks, c2_ntt, ks.t_ql))
+    y = _inv(ks, c2_ntt, ks.t_ql, scale=ks.modup_scale,
+             scale_shoup=ks.modup_scale_shoup)
+    out = []
+    for d in range(beta):
+        lo, hi = d * alpha, min((d + 1) * alpha, k)
+        compl = bc32.matmul_reduce32(y[lo:hi], ks.digit_convs[d])
+        # complement rows inside QlP: Ql rows minus the digit, then P rows
+        t_compl = _compl_tables(ks, lo, hi)
+        compl_ntt = _fwd(ks, compl, t_compl)
+        out.append(jnp.concatenate(
+            [compl_ntt[:lo], c2_ntt[lo:hi], compl_ntt[lo:]], axis=0))
+    return jnp.stack(out)
+
+
+def _compl_tables(ks: KeySwitch32, lo: int, hi: int):
+    """QlP tables minus rows [lo, hi) (a digit's complement)."""
+    idx = list(range(lo)) + list(range(hi, ks.size_ql + ks.size_p))
+    t = ks.t_qlp
+    if ks.use_pallas:
+        ia = np.asarray(idx)
+        return ntp.PallasNTTTables(
+            q=t.q[ia], fwd=t.fwd[ia], fwd_shoup=t.fwd_shoup[ia],
+            inv=t.inv[ia], inv_shoup=t.inv_shoup[ia],
+            inv_degree=t.inv_degree[ia], inv_degree_shoup=t.inv_degree_shoup[ia],
+            n1=t.n1, n2=t.n2)
+    ia = np.asarray(idx)
+    return ntt32.NTTTables32(*(a[ia] for a in t))
+
+
+def inner_product32(ks: KeySwitch32, t_modup: jnp.ndarray,
+                    evk: jnp.ndarray):
+    """sum_d t_d * evk[d, j]: per-digit u32xu32 products accumulated in a
+    (carry, hi, lo) u32 triple, one reduction at the end (reference:
+    key_switch_inner_prod_c2_and_evk, eval_key_switch.cu:14-69)."""
+    if ks.use_pallas:
+        out = ntp.keyswitch_inner_product_pallas(t_modup, evk, ks.mv_qlp)
+        return out[0], out[1]
+    beta = t_modup.shape[0]
+    halves = []
+    for j in range(2):
+        c = jnp.zeros(t_modup.shape[1:], dtype=jnp.uint32)
+        hi = jnp.zeros(t_modup.shape[1:], dtype=jnp.uint32)
+        lo = jnp.zeros(t_modup.shape[1:], dtype=jnp.uint32)
+        for d in range(beta):
+            h, l = m32.mul_wide32(t_modup[d], evk[d, j])
+            lo, cr = m32.add_u32_carry(lo, l)
+            hi2, cr2 = m32.add_u32_carry(hi, h + cr)
+            hi = hi2
+            c = c + cr2
+        halves.append(bc32.reduce_u96_any32(c, hi, lo, ks.mv_qlp))
+    return halves
+
+
+def _moddown_delta32(ks: KeySwitch32, x_p: jnp.ndarray) -> jnp.ndarray:
+    """delta == x (mod P) over Ql rows; BGV additionally forces
+    delta == 0 (mod t) (reference: moddown vs bgv_moddown_kernel,
+    rns_bconv.cu:636,691)."""
+    if ks.p_to_t is None:
+        return bc32.bconv_exact32(x_p, ks.p_to_q)
+    q = ks.p_to_q.obase.q[:, None]
+    p_q = ks.p_to_q.ibase.q[:, None]
+    shifted = m32.add_mod32(x_p, ks.phalf_mod_p[:, None], p_q)
+    dq = m32.sub_mod32(bc32.bconv_exact32(shifted, ks.p_to_q),
+                       ks.phalf_mod_q[:, None], q)
+    t = ks.t_mv.q[0]
+    dt = m32.sub_mod32(bc32.bconv_exact32(shifted, ks.p_to_t),
+                       ks.phalf_mod_t, t)
+    u = m32.mul_mod32(dt, ks.neg_pinv_mod_t, t, ks.t_mv.ratio_hi[0],
+                      ks.t_mv.ratio_lo[0])
+    corr = m32.mul_mod32(u, ks.bigp_mod_q[:, None], q,
+                         ks.p_to_q.obase.ratio_hi[:, None],
+                         ks.p_to_q.obase.ratio_lo[:, None])
+    return m32.add_mod32(dq, corr, q)
+
+
+def moddown32(ks: KeySwitch32, x: jnp.ndarray) -> jnp.ndarray:
+    """(x_Q - delta(x_P)) * P^{-1} over Ql, NTT in/out (reference:
+    DRNSTool::moddown_from_NTT, rns_bconv.cu:776; the forward NTT carries
+    the (x - delta) * P^{-1} epilogue fused, ntt_moddown.cu:222)."""
+    k = ks.size_ql
+    x_q = x[:k]
+    x_p = _inv(ks, x[k:], ks.t_p)
+    delta = _moddown_delta32(ks, x_p)
+    q = ks.mv_ql.q[:, None]
+    if ks.use_pallas:
+        # fused epilogue inside the Pallas forward NTT: no extra HBM pass
+        return ntp.ntt_forward_pallas(
+            delta, ks.t_ql, sub_from=x_q,
+            epi_scale=ks.pinv, epi_scale_shoup=ks.pinv_shoup)
+    delta_ntt = _fwd(ks, delta, ks.t_ql)
+    diff = m32.sub_mod32(x_q, delta_ntt, q)
+    return m32.mul_mod_shoup32(diff, ks.pinv[:, None], ks.pinv_shoup[:, None],
+                               q)
+
+
+def keyswitch32(ks: KeySwitch32, c2_coeff: jnp.ndarray,
+                evk: jnp.ndarray) -> jnp.ndarray:
+    """Full hybrid keyswitch, coeff-form input -> (2, size_ql, N) NTT."""
+    t_up = modup32(ks, c2_coeff)
+    s0, s1 = inner_product32(ks, t_up, evk)
+    return jnp.stack([moddown32(ks, s0), moddown32(ks, s1)])
+
+
+def keyswitch_from_ntt32(ks: KeySwitch32, c2_ntt: jnp.ndarray,
+                         evk: jnp.ndarray) -> jnp.ndarray:
+    """Hybrid keyswitch, NTT-form input (fused modup)."""
+    t_up = modup_from_ntt32(ks, c2_ntt)
+    s0, s1 = inner_product32(ks, t_up, evk)
+    return jnp.stack([moddown32(ks, s0), moddown32(ks, s1)])
+
+
+# ---------------------------------------------------------------------------
+# CKKS pipeline
+# ---------------------------------------------------------------------------
+
+@flax.struct.dataclass
+class CKKSPipeline32:
+    """Precomputed u32 state for one (context level, relin key) pair."""
+
+    ks: KeySwitch32 = None
+    evk: jnp.ndarray = None  # (beta, 2, size_qlp, N) uint32
+    t_ql_next: object = None  # Ql minus last (rescale output)
+    # rescale
+    qlast_inv: jnp.ndarray = None
+    qlast_inv_shoup: jnp.ndarray = None
+    half: jnp.ndarray = None  # () u32
+    half_mod_q: jnp.ndarray = None  # (k-1,)
+
+    # geometry passthroughs
+    @property
+    def n(self):
+        return self.ks.n
+
+    @property
+    def size_ql(self):
+        return self.ks.size_ql
+
+    @property
+    def use_pallas(self):
+        return self.ks.use_pallas
+
+    @property
+    def mv_ql(self):
+        return self.ks.mv_ql
+
+
+def build_pipeline32(ctx, rlk, chain_index: int = 1,
+                     use_pallas: bool = False) -> CKKSPipeline32:
+    cd = ctx.get_context_data(chain_index)
+    rc = cd.rescale
+    ks = build_keyswitch32(ctx, chain_index, use_pallas)
+    return CKKSPipeline32(
+        ks=ks,
+        evk=convert_key32(ctx, rlk.data, chain_index),
+        t_ql_next=_conv_tables(ctx.tables_q(cd.size_ql - 1), use_pallas),
+        qlast_inv=_u32(rc.qlast_inv),
+        qlast_inv_shoup=_shoup32_from64(np.asarray(rc.qlast_inv_shoup)),
+        half=_u32(rc.half),
+        half_mod_q=_u32(rc.half_mod_q),
+    )
+
+
+def _tensor_2x2(mv: ModulusVec32, a, b):
+    q = mv.q[:, None]
+    rh = mv.ratio_hi[:, None]
+    rl = mv.ratio_lo[:, None]
+    c0 = m32.mul_mod32(a[0], b[0], q, rh, rl)
+    c1 = m32.add_mod32(m32.mul_mod32(a[0], b[1], q, rh, rl),
+                       m32.mul_mod32(a[1], b[0], q, rh, rl), q)
+    c2 = m32.mul_mod32(a[1], b[1], q, rh, rl)
+    return c0, c1, c2
+
+
+def _rescale(p: CKKSPipeline32, x):
+    """round(x / q_last) on NTT-form (k, N) -> (k-1, N)."""
+    ks = p.ks
+    k = ks.size_ql
+    t_last = slice_tables32(ks.use_pallas, ks.t_ql, k - 1, k)
+    xl = _inv(ks, x[..., k - 1:k, :], t_last)
+    qlast = ks.mv_ql.q[k - 1]
+    xl = m32.add_mod32(xl, p.half, qlast)
+    rest_q = ks.mv_ql.q[:k - 1][:, None]
+    rest_rh = ks.mv_ql.ratio_hi[:k - 1][:, None]
+    red = m32.barrett_reduce_u32(xl, rest_q, rest_rh)
+    delta = m32.sub_mod32(red, p.half_mod_q[:, None], rest_q)
+    if ks.use_pallas:
+        return ntp.ntt_forward_pallas(
+            delta, p.t_ql_next, sub_from=x[..., :k - 1, :],
+            epi_scale=p.qlast_inv, epi_scale_shoup=p.qlast_inv_shoup)
+    delta_ntt = _fwd(ks, delta, p.t_ql_next)
+    diff = m32.sub_mod32(x[..., :k - 1, :], delta_ntt, rest_q)
+    return m32.mul_mod_shoup32(diff, p.qlast_inv[:, None],
+                               p.qlast_inv_shoup[:, None], rest_q)
+
+
 def mult_relin_rescale32(p: CKKSPipeline32, d1: jnp.ndarray,
                          d2: jnp.ndarray) -> jnp.ndarray:
     """d1, d2: (2, size_ql, N) uint32 NTT form -> (2, size_ql-1, N).
 
     Bit-identical to evaluate.multiply_and_relin + rescale_to_next on the
     u64 path."""
-    c0, c1, c2 = _tensor_2x2(p, d1, d2)
-    c2_coeff = _inv(p, c2, p.t_ql)
-    t_up = _modup(p, c2_coeff)
-    s0, s1 = _inner_product(p, t_up)
-    q = p.mv_ql.q[:, None]
-    out0 = m32.add_mod32(c0, _moddown(p, s0), q)
-    out1 = m32.add_mod32(c1, _moddown(p, s1), q)
+    ks = p.ks
+    c0, c1, c2 = _tensor_2x2(ks.mv_ql, d1, d2)
+    t_up = modup_from_ntt32(ks, c2)
+    s0, s1 = inner_product32(ks, t_up, p.evk)
+    q = ks.mv_ql.q[:, None]
+    out0 = m32.add_mod32(c0, moddown32(ks, s0), q)
+    out1 = m32.add_mod32(c1, moddown32(ks, s1), q)
     out = jnp.stack([out0, out1])
     return _rescale(p, out)
+
+
+# ---------------------------------------------------------------------------
+# Galois rotations + hoisting
+# ---------------------------------------------------------------------------
+
+@flax.struct.dataclass
+class Galois32:
+    """u32 rotation state: NTT-domain permutation tables + per-element keys
+    (reference: PhantomGaloisTool + PhantomGaloisKey,
+    galois.cuh:59-159, secretkey.h)."""
+
+    elts: Tuple[int, ...] = flax.struct.field(pytree_node=False)
+    perms: jnp.ndarray = None   # (n_elts, N) int32 NTT gather indices
+    evks: jnp.ndarray = None    # (n_elts, beta, 2, size_qlp, N) u32
+
+
+def build_galois32(ctx, glk, chain_index: int = 1) -> Galois32:
+    from ..schemes import galois as gal
+    n = ctx.params.n
+    perms = np.stack([gal.make_ntt_perm(e, n) for e in glk.elts])
+    evks = jnp.stack([convert_key32(ctx, glk.data[i], chain_index)
+                      for i in range(len(glk.elts))])
+    return Galois32(elts=tuple(glk.elts),
+                    perms=jnp.asarray(perms.astype(np.int32)),
+                    evks=evks)
+
+
+def apply_galois32(ks: KeySwitch32, g: Galois32, d: jnp.ndarray,
+                   elt: int) -> jnp.ndarray:
+    """NTT-form (2, size_ql, N) -> rotated ciphertext (reference:
+    apply_galois_inplace NTT path, evaluate.cu:1567)."""
+    kidx = g.elts.index(elt)
+    perm = g.perms[kidx]
+    c0p = d[0][..., perm]
+    c1p = d[1][..., perm]
+    switched = keyswitch_from_ntt32(ks, c1p, g.evks[kidx])
+    q = ks.mv_ql.q[:, None]
+    return jnp.stack([m32.add_mod32(c0p, switched[0], q), switched[1]])
+
+
+def rotate32(ks: KeySwitch32, g: Galois32, d: jnp.ndarray,
+             step: int) -> jnp.ndarray:
+    """Slot rotation by `step` (single hop; NAF fallback is the caller's
+    job as in evaluate.rotate)."""
+    from ..schemes import galois as gal
+    elt = gal.get_elt_from_step(step, ks.n)
+    return apply_galois32(ks, g, d, elt)
+
+
+def hoisting_sum32(ks: KeySwitch32, g: Galois32, d: jnp.ndarray,
+                   steps) -> jnp.ndarray:
+    """sum_s rotate(d, s): ONE modup, per-step NTT-domain digit permutation
+    + evk inner product, ONE moddown (reference: hoisting_inplace,
+    evaluate.cu:1670-1865)."""
+    from ..schemes import galois as gal
+    c0, c1 = d[0], d[1]
+    t_up = modup_from_ntt32(ks, c1)
+    q = ks.mv_ql.q[:, None]
+    qlp_q = ks.mv_qlp.q[:, None]
+    acc_c0 = None
+    acc0 = acc1 = None
+    for s in steps:
+        elt = gal.get_elt_from_step(s, ks.n)
+        kidx = g.elts.index(elt)
+        perm = g.perms[kidx]
+        c0p = c0[..., perm]
+        tperm = t_up[..., perm]
+        s0, s1 = inner_product32(ks, tperm, g.evks[kidx])
+        acc_c0 = c0p if acc_c0 is None else m32.add_mod32(acc_c0, c0p, q)
+        acc0 = s0 if acc0 is None else m32.add_mod32(acc0, s0, qlp_q)
+        acc1 = s1 if acc1 is None else m32.add_mod32(acc1, s1, qlp_q)
+    cx0 = moddown32(ks, acc0)
+    cx1 = moddown32(ks, acc1)
+    return jnp.stack([m32.add_mod32(acc_c0, cx0, q), cx1])

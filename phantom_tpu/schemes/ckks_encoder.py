@@ -250,10 +250,24 @@ def encode_extended(enc: CKKSEncoder, values, scale: float,
     v = np.asarray(values, dtype=np.complex128).ravel()
     z[: v.shape[0]] = v
     coeffs = enc._embed_inverse(z) * scale
-    ints64 = np.round(coeffs).astype(np.int64)
     rows = qlp_rows(ctx, cd.size_ql)
     moduli = [int(ctx.params.coeff_modulus[r]) for r in rows]
-    rns = np.stack([(ints64 % np.int64(q)).astype(np.uint64)
-                    for q in moduli])
+    # same budget guard + big-coefficient fallback as CKKSEncoder.encode:
+    # weights at a large scale must not silently wrap int64
+    max_coeff = float(np.max(np.abs(coeffs))) if coeffs.size else 0.0
+    total_qlp = 1
+    for q in moduli:
+        total_qlp *= q
+    if max_coeff >= total_qlp / 2:
+        raise ValueError("encoded values are too large for parms at this "
+                         "level (scale out of bounds)")
+    if max_coeff < 2 ** 62:
+        ints64 = np.round(coeffs).astype(np.int64)
+        rns = np.stack([(ints64 % np.int64(q)).astype(np.uint64)
+                        for q in moduli])
+    else:
+        ints = [int(round(c)) for c in coeffs]
+        rns = np.stack([np.array([x % q for x in ints], dtype=np.uint64)
+                        for q in moduli])
     data = nttmod.ntt_forward(jnp.asarray(rns), tables_qlp(ctx, cd.size_ql))
     return data  # (size_qlp, N) NTT form

@@ -161,6 +161,11 @@ class Context:
     params: EncryptionParameters = flax.struct.field(pytree_node=False,
                                                      default=None)
     bsk_ntt: Optional[nttmod.NTTTablesDevice] = None  # BFV BEHZ: B + m_sk
+    # Galois permutation-table cache (reference: PhantomGaloisTool member of
+    # PhantomContext, src/context.cu:229-231). Static field: tables are a
+    # pure function of n, hashed on n (see GaloisTool.__hash__).
+    galois: Optional[object] = flax.struct.field(pytree_node=False,
+                                                 default=None)
 
     # ---- static helpers -------------------------------------------------
     @property
@@ -446,6 +451,7 @@ def make_context(params: EncryptionParameters) -> Context:
         t_mod_q_shoup = jnp.asarray(to_u64_array(
             [compute_shoup(v, q) for v, q in zip(tm, data_moduli)]))
 
+    from . import galois as gal
     return Context(
         key_mv=modulus_vec(qp),
         ntt=ntt_dev,
@@ -456,4 +462,5 @@ def make_context(params: EncryptionParameters) -> Context:
         t_mod_q_shoup=t_mod_q_shoup,
         params=params,
         bsk_ntt=bsk_ntt,
+        galois=gal.GaloisTool(n),
     )

@@ -86,27 +86,64 @@ def sub(ctx: Context, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
     return ct1.replace(data=po.sub_rns(a, b, cd.mv))
 
 
+def _balance_factors(f1: int, f2: int, t: int):
+    """Noise-minimizing common correction factor for BGV.
+
+    Returns (f, e1, e2) with e1*f1 == e2*f2 == f (mod t), gcd(e_i, t) == 1,
+    and |e1_bal| + |e2_bal| minimal over the extended-Euclid convergents of
+    ratio = f2/f1 mod t — so each balancing multiply adds as little noise as
+    possible (reference: balance_correction_factors, evaluate.cu:20-79)."""
+    import math
+
+    from ..host import numth
+    half = t // 2
+
+    def bal_abs(x):
+        return t - x if x > half else x
+
+    ratio = (numth.invert_mod(f1 % t, t) * f2) % t
+    e1, e2 = ratio, 1
+    best = bal_abs(e1) + bal_abs(e2)
+    prev_a, a = t, ratio
+    prev_b, b = 0, 1
+    while a != 0:
+        q = prev_a // a
+        prev_a, a = a, prev_a - q * a
+        prev_b, b = b, prev_b - q * b
+        a_mod, b_mod = a % t, b % t
+        if a_mod != 0 and math.gcd(a_mod, t) == 1:
+            s = bal_abs(a_mod) + bal_abs(b_mod)
+            if s < best:
+                best, e1, e2 = s, a_mod, b_mod
+    return (e1 * f1) % t, e1, e2
+
+
 def _balance_correction(ctx: Context, ct1: Ciphertext, ct2: Ciphertext):
     """Scale both BGV operands to a common correction factor
-    (reference: balance_correction_factors / prepare_side, evaluate.cu)."""
-    from ..host import numth
+    (reference: balance_correction_factors + the scalar multiplies in
+    add_inplace, evaluate.cu:148-167)."""
     t = ctx.params.plain_modulus
     f1, f2 = ct1.correction_factor, ct2.correction_factor
-    # common factor: lcm-style smallest multiplier pair mod t
-    f = (f1 * f2) % t
-    m1 = (f * numth.invert_mod(f1, t)) % t
-    m2 = (f * numth.invert_mod(f2, t)) % t
+    f, m1, m2 = _balance_factors(f1, f2, t)
     cd = _cd(ctx, ct1)
 
     def scale_ct(ct, m):
         if m == 1:
             return ct
+        # multiply by the CENTERED representative: for m > t/2 scale by
+        # t - m and negate, so the integer noise grows by |m_bal| (the
+        # quantity the factor search minimized), not by m itself — scaling
+        # by the positive representative would blow e*noise past Q/2
+        neg = m > t // 2
+        mag = t - m if neg else m
         mv = cd.mv
-        marr = jnp.full((1, 1, 1), jnp.uint64(m))
-        return ct.replace(
-            data=mm.mul_mod(ct.data, marr, mv.q[:, None], mv.ratio_lo[:, None],
-                            mv.ratio_hi[:, None]),
-            correction_factor=f)
+        marr = jnp.full((1, 1, 1), jnp.uint64(mag))
+        scaled = mm.mul_mod(ct.data, marr, mv.q[:, None],
+                            mv.ratio_lo[:, None], mv.ratio_hi[:, None])
+        if neg:
+            scaled = jnp.where(scaled == 0, jnp.uint64(0),
+                               mv.q[:, None] - scaled)
+        return ct.replace(data=scaled, correction_factor=f)
 
     return scale_ct(ct1, m1).replace(correction_factor=f), \
         scale_ct(ct2, m2).replace(correction_factor=f)
@@ -445,12 +482,9 @@ def mod_switch_to(ctx: Context, ct: Ciphertext, chain_index: int) -> Ciphertext:
 # --------------------------------------------------------------------------
 
 def _galois_tool(ctx: Context):
-    from . import galois as gal
-    tool = getattr(ctx.params, "_galois_tool", None)
-    if tool is None:
-        tool = gal.GaloisTool(ctx.params.n)
-        object.__setattr__(ctx.params, "_galois_tool", tool)
-    return tool
+    """The context's GaloisTool (a proper static Context field; see
+    make_context)."""
+    return ctx.galois
 
 
 def apply_galois(ctx: Context, ct: Ciphertext, elt: int, glk) -> Ciphertext:

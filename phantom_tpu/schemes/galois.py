@@ -96,12 +96,23 @@ def make_coeff_perm(elt: int, n: int) -> Tuple[np.ndarray, np.ndarray]:
 
 
 class GaloisTool:
-    """Per-context cache of device permutation tables."""
+    """Per-context cache of device permutation tables.
+
+    Lives on Context as a static (non-pytree) field; the tables are a pure
+    function of n, so equality/hash are keyed on n — two contexts with the
+    same degree share a jit cache entry.
+    """
 
     def __init__(self, n: int):
         self.n = n
         self._ntt: Dict[int, jnp.ndarray] = {}
         self._coeff: Dict[int, Tuple[jnp.ndarray, jnp.ndarray]] = {}
+
+    def __eq__(self, other):
+        return isinstance(other, GaloisTool) and other.n == self.n
+
+    def __hash__(self):
+        return hash(("GaloisTool", self.n))
 
     def ntt_perm(self, elt: int) -> jnp.ndarray:
         if elt not in self._ntt:

@@ -118,3 +118,29 @@ def test_multiply_plain(setup):
     np.testing.assert_array_equal(
         enc.decode(keys.decrypt(ctx, sk, ct_mp)).astype(object),
         (a.astype(object) * b.astype(object)) % t)
+
+
+def test_balanced_add_unequal_factors(setup):
+    """Adding ciphertexts whose correction factors diverged (mul-then-switch
+    vs switch-then-mul) must balance with the noise-minimizing centered
+    multipliers (reference: balance_correction_factors, evaluate.cu:20-79).
+    Regression: scaling by the positive representative of a near-t
+    multiplier overflowed e*noise past Q/2."""
+    ctx, sk, pk, rlk, enc = setup
+    n, t = ctx.params.n, ctx.params.plain_modulus
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, t, n, dtype=np.uint64)
+    b = rng.integers(0, t, n, dtype=np.uint64)
+    ca = keys.encrypt_asymmetric(ctx, pk, enc.encode(a), jax.random.PRNGKey(20))
+    cb = keys.encrypt_asymmetric(ctx, pk, enc.encode(b), jax.random.PRNGKey(21))
+    A = evaluate.mod_switch_to_next(ctx, evaluate.multiply(ctx, ca, cb))
+    B = evaluate.multiply(ctx, evaluate.mod_switch_to_next(ctx, ca),
+                          evaluate.mod_switch_to_next(ctx, cb))
+    assert A.correction_factor != B.correction_factor
+    s = evaluate.add(ctx, A, B)
+    dec = enc.decode(keys.decrypt(ctx, sk, s))
+    expect = (2 * (a.astype(object) * b.astype(object))) % t
+    np.testing.assert_array_equal(dec.astype(object), expect)
+    d = evaluate.sub(ctx, A, B)
+    dec_d = enc.decode(keys.decrypt(ctx, sk, d))
+    np.testing.assert_array_equal(dec_d, np.zeros(n, dtype=np.uint64))
