@@ -8,11 +8,17 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
 def main():
+    # defaults = the reference bench config: CKKS N=2^15, 30 data primes,
+    # alpha=15 special primes, swept dropped levels
+    # (benchmark/keyswitch_bench.cu:25-34); scale down with flags on CPU
     ap = argparse.ArgumentParser()
-    ap.add_argument("--logn", type=int, default=13)
-    ap.add_argument("--limbs", type=int, default=8)
-    ap.add_argument("--alpha", type=int, default=2)
+    ap.add_argument("--logn", type=int, default=15)
+    ap.add_argument("--limbs", type=int, default=30)
+    ap.add_argument("--alpha", type=int, default=15)
     ap.add_argument("--trials", type=int, default=10)
+    ap.add_argument("--sweep-step", type=int, default=1,
+                    help="dropped-level stride (1 = every level, like the "
+                         "reference's axis sweep)")
     args = ap.parse_args()
 
     import os
@@ -28,8 +34,9 @@ def main():
     from phantom_tpu.utils.timer import OpTimer, print_timer_banner
 
     n = 1 << args.logn
-    qs = numth.get_primes(2 * n, 40, args.limbs)
-    ps = numth.get_primes(2 * n, 41, args.alpha)
+    # reference uses 50-bit data + 60-bit special primes; same here
+    qs = numth.get_primes(2 * n, 50, args.limbs)
+    ps = numth.get_primes(2 * n, 60, args.alpha)
     params = EncryptionParameters.create(
         Scheme.CKKS, n, qs + ps, special_modulus_size=args.alpha)
     ctx = make_context(params)
@@ -39,7 +46,7 @@ def main():
     rlk = keys.gen_relin_key(ctx, sk, k_rlk)
 
     print_timer_banner()
-    for drop in range(0, args.limbs - 1, max(1, (args.limbs - 1) // 3)):
+    for drop in range(0, args.limbs - 1, max(1, args.sweep_step)):
         cd = ctx.get_context_data(1 + drop)
         k = cd.size_ql
         c2 = jax.numpy.asarray(

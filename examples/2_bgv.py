@@ -1,7 +1,13 @@
 """BGV examples: enc/dec, add/mul with modulus switching and correction
 factors (reference: examples/2_bgv.cu:93-434)."""
 
+import os
+
 import jax
+
+if os.environ.get("PHANTOM_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["PHANTOM_PLATFORM"])
+jax.config.update("jax_enable_x64", True)
 import numpy as np
 
 from phantom_tpu.host.modulus import CoeffModulus, PlainModulus

@@ -1,12 +1,19 @@
 """CKKS examples: encode/encrypt/eval pipeline incl. rescale and rotation
 (reference: examples/3_ckks.cu:28-763 incl. the small-N case)."""
 
-import jax
-import numpy as np
+import os
 
-from phantom_tpu.host import numth
-from phantom_tpu.schemes import (CKKSEncoder, EncryptionParameters, Scheme,
-                                 evaluate, keys, make_context)
+import jax
+
+if os.environ.get("PHANTOM_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["PHANTOM_PLATFORM"])
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+
+from phantom_tpu.host import numth  # noqa: E402
+from phantom_tpu.schemes import (CKKSEncoder, EncryptionParameters,  # noqa: E402
+                                 Scheme, evaluate, keys, make_context)
 
 
 def ckks_demo(n=4096, scale_bits=30):
@@ -46,6 +53,32 @@ def ckks_demo(n=4096, scale_bits=30):
     print("  rotate_vector(1): ok")
 
 
+def ckks_small_param_demo():
+    """The N=2048 small-parameter case (reference: 3_ckks.cu:612): a
+    single-level chain — encode/encrypt/add/decrypt only, no rescale."""
+    n = 2048
+    print(f"[CKKS] small-param n={n}")
+    qs = numth.get_primes(2 * n, 40, 2)
+    params = EncryptionParameters.create(
+        Scheme.CKKS, n, qs, special_modulus_size=1)
+    ctx = make_context(params)
+    k = jax.random.split(jax.random.PRNGKey(5), 3)
+    sk = keys.gen_secret_key(ctx, k[0])
+    pk = keys.gen_public_key(ctx, sk, k[1])
+    enc = CKKSEncoder(ctx)
+    scale = 2.0 ** 30
+    x = np.random.default_rng(7).standard_normal(enc.slots)
+    ct = keys.encrypt_asymmetric(ctx, pk, enc.encode(x, scale), k[2])
+    ct2 = evaluate.add(ctx, ct, ct)
+    got = enc.decode(keys.decrypt(ctx, sk, ct2))
+    assert np.allclose(got.real, 2 * x, atol=1e-4), "small-param add"
+    print("  enc/add/dec at n=2048: ok")
+
+
 if __name__ == "__main__":
     ckks_demo(1024)
+    ckks_small_param_demo()
+    if os.environ.get("PHANTOM_FULL_SWEEP"):
+        ckks_demo(4096)
+        ckks_demo(8192)
     print("all CKKS examples passed")

@@ -3,7 +3,13 @@
 
 import io
 
+import os
+
 import jax
+
+if os.environ.get("PHANTOM_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["PHANTOM_PLATFORM"])
+jax.config.update("jax_enable_x64", True)
 import numpy as np
 
 from phantom_tpu.host.modulus import CoeffModulus, PlainModulus

@@ -5,7 +5,12 @@ import sys
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+import os
 import jax
+
+if os.environ.get("PHANTOM_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["PHANTOM_PLATFORM"])
+jax.config.update("jax_enable_x64", True)
 import numpy as np
 
 

@@ -36,6 +36,9 @@ class BFVPipeline32:
     r_to_q: BaseConvConsts32 = None  # exact Rl -> Ql
     rl_half_mod_r: jnp.ndarray = None
     rl_half_mod_q: jnp.ndarray = None
+    # HPSoverQ: 1/Ql moves onto ct2 before the product
+    sr_ql_to_rl: sr32.ExactScaleRound32 = None  # round(Rl/Ql): Ql -> Rl
+    sr_final_overq: sr32.ExactScaleRound32 = None  # round(t/Rl): D -> Ql
 
 
 def build_bfv32(ctx, rlk, chain_index: int = 1,
@@ -52,6 +55,9 @@ def build_bfv32(ctx, rlk, chain_index: int = 1,
     big_ql = 1
     for q in ql:
         big_ql *= q
+    big_rl = 1
+    for r in rl:
+        big_rl *= r
     t_d64 = ntt64mod.concat_tables(ctx.tables_q(k), ctx.tables_r(k + 1))
     return BFVPipeline32(
         ks=build_keyswitch32(ctx, chain_index, use_pallas),
@@ -65,6 +71,9 @@ def build_bfv32(ctx, rlk, chain_index: int = 1,
             BaseConverter(RNSBase(rl), RNSBase(ql))),
         rl_half_mod_r=_u32(hps.rl_half_mod_r),
         rl_half_mod_q=_u32(hps.rl_half_mod_q),
+        sr_ql_to_rl=sr32.make_exact_scale_round32(ql, big_rl, big_ql, rl),
+        sr_final_overq=sr32.make_exact_scale_round32(d_moduli, t, big_rl,
+                                                     ql),
     )
 
 
@@ -117,3 +126,40 @@ def bfv_mult_relin32(p: BFVPipeline32, d1: jnp.ndarray,
     """Fused multiply + relinearize (reference: bfv_mul_relin_hps,
     evaluate.cu:819)."""
     return bfv_relin32(p, bfv_mult32(p, d1, d2))
+
+
+def bfv_mult_hps_overq32(p: BFVPipeline32, d1: jnp.ndarray,
+                         d2: jnp.ndarray) -> jnp.ndarray:
+    """HPSoverQ multiply: the 1/Ql scaling moves onto ct2 before the
+    tensor product (mirror of evaluate.bfv_multiply_hps_overq, non-leveled;
+    reference: bfv_multiply_hps with mul_tech hps_overq, evaluate.cu:648).
+    Bit-identical to the u64 path."""
+    ks = p.ks
+
+    def lift_a(d):
+        polys = []
+        for i in range(d.shape[0]):
+            x = d[i]
+            polys.append(jnp.concatenate(
+                [x, bc32.bconv_exact32(x, p.q_to_r)], axis=0))
+        return jnp.stack(polys)
+
+    def lift_b(d):
+        polys = []
+        for i in range(d.shape[0]):
+            w_rl = sr32.scale_and_round_exact32(d[i], p.sr_ql_to_rl)
+            w_ql = bc32.bconv_exact32(w_rl, p.r_to_q)
+            polys.append(jnp.concatenate([w_ql, w_rl], axis=0))
+        return jnp.stack(polys)
+
+    a = _fwd(ks, lift_a(d1), p.t_d)
+    b = _fwd(ks, lift_b(d2), p.t_d)
+    c0, c1, c2 = _tensor_2x2(p.mv_d, a, b)
+    prod = _inv(ks, jnp.stack([c0, c1, c2]), p.t_d)
+    return jnp.stack([sr32.scale_and_round_exact32(prod[i], p.sr_final_overq)
+                      for i in range(3)])
+
+
+def bfv_mult_relin_overq32(p: BFVPipeline32, d1: jnp.ndarray,
+                           d2: jnp.ndarray) -> jnp.ndarray:
+    return bfv_relin32(p, bfv_mult_hps_overq32(p, d1, d2))

@@ -11,5 +11,9 @@ Design (SURVEY.md §2 parallelism table):
     collectives on ICI.
 """
 
-from .mesh import (make_mesh, ct_sharding, replicate, shard_ciphertext_data,
-                   sharded_mul_relin_rescale_step)  # noqa: F401
+from .mesh import (make_mesh, make_coeff_mesh, ct_sharding,  # noqa: F401
+                   replicate, shard_ciphertext_data,
+                   sharded_mul_relin_rescale_step)
+from .pipeline_sharded import (build_sharded_consts,  # noqa: F401
+                               build_sharded_step,
+                               sharded_mult_relin_rescale)

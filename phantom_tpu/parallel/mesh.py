@@ -39,6 +39,21 @@ def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
     return Mesh(arr, ("dp", "limb"))
 
 
+def make_coeff_mesh(n_devices: Optional[int] = None,
+                    dp: int = 1) -> Mesh:
+    """Build a ("dp", "coeff") mesh: batch x sharded-coefficient axis.
+
+    The coefficient-sharded pipeline (pipeline_sharded.py) keeps every
+    stage local over "coeff" except the NTT phase-boundary all-to-alls."""
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    coeff = n_devices // dp
+    assert dp * coeff == n_devices, (dp, coeff, n_devices)
+    arr = np.array(devs[:n_devices]).reshape(dp, coeff)
+    return Mesh(arr, ("dp", "coeff"))
+
+
 def _largest_pow2_leq(n: int, cap: int) -> int:
     p = 1
     while p * 2 <= min(n, cap):

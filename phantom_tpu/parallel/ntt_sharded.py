@@ -13,8 +13,7 @@ as in ops/ntt_pallas.py.
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
+import flax.struct
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,7 +24,8 @@ from ..ops.modmath import U64, csub, mul_mod_shoup_lazy
 from ..ops.ntt_pallas import _split_n, _transpose_regions
 
 
-class ShardedNTTTables(NamedTuple):
+@flax.struct.dataclass
+class ShardedNTTTables:
     q: jnp.ndarray            # (L,)
     fwd: jnp.ndarray          # (L, N), phase-B regions transposed
     fwd_shoup: jnp.ndarray
@@ -33,8 +33,9 @@ class ShardedNTTTables(NamedTuple):
     inv_shoup: jnp.ndarray
     inv_degree: jnp.ndarray
     inv_degree_shoup: jnp.ndarray
-    n1: int
-    n2: int
+    # static geometry: stage loops specialize the trace on these
+    n1: int = flax.struct.field(pytree_node=False, default=0)
+    n2: int = flax.struct.field(pytree_node=False, default=0)
 
 
 def prepare_sharded_tables(t: ntt64.NTTTablesDevice) -> ShardedNTTTables:
@@ -60,12 +61,22 @@ def ntt_forward_sharded(x: jnp.ndarray, t: ShardedNTTTables, mesh: Mesh,
 
     x: (L, N) uint64 in [0, q).  Inside jit, annotate shardings and let
     GSPMD place the phase-boundary all-to-all on the interconnect."""
-    n1, n2 = t.n1, t.n2
     num_l, n = x.shape
+    out = ntt_forward_sharded3(x.reshape(num_l, t.n1, t.n2), t, mesh, axis)
+    return out.reshape(num_l, n)
+
+
+def ntt_forward_sharded3(xm: jnp.ndarray, t: ShardedNTTTables, mesh: Mesh,
+                         axis: str = "limb") -> jnp.ndarray:
+    """3D variant: x (L, n1, n2) with n2 sharded over `axis`; the whole
+    sharded pipeline (parallel/pipeline_sharded.py) keeps this layout so
+    the only collectives are the NTT phase-boundary all-to-alls."""
+    n1, n2 = t.n1, t.n2
+    num_l = xm.shape[0]
+    n = n1 * n2
     q = t.q.reshape(num_l, 1, 1)
     two_q = q * U64(2)
 
-    xm = x.reshape(num_l, n1, n2)
     # phase A works on the n1 axis; keep n2 (last axis) sharded -> local
     xm = jax.lax.with_sharding_constraint(
         xm, NamedSharding(mesh, P(None, None, axis)))
@@ -83,6 +94,10 @@ def ntt_forward_sharded(x: jnp.ndarray, t: ShardedNTTTables, mesh: Mesh,
         wv = mul_mod_shoup_lazy(v, w, ws, qb)
         xm = jnp.stack([u + wv, u - wv + qb * U64(2)],
                        axis=2).reshape(num_l, n1, n2)
+        # re-assert the layout every stage: GSPMD must not re-shard the
+        # interior (the 5D stage stacks tempt it into split layouts)
+        xm = jax.lax.with_sharding_constraint(
+            xm, NamedSharding(mesh, P(None, None, axis)))
         m <<= 1
 
     # phase boundary: transpose + resharding constraint = all-to-all on ICI
@@ -103,21 +118,35 @@ def ntt_forward_sharded(x: jnp.ndarray, t: ShardedNTTTables, mesh: Mesh,
         wv = mul_mod_shoup_lazy(v, w, ws, qb)
         xt = jnp.stack([u + wv, u - wv + qb * U64(2)],
                        axis=2).reshape(num_l, n2, n1)
+        xt = jax.lax.with_sharding_constraint(
+            xt, NamedSharding(mesh, P(None, None, axis)))
         m <<= 1
 
-    out = jnp.swapaxes(xt, 1, 2).reshape(num_l, n)
-    qq = t.q.reshape(num_l, 1)
+    out = jnp.swapaxes(xt, 1, 2)
+    # re-shard back to the canonical n2-sharded layout (all-to-all)
+    out = jax.lax.with_sharding_constraint(
+        out, NamedSharding(mesh, P(None, None, axis)))
+    qq = t.q.reshape(num_l, 1, 1)
     return csub(csub(out, qq * U64(2)), qq)
 
 
 def ntt_inverse_sharded(x: jnp.ndarray, t: ShardedNTTTables, mesh: Mesh,
                         axis: str = "limb") -> jnp.ndarray:
     """Inverse NTT, mirrored phases (within-row GS stages first)."""
-    n1, n2 = t.n1, t.n2
     num_l, n = x.shape
+    out = ntt_inverse_sharded3(x.reshape(num_l, t.n1, t.n2), t, mesh, axis)
+    return out.reshape(num_l, n)
+
+
+def ntt_inverse_sharded3(xm3: jnp.ndarray, t: ShardedNTTTables, mesh: Mesh,
+                         axis: str = "limb") -> jnp.ndarray:
+    """3D variant of the inverse transform; see ntt_forward_sharded3."""
+    n1, n2 = t.n1, t.n2
+    num_l = xm3.shape[0]
+    n = n1 * n2
     q = t.q.reshape(num_l, 1, 1, 1)
 
-    xt = jnp.swapaxes(x.reshape(num_l, n1, n2), 1, 2)  # (L, n2, n1)
+    xt = jnp.swapaxes(xm3, 1, 2)  # (L, n2, n1)
     xt = jax.lax.with_sharding_constraint(
         xt, NamedSharding(mesh, P(None, None, axis)))
 
@@ -134,6 +163,8 @@ def ntt_inverse_sharded(x: jnp.ndarray, t: ShardedNTTTables, mesh: Mesh,
         s = s - jnp.where(s >= q * U64(2), q * U64(2), U64(0))
         d = mul_mod_shoup_lazy(u - v + q * U64(2), w, ws, q)
         xt = jnp.stack([s, d], axis=2).reshape(num_l, n2, n1)
+        xt = jax.lax.with_sharding_constraint(
+            xt, NamedSharding(mesh, P(None, None, axis)))
         m >>= 1
 
     xm = jnp.swapaxes(xt, 1, 2)  # all-to-all back
@@ -151,10 +182,13 @@ def ntt_inverse_sharded(x: jnp.ndarray, t: ShardedNTTTables, mesh: Mesh,
         s = s - jnp.where(s >= q * U64(2), q * U64(2), U64(0))
         d = mul_mod_shoup_lazy(u - v + q * U64(2), w, ws, q)
         xm = jnp.stack([s, d], axis=2).reshape(num_l, n1, n2)
+        xm = jax.lax.with_sharding_constraint(
+            xm, NamedSharding(mesh, P(None, None, axis)))
         m >>= 1
 
-    out = xm.reshape(num_l, n)
-    qq = t.q.reshape(num_l, 1)
-    sc = t.inv_degree.reshape(num_l, 1)
-    scs = t.inv_degree_shoup.reshape(num_l, 1)
-    return csub(mul_mod_shoup_lazy(out, sc, scs, qq), qq)
+    xm = jax.lax.with_sharding_constraint(
+        xm, NamedSharding(mesh, P(None, None, axis)))
+    qq = t.q.reshape(num_l, 1, 1)
+    sc = t.inv_degree.reshape(num_l, 1, 1)
+    scs = t.inv_degree_shoup.reshape(num_l, 1, 1)
+    return csub(mul_mod_shoup_lazy(xm, sc, scs, qq), qq)

@@ -56,6 +56,33 @@ def test_bfv_mult_relin_bit_match(bfv_setup, use_pallas):
     np.testing.assert_array_equal(out, ref.astype(np.uint32))
 
 
+@pytest.mark.parametrize("use_pallas", [False])
+def test_bfv_mult_relin_overq_bit_match(use_pallas):
+    from phantom_tpu.schemes import MulTech
+    qs = numth.get_primes(2 * N, 28, 4)
+    ps = numth.get_primes(2 * N, 29, 2)
+    t = PlainModulus.batching(N, 16).value
+    params = EncryptionParameters.create(
+        Scheme.BFV, N, qs + ps, plain_modulus=t, special_modulus_size=2,
+        mul_tech=MulTech.HPS_OVERQ)
+    ctx = make_context(params)
+    k = jax.random.split(jax.random.PRNGKey(17), 5)
+    sk = keys.gen_secret_key(ctx, k[0])
+    pk = keys.gen_public_key(ctx, sk, k[1])
+    rlk = keys.gen_relin_key(ctx, sk, k[2])
+    enc = BatchEncoder(ctx)
+    rg = np.random.default_rng(8)
+    a = rg.integers(0, t, N, dtype=np.uint64)
+    b = rg.integers(0, t, N, dtype=np.uint64)
+    ct1 = keys.encrypt_asymmetric(ctx, pk, enc.encode(a), k[3])
+    ct2 = keys.encrypt_asymmetric(ctx, pk, enc.encode(b), k[4])
+    ref = np.asarray(evaluate.multiply_and_relin(ctx, ct1, ct2, rlk).data)
+    p = bfv32.build_bfv32(ctx, rlk, use_pallas=use_pallas)
+    out = np.asarray(bfv32.bfv_mult_relin_overq32(
+        p, _u32(ct1.data), _u32(ct2.data)))
+    np.testing.assert_array_equal(out, ref.astype(np.uint32))
+
+
 # ---------------------------------------------------------------------------
 # BGV
 # ---------------------------------------------------------------------------
