@@ -82,7 +82,11 @@ def main():
     ap.add_argument("--scheme", choices=["ckks", "bfv", "bgv"],
                     default="ckks",
                     help="headline step: ckks = mult+relin+rescale, "
-                         "bfv = HPS mult+relin, bgv = mult+relin+modswitch")
+                         "bfv = mult+relin, bgv = mult+relin+modswitch")
+    ap.add_argument("--multech", choices=["hps", "behz", "overq", "leveled"],
+                    default="hps",
+                    help="BFV multiplication technique (reference "
+                         "mul_tech, --scheme bfv only)")
     ap.add_argument("--csv", action="store_true",
                     help="also print per-op CSV (op,trials,median,mean)")
     args = ap.parse_args()
@@ -120,6 +124,12 @@ def main():
     extra = {}
     if scheme != Scheme.CKKS:
         extra["plain_modulus"] = PlainModulus.batching(n, 16).value
+    if scheme == Scheme.BFV:
+        from phantom_tpu.schemes import MulTech
+        extra["mul_tech"] = {"hps": MulTech.HPS, "behz": MulTech.BEHZ,
+                             "overq": MulTech.HPS_OVERQ,
+                             "leveled": MulTech.HPS_OVERQ_LEVELED
+                             }[args.multech]
     params = EncryptionParameters.create(
         scheme, n, coeff, special_modulus_size=args.alpha, **extra)
     ctx = make_context(params)
@@ -150,7 +160,8 @@ def main():
     ct2 = enc_jit(ctx, pk, pt, k2)
     print(f"# keys+encrypt in {time.time()-t0:.1f}s", file=sys.stderr)
 
-    metric_step = {"ckks": "mult+relin+rescale", "bfv": "mult+relin (HPS)",
+    metric_step = {"ckks": "mult+relin+rescale",
+                   "bfv": f"mult+relin ({args.multech.upper()})",
                    "bgv": "mult+relin+modswitch"}[args.scheme]
 
     if args.path in ("u32", "pallas"):
@@ -161,8 +172,20 @@ def main():
             fn = pp.mult_relin_rescale32
         elif scheme == Scheme.BFV:
             from phantom_tpu.ops import bfv32
-            pipe = bfv32.build_bfv32(ctx, rlk, use_pallas=use_pallas)
-            fn = bfv32.bfv_mult_relin32
+            if args.multech == "behz":
+                pipe = bfv32.build_bfv_behz32(ctx, rlk,
+                                              use_pallas=use_pallas)
+                fn = bfv32.bfv_mult_relin_behz32
+            elif args.multech == "overq":
+                pipe = bfv32.build_bfv32(ctx, rlk, use_pallas=use_pallas)
+                fn = bfv32.bfv_mult_relin_overq32
+            elif args.multech == "leveled":
+                pipe = bfv32.build_bfv_leveled32(ctx, rlk,
+                                                 use_pallas=use_pallas)
+                fn = bfv32.bfv_mult_relin_leveled32
+            else:
+                pipe = bfv32.build_bfv32(ctx, rlk, use_pallas=use_pallas)
+                fn = bfv32.bfv_mult_relin32
         else:
             from phantom_tpu.ops import bgv32
             pipe = bgv32.build_bgv32(ctx, rlk, use_pallas=use_pallas)

@@ -54,6 +54,7 @@ class BEHZConsts(NamedTuple):
     # t multiplier for step 6 (fused into inverse NTT scale by caller)
     t_mod_bsk: jnp.ndarray           # (k+2,)
     t_mod_bsk_shoup: jnp.ndarray
+    mtilde_mod_bsk: jnp.ndarray = None  # (k+2,) 2^32 mod bsk_j
 
 
 def make_behz_consts(data_moduli, bsk_moduli, t: int) -> BEHZConsts:
@@ -99,6 +100,8 @@ def make_behz_consts(data_moduli, bsk_moduli, t: int) -> BEHZConsts:
         t_mod_bsk=jnp.asarray(to_u64_array([t % m for m in bsk_moduli])),
         t_mod_bsk_shoup=jnp.asarray(to_u64_array(
             [compute_shoup(t % m, m) for m in bsk_moduli])),
+        mtilde_mod_bsk=jnp.asarray(
+            to_u64_array([mtilde % m for m in bsk_moduli])),
     )
 
 
@@ -121,15 +124,17 @@ def sm_mrq(x_q: jnp.ndarray, c: BEHZConsts) -> jnp.ndarray:
     mt = c.mtilde_vec.q[0]
     r = mm.mul_mod(conv_mt, c.neg_q_inv_mod_mtilde, mt,
                    c.mtilde_vec.ratio_lo[0], c.mtilde_vec.ratio_hi[0])[0]
-    # center r in [-m_tilde/2, m_tilde/2); bsk primes exceed 2^32, so the
-    # negative branch is r - m_tilde + bsk_j directly
+    # center r in [-m_tilde/2, m_tilde/2): r_eff = r - 2^32*is_neg mod
+    # bsk_j, valid for bsk primes on either side of 2^32
     bskq = c.bsk.q[:, None]
     bsk_rlo = c.bsk.ratio_lo[:, None]
     bsk_rhi = c.bsk.ratio_hi[:, None]
-    is_neg = r > c.mtilde_half
-    r_b = jnp.broadcast_to(r[None, :], conv_bsk.shape)
-    r_eff = jnp.where(is_neg[None, :],
-                      r_b + (bskq - jnp.uint64(M_TILDE)), r_b)
+    is_neg = (r > c.mtilde_half)[None, :]
+    r_red = mm.barrett_reduce_u64(
+        jnp.broadcast_to(r[None, :], conv_bsk.shape), bskq, bsk_rhi)
+    r_eff = jnp.where(is_neg,
+                      mm.sub_mod(r_red, c.mtilde_mod_bsk[:, None], bskq),
+                      r_red)
     qr = mm.mul_mod(r_eff, c.q_mod_bsk[:, None], bskq, bsk_rlo, bsk_rhi)
     summed = mm.add_mod(conv_bsk, qr, bskq)
     return mm.mul_mod_shoup(summed, c.mtilde_inv_mod_bsk[:, None],

@@ -163,3 +163,224 @@ def bfv_mult_hps_overq32(p: BFVPipeline32, d1: jnp.ndarray,
 def bfv_mult_relin_overq32(p: BFVPipeline32, d1: jnp.ndarray,
                            d2: jnp.ndarray) -> jnp.ndarray:
     return bfv_relin32(p, bfv_mult_hps_overq32(p, d1, d2))
+
+
+# ---------------------------------------------------------------------------
+# BEHZ
+# ---------------------------------------------------------------------------
+
+@flax.struct.dataclass
+class BFVBehz32:
+    """u32 state for BEHZ multiply+relin (reference: bfv_multiply_behz,
+    evaluate.cu:451).  Requires a context whose Bsk primes are < 2^30
+    (make_context picks such a pool for u32-compatible parameters), so the
+    result bit-matches the u64 BEHZ path on the shared base."""
+
+    ks: KeySwitch32 = None
+    evk: jnp.ndarray = None
+    behz: object = None        # behz32.BEHZConsts32
+    t_bsk: object = None       # NTT tables over B u {m_sk}
+
+
+def build_bfv_behz32(ctx, rlk, chain_index: int = 1,
+                     use_pallas: bool = False) -> BFVBehz32:
+    from . import behz32 as bz32
+    cd = ctx.get_context_data(chain_index)
+    k = cd.size_ql
+    bsk64 = ctx.tables_bsk(k)
+    bsk_moduli = [int(v) for v in np.asarray(bsk64.q)]
+    return BFVBehz32(
+        ks=build_keyswitch32(ctx, chain_index, use_pallas),
+        evk=convert_key32(ctx, rlk.data, chain_index),
+        behz=bz32.make_behz_consts32(list(cd.moduli), bsk_moduli,
+                                     int(ctx.params.plain_modulus)),
+        t_bsk=_conv_tables(bsk64, use_pallas),
+    )
+
+
+def bfv_mult_behz32(p: BFVBehz32, d1: jnp.ndarray,
+                    d2: jnp.ndarray) -> jnp.ndarray:
+    """BEHZ multiply: lift to Ql u Bsk with SmMRq, dyadic products in both
+    bases, multiply by t, divide-and-floor by Ql in Bsk, Shenoy-Kumaresan
+    back to Ql (mirror of evaluate.bfv_multiply_behz)."""
+    from . import behz32 as bz32
+    ks = p.ks
+    c = p.behz
+    mv_bsk = c.bsk
+
+    def lift(d):
+        qs, bs = [], []
+        for i in range(d.shape[0]):
+            x_q = d[i]
+            qs.append(x_q)
+            bs.append(bz32.sm_mrq32(x_q, c))
+        return jnp.stack(qs), jnp.stack(bs)
+
+    a_q, a_bsk = lift(d1)
+    b_q, b_bsk = lift(d2)
+    a_q = _fwd(ks, a_q, ks.t_ql)
+    b_q = _fwd(ks, b_q, ks.t_ql)
+    a_bsk = _fwd(ks, a_bsk, p.t_bsk)
+    b_bsk = _fwd(ks, b_bsk, p.t_bsk)
+    prod_q = jnp.stack(_tensor_2x2(ks.mv_ql, a_q, b_q))
+    prod_bsk = jnp.stack(_tensor_2x2(mv_bsk, a_bsk, b_bsk))
+    prod_q = _inv(ks, prod_q, ks.t_ql)
+    prod_bsk = _inv(ks, prod_bsk, p.t_bsk)
+    tq_prod = m32.mul_mod_shoup32(prod_q, c.t_mod_q[:, None],
+                                  c.t_mod_q_shoup[:, None],
+                                  ks.mv_ql.q[:, None])
+    tbsk_prod = m32.mul_mod_shoup32(prod_bsk, c.t_mod_bsk[:, None],
+                                    c.t_mod_bsk_shoup[:, None],
+                                    mv_bsk.q[:, None])
+    out = []
+    for i in range(3):
+        floored = bz32.fast_floor32(tq_prod[i], tbsk_prod[i], c)
+        out.append(bz32.fastbconv_sk32(floored, c))
+    return jnp.stack(out)
+
+
+def bfv_mult_relin_behz32(p: BFVBehz32, d1: jnp.ndarray,
+                          d2: jnp.ndarray) -> jnp.ndarray:
+    d3 = bfv_mult_behz32(p, d1, d2)
+    switched = _inv(p.ks, keyswitch32(p.ks, d3[2], p.evk), p.ks.t_ql)
+    q = p.ks.mv_ql.q[:, None]
+    return jnp.stack([m32.add_mod32(d3[0], switched[0], q),
+                      m32.add_mod32(d3[1], switched[1], q)])
+
+
+# ---------------------------------------------------------------------------
+# HPSoverQ-leveled
+# ---------------------------------------------------------------------------
+
+@flax.struct.dataclass
+class BFVLeveled32:
+    """u32 state for HPSoverQ-leveled multiply at a fixed level drop
+    (reference: bfv_multiply_hps with mul_tech hps_overq_leveled,
+    evaluate.cu:648-805 + FindLevelsToDrop :550-643).
+
+    The drop count is static per pipeline (determined by the noise model
+    from the operands' noise_scale_deg, as in the u64 evaluator)."""
+
+    ks: KeySwitch32 = None          # keyswitch at the FULL level
+    evk: jnp.ndarray = None
+    mv_d: ModulusVec32 = None       # D = Ql u Rl at the dropped level
+    t_d: object = None
+    q_to_r: BaseConvConsts32 = None   # exact Ql -> Rl (level)
+    r_to_q: BaseConvConsts32 = None   # exact Rl -> Ql (level)
+    sr_final: sr32.ExactScaleRound32 = None  # round(t/Rl): D -> Ql
+    q_to_rl: sr32.ExactScaleRound32 = None   # round(Rl/Q): full Q -> Rl
+    q_to_ql: sr32.ExactScaleRound32 = None   # round(Ql/Q): Q -> Ql (if lvl)
+    ql_to_drop: BaseConvConsts32 = None      # Ql -> dropped primes
+    qlhalf_mod_ql: jnp.ndarray = None
+    qlhalf_mod_drop: jnp.ndarray = None
+    lvl: int = flax.struct.field(pytree_node=False, default=0)
+
+
+def build_bfv_leveled32(ctx, rlk, noise_scale_deg: int = 1,
+                        use_pallas: bool = False,
+                        force_lvl: int = None) -> BFVLeveled32:
+    from ..host.noise import find_levels_to_drop
+    from ..host.rns import BaseConverter, RNSBase
+    from ..ops import ntt as ntt64mod
+    p = ctx.params
+    cd_full = ctx.get_context_data(1)
+    beta = len(cd_full.ks.digit_convs)
+    dcrt_bits = max(int(q).bit_length() for q in p.data_moduli)
+    lvl = force_lvl if force_lvl is not None else find_levels_to_drop(
+        p.n, p.size_q, p.size_p, beta, p.plain_modulus, dcrt_bits,
+        noise_scale_deg - 1, False, True)
+    cd = ctx.get_context_data(1 + lvl)
+    k_l = cd.size_ql
+    ql = list(cd.moduli)
+    full = list(p.data_moduli)
+    dropped = full[k_l:]
+    hps = cd.hps
+    rl = [int(v) for v in np.asarray(hps.sr_to_r.obase.q)]
+    d_moduli = ql + rl
+    t = int(p.plain_modulus)
+    big_q = 1
+    for q in full:
+        big_q *= q
+    big_ql = 1
+    for q in ql:
+        big_ql *= q
+    big_rl = 1
+    for r in rl:
+        big_rl *= r
+    qlhalf = (big_ql - 1) >> 1
+    t_d64 = ntt64mod.concat_tables(ctx.tables_q(k_l), ctx.tables_r(k_l + 1))
+    extra = {}
+    if lvl:
+        extra = dict(
+            q_to_ql=sr32.make_exact_scale_round32(full, big_ql, big_q, ql),
+            ql_to_drop=bc32.consts32_from_host(
+                BaseConverter(RNSBase(ql), RNSBase(dropped))),
+            qlhalf_mod_ql=_u32(np.array([qlhalf % q for q in ql],
+                                        dtype=np.uint64).astype(np.uint32)),
+            qlhalf_mod_drop=_u32(np.array(
+                [qlhalf % d for d in dropped],
+                dtype=np.uint64).astype(np.uint32)),
+        )
+    return BFVLeveled32(
+        ks=build_keyswitch32(ctx, 1, use_pallas),
+        evk=convert_key32(ctx, rlk.data, 1),
+        mv_d=modulus_vec32(d_moduli),
+        t_d=_conv_tables(t_d64, use_pallas),
+        q_to_r=bc32.consts32_from_host(
+            BaseConverter(RNSBase(ql), RNSBase(rl))),
+        r_to_q=bc32.consts32_from_host(
+            BaseConverter(RNSBase(rl), RNSBase(ql))),
+        sr_final=sr32.make_exact_scale_round32(d_moduli, t, big_rl, ql),
+        q_to_rl=sr32.make_exact_scale_round32(full, big_rl, big_q, rl),
+        lvl=lvl,
+        **extra,
+    )
+
+
+def bfv_mult_leveled32(p: BFVLeveled32, d1: jnp.ndarray,
+                       d2: jnp.ndarray) -> jnp.ndarray:
+    """HPSoverQ-leveled multiply: operands scaled from the full base Q down
+    to Ql before the product, result expanded back (mirror of
+    evaluate.bfv_multiply_hps_overq with lvl > 0)."""
+    ks = p.ks
+
+    a_polys = []
+    for i in range(d1.shape[0]):
+        x = d1[i]
+        if p.lvl:
+            x = sr32.scale_and_round_exact32(x, p.q_to_ql)
+        a_polys.append(jnp.concatenate(
+            [x, bc32.bconv_exact32(x, p.q_to_r)], axis=0))
+    b_polys = []
+    for i in range(d2.shape[0]):
+        w_rl = sr32.scale_and_round_exact32(d2[i], p.q_to_rl)
+        w_ql = bc32.bconv_exact32(w_rl, p.r_to_q)
+        b_polys.append(jnp.concatenate([w_ql, w_rl], axis=0))
+
+    a = _fwd(ks, jnp.stack(a_polys), p.t_d)
+    b = _fwd(ks, jnp.stack(b_polys), p.t_d)
+    c0, c1, c2 = _tensor_2x2(p.mv_d, a, b)
+    prod = _inv(ks, jnp.stack([c0, c1, c2]), p.t_d)
+    out = [sr32.scale_and_round_exact32(prod[i], p.sr_final)
+           for i in range(3)]
+    if p.lvl:
+        # centered exact expand Ql -> full Q (ExpandCRTBasis_Ql_Q)
+        expanded = []
+        for w in out:
+            shifted = m32.add_mod32(w, p.qlhalf_mod_ql[:, None],
+                                    p.sr_final.obase.q[:, None])
+            drop = bc32.bconv_exact32(shifted, p.ql_to_drop)
+            drop = m32.sub_mod32(drop, p.qlhalf_mod_drop[:, None],
+                                 p.ql_to_drop.obase.q[:, None])
+            expanded.append(jnp.concatenate([w, drop], axis=0))
+        out = expanded
+    return jnp.stack(out)
+
+
+def bfv_mult_relin_leveled32(p: BFVLeveled32, d1: jnp.ndarray,
+                             d2: jnp.ndarray) -> jnp.ndarray:
+    d3 = bfv_mult_leveled32(p, d1, d2)
+    switched = _inv(p.ks, keyswitch32(p.ks, d3[2], p.evk), p.ks.t_ql)
+    q = p.ks.mv_ql.q[:, None]
+    return jnp.stack([m32.add_mod32(d3[0], switched[0], q),
+                      m32.add_mod32(d3[1], switched[1], q)])

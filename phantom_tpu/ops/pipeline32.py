@@ -433,24 +433,32 @@ def mult_relin_rescale32(p: CKKSPipeline32, d1: jnp.ndarray,
 
 @flax.struct.dataclass
 class Galois32:
-    """u32 rotation state: NTT-domain permutation tables + per-element keys
-    (reference: PhantomGaloisTool + PhantomGaloisKey,
+    """u32 rotation state: NTT- and coefficient-domain permutation tables +
+    per-element keys (reference: PhantomGaloisTool + PhantomGaloisKey,
     galois.cuh:59-159, secretkey.h)."""
 
     elts: Tuple[int, ...] = flax.struct.field(pytree_node=False)
     perms: jnp.ndarray = None   # (n_elts, N) int32 NTT gather indices
     evks: jnp.ndarray = None    # (n_elts, beta, 2, size_qlp, N) u32
+    # coefficient-domain (BFV): index-raw gather + negacyclic sign flips
+    coeff_src: jnp.ndarray = None   # (n_elts, N) int32
+    coeff_neg: jnp.ndarray = None   # (n_elts, N) bool
 
 
 def build_galois32(ctx, glk, chain_index: int = 1) -> Galois32:
     from ..schemes import galois as gal
     n = ctx.params.n
     perms = np.stack([gal.make_ntt_perm(e, n) for e in glk.elts])
+    coeff = [gal.make_coeff_perm(e, n) for e in glk.elts]
     evks = jnp.stack([convert_key32(ctx, glk.data[i], chain_index)
                       for i in range(len(glk.elts))])
     return Galois32(elts=tuple(glk.elts),
                     perms=jnp.asarray(perms.astype(np.int32)),
-                    evks=evks)
+                    evks=evks,
+                    coeff_src=jnp.asarray(
+                        np.stack([c[0] for c in coeff]).astype(np.int32)),
+                    coeff_neg=jnp.asarray(
+                        np.stack([c[1] for c in coeff]).astype(bool)))
 
 
 def apply_galois32(ks: KeySwitch32, g: Galois32, d: jnp.ndarray,
@@ -466,13 +474,36 @@ def apply_galois32(ks: KeySwitch32, g: Galois32, d: jnp.ndarray,
     return jnp.stack([m32.add_mod32(c0p, switched[0], q), switched[1]])
 
 
+def apply_galois_coeff32(ks: KeySwitch32, g: Galois32, d: jnp.ndarray,
+                         elt: int) -> jnp.ndarray:
+    """Coefficient-form (BFV) rotation: index-raw gather with negacyclic
+    sign flip, then coeff-form keyswitch (reference: apply_galois_inplace
+    coefficient branch + apply_galois_permutation, galois.cu:20-39)."""
+    kidx = g.elts.index(elt)
+    src = g.coeff_src[kidx]
+    neg = g.coeff_neg[kidx]
+    q = ks.mv_ql.q[:, None]
+
+    def perm(x):
+        gathered = x[..., src]
+        negated = jnp.where(gathered == 0, m32.U32(0), q - gathered)
+        return jnp.where(neg[None, :], negated, gathered)
+
+    c0p = perm(d[0])
+    c1p = perm(d[1])
+    switched = _inv(ks, keyswitch32(ks, c1p, g.evks[kidx]), ks.t_ql)
+    return jnp.stack([m32.add_mod32(c0p, switched[0], q), switched[1]])
+
+
 def rotate32(ks: KeySwitch32, g: Galois32, d: jnp.ndarray,
-             step: int) -> jnp.ndarray:
+             step: int, is_ntt_form: bool = True) -> jnp.ndarray:
     """Slot rotation by `step` (single hop; NAF fallback is the caller's
     job as in evaluate.rotate)."""
     from ..schemes import galois as gal
     elt = gal.get_elt_from_step(step, ks.n)
-    return apply_galois32(ks, g, d, elt)
+    if is_ntt_form:
+        return apply_galois32(ks, g, d, elt)
+    return apply_galois_coeff32(ks, g, d, elt)
 
 
 def hoisting_sum32(ks: KeySwitch32, g: Galois32, d: jnp.ndarray,

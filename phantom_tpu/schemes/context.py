@@ -398,10 +398,17 @@ def make_context(params: EncryptionParameters) -> Context:
         rl_ntt = nttmod.tables_from_host(
             make_rns_ntt_tables(n, [Modulus(r) for r in rl_moduli]))
         if params.mul_tech == MulTech.BEHZ:
-            # BEHZ aux base: size_q B-primes + m_sk, 61-bit, distinct from QP
+            # BEHZ aux base: size_q B-primes + m_sk, distinct from QP.
+            # 61-bit like the reference, EXCEPT when every QP prime fits the
+            # u32 fast path (< 2^30): then Bsk stays < 2^30 too so the u32
+            # BEHZ pipeline (ops/behz32.py) can share the exact same base
+            # and bit-match (prod(Bsk)/Q >= 2^(2k+29) >> n*t, so the BEHZ
+            # overshoot bounds still hold comfortably)
             used = set(qp)
+            bsk_bits = 61 if max(qp) >= (1 << 30) else 29
             pool = [p for p in numth.get_primes(
-                2 * n, 61, params.size_q + 1 + len(qp)) if p not in used]
+                2 * n, bsk_bits, params.size_q + 1 + len(qp))
+                if p not in used]
             bsk_moduli = pool[: params.size_q + 1]  # B then m_sk
             bsk_ntt = nttmod.tables_from_host(
                 make_rns_ntt_tables(n, [Modulus(b) for b in bsk_moduli]))

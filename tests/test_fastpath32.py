@@ -83,6 +83,81 @@ def test_bfv_mult_relin_overq_bit_match(use_pallas):
     np.testing.assert_array_equal(out, ref.astype(np.uint32))
 
 
+def test_bfv_mult_relin_behz_bit_match():
+    from phantom_tpu.schemes import MulTech
+    qs = numth.get_primes(2 * N, 28, 4)
+    ps = numth.get_primes(2 * N, 29, 2)
+    t = PlainModulus.batching(N, 16).value
+    params = EncryptionParameters.create(
+        Scheme.BFV, N, qs + ps, plain_modulus=t, special_modulus_size=2,
+        mul_tech=MulTech.BEHZ)
+    ctx = make_context(params)
+    # u32-compatible params must have received a sub-2^30 Bsk pool
+    assert all(int(v) < (1 << 30) for v in np.asarray(ctx.bsk_ntt.q))
+    k = jax.random.split(jax.random.PRNGKey(29), 5)
+    sk = keys.gen_secret_key(ctx, k[0])
+    pk = keys.gen_public_key(ctx, sk, k[1])
+    rlk = keys.gen_relin_key(ctx, sk, k[2])
+    enc = BatchEncoder(ctx)
+    rg = np.random.default_rng(14)
+    a = rg.integers(0, t, N, dtype=np.uint64)
+    b = rg.integers(0, t, N, dtype=np.uint64)
+    ct1 = keys.encrypt_asymmetric(ctx, pk, enc.encode(a), k[3])
+    ct2 = keys.encrypt_asymmetric(ctx, pk, enc.encode(b), k[4])
+    ref_ct = evaluate.multiply_and_relin(ctx, ct1, ct2, rlk)
+    # sanity: the u64 BEHZ path with the small Bsk pool still decrypts
+    got = enc.decode(keys.decrypt(ctx, sk, ref_ct))
+    expect = (a.astype(object) * b.astype(object)) % t
+    np.testing.assert_array_equal(got.astype(object), expect)
+    p = bfv32.build_bfv_behz32(ctx, rlk)
+    out = np.asarray(bfv32.bfv_mult_relin_behz32(
+        p, _u32(ct1.data), _u32(ct2.data)))
+    np.testing.assert_array_equal(out, np.asarray(ref_ct.data)
+                                  .astype(np.uint32))
+
+
+def test_bfv_mult_relin_leveled_bit_match(monkeypatch):
+    from phantom_tpu.schemes import MulTech
+    qs = numth.get_primes(2 * N, 28, 5)
+    ps = numth.get_primes(2 * N, 29, 1)
+    t = PlainModulus.batching(N, 16).value
+    params = EncryptionParameters.create(
+        Scheme.BFV, N, qs + ps, plain_modulus=t, special_modulus_size=1,
+        mul_tech=MulTech.HPS_OVERQ_LEVELED)
+    ctx = make_context(params)
+    k = jax.random.split(jax.random.PRNGKey(23), 5)
+    sk = keys.gen_secret_key(ctx, k[0])
+    pk = keys.gen_public_key(ctx, sk, k[1])
+    rlk = keys.gen_relin_key(ctx, sk, k[2])
+    enc = BatchEncoder(ctx)
+    rg = np.random.default_rng(12)
+    a = rg.integers(0, t, N, dtype=np.uint64)
+    b = rg.integers(0, t, N, dtype=np.uint64)
+    ct1 = keys.encrypt_asymmetric(ctx, pk, enc.encode(a), k[3])
+    ct2 = keys.encrypt_asymmetric(ctx, pk, enc.encode(b), k[4])
+    # whatever level the noise model picks, u32 must bit-match u64
+    ref = np.asarray(evaluate.multiply_and_relin(ctx, ct1, ct2, rlk).data)
+    p = bfv32.build_bfv_leveled32(ctx, rlk)
+    out = np.asarray(bfv32.bfv_mult_relin_leveled32(
+        p, _u32(ct1.data), _u32(ct2.data)))
+    np.testing.assert_array_equal(out, ref.astype(np.uint32))
+    # force a real drop so the scale-down Q->Ql + centered expand Ql->Q
+    # path executes, on both representations (patch the noise model the
+    # u64 evaluator consults); the outputs must still agree bit-for-bit.
+    # (A dropped product is Delta_Ql-scaled — the reference likewise only
+    # decrypts it after further ops account for noiseScaleDeg, so no
+    # direct decrypt check here.)
+    import phantom_tpu.host.noise as noise_mod
+    monkeypatch.setattr(noise_mod, "find_levels_to_drop",
+                        lambda *args, **kw: 1)
+    ref1 = np.asarray(evaluate.multiply_and_relin(ctx, ct1, ct2, rlk).data)
+    p1 = bfv32.build_bfv_leveled32(ctx, rlk, force_lvl=1)
+    assert p1.lvl == 1
+    out1 = np.asarray(bfv32.bfv_mult_relin_leveled32(
+        p1, _u32(ct1.data), _u32(ct2.data)))
+    np.testing.assert_array_equal(out1, ref1.astype(np.uint32))
+
+
 # ---------------------------------------------------------------------------
 # BGV
 # ---------------------------------------------------------------------------
@@ -145,6 +220,21 @@ def ckks_setup():
     z = np.random.default_rng(0).standard_normal(enc.slots)
     ct = keys.encrypt_asymmetric(ctx, pk, enc.encode(z, 2.0 ** 20), k[3])
     return ctx, glk, ct
+
+
+def test_bfv_rotate_coeff_bit_match(bfv_setup):
+    ctx, rlk, ct1, ct2 = bfv_setup
+    # bit-match comparison only: u32 and u64 run the same galois key over
+    # the same data, so any key works
+    sk_g = keys.gen_secret_key(ctx, jax.random.PRNGKey(7))
+    glk = keys.create_galois_keys(ctx, sk_g, jax.random.PRNGKey(31),
+                                  steps=[2])
+    ref = np.asarray(evaluate.rotate_rows(ctx, ct1, 2, glk).data)
+    ks = pp.build_keyswitch32(ctx)
+    g = pp.build_galois32(ctx, glk)
+    out = np.asarray(pp.rotate32(ks, g, _u32(ct1.data), 2,
+                                 is_ntt_form=False))
+    np.testing.assert_array_equal(out, ref.astype(np.uint32))
 
 
 @pytest.mark.parametrize("use_pallas", [False, True])
