@@ -1,0 +1,288 @@
+"""Fast32: the user-facing uint32 evaluator — every verb at device speed
+over the whole modulus chain.
+
+The reference runs all schemes and all verbs through its device kernels;
+this is the TPU-native equivalent: a per-context wrapper that lazily
+builds the u32 pipelines (ops/pipeline32, bfv32, bgv32) for each chain
+level and dispatches evaluator verbs on uint32 ciphertexts.  Results are
+bit-identical to the u64 scheme layer (tests/test_fast32.py), so
+encode/encrypt/decrypt interop with the generic stack by casting.
+
+Usage:
+    ev = Fast32(ctx, rlk=rlk, glk=glk)           # once per context
+    c = ev.from_ciphertext(ct)                   # u64 Ciphertext -> Ct32
+    c = ev.multiply_and_relin(c, c)
+    c = ev.rescale_to_next(c)                    # CKKS
+    c = ev.rotate(c, 1)
+    ct = ev.to_ciphertext(c)                     # back to the u64 layer
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.struct
+import jax.numpy as jnp
+import numpy as np
+
+from .ops import bfv32, bgv32
+from .ops import modmath32 as m32
+from .ops import pipeline32 as pp
+from .schemes.ciphertext import Ciphertext
+from .schemes.context import Context
+from .schemes.params import MulTech, Scheme
+
+
+@flax.struct.dataclass
+class Ct32:
+    """uint32 ciphertext: (size, L, N) residues + static bookkeeping."""
+
+    data: jnp.ndarray
+    chain_index: int = flax.struct.field(pytree_node=False, default=1)
+    is_ntt_form: bool = flax.struct.field(pytree_node=False, default=False)
+    scale: float = flax.struct.field(pytree_node=False, default=1.0)
+    correction_factor: int = flax.struct.field(pytree_node=False, default=1)
+    noise_scale_deg: int = flax.struct.field(pytree_node=False, default=1)
+
+    @property
+    def size(self):
+        return self.data.shape[0]
+
+
+class Fast32:
+    """Per-context u32 evaluator with per-level pipeline caches."""
+
+    def __init__(self, ctx: Context, rlk=None, glk=None,
+                 use_pallas: bool = False):
+        if any(int(q) >= (1 << 30) for q in ctx.params.coeff_modulus):
+            raise ValueError("Fast32 requires all primes < 2^30 "
+                             "(the u32 fast-path constraint)")
+        self.ctx = ctx
+        self.rlk = rlk
+        self.glk = glk
+        self.use_pallas = use_pallas
+        self.scheme = ctx.params.scheme
+        self._ks = {}       # chain_index -> KeySwitch32
+        self._evk = {}      # chain_index -> relin evk (u32)
+        self._galois = {}   # chain_index -> Galois32
+        self._ckks = {}     # chain_index -> CKKSPipeline32
+        self._bfv = {}      # chain_index -> BFV pipeline (per mul_tech)
+        self._bgv = {}      # chain_index -> BGVPipeline32
+
+    # -- conversions --------------------------------------------------------
+    def from_ciphertext(self, ct: Ciphertext) -> Ct32:
+        return Ct32(data=jnp.asarray(np.asarray(ct.data).astype(np.uint32)),
+                    chain_index=ct.chain_index, is_ntt_form=ct.is_ntt_form,
+                    scale=ct.scale, correction_factor=ct.correction_factor,
+                    noise_scale_deg=ct.noise_scale_deg)
+
+    def to_ciphertext(self, c: Ct32) -> Ciphertext:
+        return Ciphertext(
+            data=jnp.asarray(np.asarray(c.data).astype(np.uint64)),
+            chain_index=c.chain_index, is_ntt_form=c.is_ntt_form,
+            scale=c.scale, correction_factor=c.correction_factor,
+            noise_scale_deg=c.noise_scale_deg)
+
+    # -- per-level pipeline caches ------------------------------------------
+    def keyswitch_at(self, ci: int) -> pp.KeySwitch32:
+        if ci not in self._ks:
+            self._ks[ci] = pp.build_keyswitch32(
+                self.ctx, ci, self.use_pallas,
+                for_bgv=(self.scheme == Scheme.BGV))
+        return self._ks[ci]
+
+    def evk_at(self, ci: int) -> jnp.ndarray:
+        if ci not in self._evk:
+            if self.rlk is None:
+                raise ValueError("no relinearization key")
+            self._evk[ci] = pp.convert_key32(self.ctx, self.rlk.data, ci)
+        return self._evk[ci]
+
+    def galois_at(self, ci: int) -> pp.Galois32:
+        if ci not in self._galois:
+            if self.glk is None:
+                raise ValueError("no galois keys")
+            self._galois[ci] = pp.build_galois32(self.ctx, self.glk, ci)
+        return self._galois[ci]
+
+    def _ckks_at(self, ci: int) -> pp.CKKSPipeline32:
+        if ci not in self._ckks:
+            self._ckks[ci] = pp.build_pipeline32(self.ctx, self.rlk, ci,
+                                                 self.use_pallas)
+        return self._ckks[ci]
+
+    def _bfv_at(self, ci: int):
+        if ci not in self._bfv:
+            mt = self.ctx.params.mul_tech
+            if mt == MulTech.BEHZ:
+                p = bfv32.build_bfv_behz32(self.ctx, self.rlk, ci,
+                                           self.use_pallas)
+            elif mt == MulTech.HPS_OVERQ_LEVELED:
+                p = bfv32.build_bfv_leveled32(self.ctx, self.rlk,
+                                              use_pallas=self.use_pallas)
+            else:
+                p = bfv32.build_bfv32(self.ctx, self.rlk, ci,
+                                      self.use_pallas)
+            self._bfv[ci] = p
+        return self._bfv[ci]
+
+    def _bgv_at(self, ci: int) -> bgv32.BGVPipeline32:
+        if ci not in self._bgv:
+            self._bgv[ci] = bgv32.build_bgv32(self.ctx, self.rlk, ci,
+                                              self.use_pallas)
+        return self._bgv[ci]
+
+    # -- elementwise verbs --------------------------------------------------
+    def _mv(self, ci: int):
+        return self.keyswitch_at(ci).mv_ql
+
+    def add(self, c1: Ct32, c2: Ct32) -> Ct32:
+        if (self.scheme == Scheme.BGV
+                and c1.correction_factor != c2.correction_factor):
+            c1, c2 = self._balance(c1, c2)
+        q = self._mv(c1.chain_index).q[:, None]
+        size = max(c1.size, c2.size)
+        a = _pad_to(c1.data, size)
+        b = _pad_to(c2.data, size)
+        return c1.replace(data=m32.add_mod32(a, b, q))
+
+    def sub(self, c1: Ct32, c2: Ct32) -> Ct32:
+        if (self.scheme == Scheme.BGV
+                and c1.correction_factor != c2.correction_factor):
+            c1, c2 = self._balance(c1, c2)
+        q = self._mv(c1.chain_index).q[:, None]
+        size = max(c1.size, c2.size)
+        a = _pad_to(c1.data, size)
+        b = _pad_to(c2.data, size)
+        return c1.replace(data=m32.sub_mod32(a, b, q))
+
+    def negate(self, c: Ct32) -> Ct32:
+        q = self._mv(c.chain_index).q[:, None]
+        return c.replace(data=m32.neg_mod32(c.data, q))
+
+    def _balance(self, c1: Ct32, c2: Ct32):
+        """BGV correction-factor balancing, centered multipliers (mirror of
+        evaluate._balance_correction)."""
+        from .schemes.evaluate import _balance_factors
+        t = self.ctx.params.plain_modulus
+        f, m1, m2 = _balance_factors(c1.correction_factor,
+                                     c2.correction_factor, t)
+        mv = self._mv(c1.chain_index)
+
+        def scale(c, m):
+            if m == 1:
+                return c.replace(correction_factor=f)
+            neg = m > t // 2
+            mag = jnp.uint32(t - m if neg else m)
+            scaled = m32.mul_mod32(c.data, mag, mv.q[:, None],
+                                   mv.ratio_hi[:, None],
+                                   mv.ratio_lo[:, None])
+            if neg:
+                scaled = m32.neg_mod32(scaled, mv.q[:, None])
+            return c.replace(data=scaled, correction_factor=f)
+
+        return scale(c1, m1), scale(c2, m2)
+
+    def add_plain_ckks(self, c: Ct32, pt_data_u32: jnp.ndarray) -> Ct32:
+        q = self._mv(c.chain_index).q[:, None]
+        c0 = m32.add_mod32(c.data[0], pt_data_u32, q)
+        return c.replace(data=c.data.at[0].set(c0))
+
+    def multiply_plain_ckks(self, c: Ct32, pt_data_u32: jnp.ndarray,
+                            pt_scale: float = 1.0) -> Ct32:
+        mv = self._mv(c.chain_index)
+        prod = m32.mul_mod32(c.data, pt_data_u32[None], mv.q[:, None],
+                             mv.ratio_hi[:, None], mv.ratio_lo[:, None])
+        return c.replace(data=prod, scale=c.scale * pt_scale)
+
+    # -- multiply / relinearize ---------------------------------------------
+    def multiply_and_relin(self, c1: Ct32, c2: Ct32) -> Ct32:
+        ci = c1.chain_index
+        if self.scheme == Scheme.CKKS:
+            ks = self.keyswitch_at(ci)
+            evk = self.evk_at(ci)
+            q = ks.mv_ql.q[:, None]
+            t0, t1, t2 = pp._tensor_2x2(ks.mv_ql, c1.data, c2.data)
+            t_up = pp.modup_from_ntt32(ks, t2)
+            s0, s1 = pp.inner_product32(ks, t_up, evk)
+            out = jnp.stack([m32.add_mod32(t0, pp.moddown32(ks, s0), q),
+                             m32.add_mod32(t1, pp.moddown32(ks, s1), q)])
+            return c1.replace(data=out, scale=c1.scale * c2.scale)
+        if self.scheme == Scheme.BFV:
+            p = self._bfv_at(ci)
+            mt = self.ctx.params.mul_tech
+            if mt == MulTech.BEHZ:
+                out = bfv32.bfv_mult_relin_behz32(p, c1.data, c2.data)
+            elif mt == MulTech.HPS_OVERQ:
+                out = bfv32.bfv_mult_relin_overq32(p, c1.data, c2.data)
+            elif mt == MulTech.HPS_OVERQ_LEVELED:
+                out = bfv32.bfv_mult_relin_leveled32(p, c1.data, c2.data)
+            else:
+                out = bfv32.bfv_mult_relin32(p, c1.data, c2.data)
+            nsd = max(c1.noise_scale_deg, c2.noise_scale_deg) + (
+                1 if mt == MulTech.HPS_OVERQ_LEVELED else 0)
+            return c1.replace(data=out, noise_scale_deg=nsd)
+        # BGV
+        p = self._bgv_at(ci)
+        out = bgv32.bgv_mult_relin32(p, c1.data, c2.data)
+        t = self.ctx.params.plain_modulus
+        f = (c1.correction_factor * c2.correction_factor) % t
+        return c1.replace(data=out, correction_factor=f)
+
+    # -- rescale / mod switch -----------------------------------------------
+    def rescale_to_next(self, c: Ct32) -> Ct32:
+        if self.scheme != Scheme.CKKS:
+            raise ValueError("rescale is CKKS-only")
+        p = self._ckks_at(c.chain_index)
+        qlast = int(self.ctx.params.data_moduli[p.size_ql - 1])
+        out = pp._rescale(p, c.data)
+        return c.replace(data=out, chain_index=c.chain_index + 1,
+                         scale=c.scale / qlast)
+
+    def mod_switch_to_next(self, c: Ct32) -> Ct32:
+        if self.scheme == Scheme.CKKS:
+            k = self.keyswitch_at(c.chain_index).size_ql
+            return c.replace(data=c.data[..., :k - 1, :],
+                             chain_index=c.chain_index + 1)
+        if self.scheme == Scheme.BGV:
+            p = self._bgv_at(c.chain_index)
+            out = bgv32.bgv_mod_switch32(p, c.data)
+            from .host import numth
+            t = self.ctx.params.plain_modulus
+            k = self.keyswitch_at(c.chain_index).size_ql
+            qlast = int(self.ctx.params.data_moduli[k - 1])
+            f = (c.correction_factor
+                 * numth.invert_mod(qlast % t, t)) % t
+            return c.replace(data=out, chain_index=c.chain_index + 1,
+                             correction_factor=f)
+        raise NotImplementedError("BFV u32 mod switch: use the u64 layer")
+
+    # -- rotations ----------------------------------------------------------
+    def rotate(self, c: Ct32, step: int) -> Ct32:
+        ks = self.keyswitch_at(c.chain_index)
+        g = self.galois_at(c.chain_index)
+        out = pp.rotate32(ks, g, c.data, step,
+                          is_ntt_form=c.is_ntt_form)
+        return c.replace(data=out)
+
+    def apply_galois(self, c: Ct32, elt: int) -> Ct32:
+        ks = self.keyswitch_at(c.chain_index)
+        g = self.galois_at(c.chain_index)
+        if c.is_ntt_form:
+            out = pp.apply_galois32(ks, g, c.data, elt)
+        else:
+            out = pp.apply_galois_coeff32(ks, g, c.data, elt)
+        return c.replace(data=out)
+
+    def hoisting(self, c: Ct32, steps) -> Ct32:
+        ks = self.keyswitch_at(c.chain_index)
+        g = self.galois_at(c.chain_index)
+        return c.replace(data=pp.hoisting_sum32(ks, g, c.data, steps))
+
+
+def _pad_to(data: jnp.ndarray, size: int) -> jnp.ndarray:
+    if data.shape[0] == size:
+        return data
+    pad = jnp.zeros((size - data.shape[0],) + data.shape[1:],
+                    dtype=data.dtype)
+    return jnp.concatenate([data, pad], axis=0)

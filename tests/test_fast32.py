@@ -1,0 +1,95 @@
+"""Fast32 (the user-facing u32 evaluator) bit-matches the u64 scheme layer
+over multi-level chains: depth-2 CKKS mult/rescale + rotation at a dropped
+level, and a BGV mult/modswitch/add chain with correction factors."""
+
+import jax
+import numpy as np
+import pytest
+
+from phantom_tpu import Fast32
+from phantom_tpu.host import numth
+from phantom_tpu.host.modulus import PlainModulus
+from phantom_tpu.schemes import (BatchEncoder, CKKSEncoder,
+                                 EncryptionParameters, Scheme, evaluate,
+                                 keys, make_context)
+
+N = 128
+
+
+def test_ckks_depth2_chain_bit_match():
+    qs = numth.get_primes(2 * N, 28, 5)
+    ps = numth.get_primes(2 * N, 29, 2)
+    params = EncryptionParameters.create(
+        Scheme.CKKS, N, qs + ps, special_modulus_size=2)
+    ctx = make_context(params)
+    k = jax.random.split(jax.random.PRNGKey(41), 5)
+    sk = keys.gen_secret_key(ctx, k[0])
+    pk = keys.gen_public_key(ctx, sk, k[1])
+    rlk = keys.gen_relin_key(ctx, sk, k[2])
+    glk = keys.create_galois_keys(ctx, sk, k[3], steps=[1])
+    enc = CKKSEncoder(ctx)
+    z = np.random.default_rng(0).standard_normal(enc.slots)
+    ct = keys.encrypt_asymmetric(ctx, pk, enc.encode(z, 2.0 ** 26), k[4])
+
+    # u64 chain: square+relin+rescale twice, then rotate at level 3
+    r64 = evaluate.rescale_to_next(
+        ctx, evaluate.multiply_and_relin(ctx, ct, ct, rlk))
+    r64 = evaluate.rescale_to_next(
+        ctx, evaluate.multiply_and_relin(ctx, r64, r64, rlk))
+    r64 = evaluate.rotate_vector(ctx, r64, 1, glk)
+
+    ev = Fast32(ctx, rlk=rlk, glk=glk)
+    c = ev.from_ciphertext(ct)
+    c = ev.rescale_to_next(ev.multiply_and_relin(c, c))
+    assert c.chain_index == 2
+    c = ev.rescale_to_next(ev.multiply_and_relin(c, c))
+    assert c.chain_index == 3
+    c = ev.rotate(c, 1)
+    np.testing.assert_array_equal(np.asarray(c.data),
+                                  np.asarray(r64.data).astype(np.uint32))
+    assert c.scale == r64.scale
+    # and the converted-back ciphertext decrypts
+    got = enc.decode(keys.decrypt(ctx, sk, ev.to_ciphertext(c)))
+    np.testing.assert_allclose(got.real, np.roll(z ** 4, -1), atol=1e-2)
+
+
+def test_bgv_chain_bit_match():
+    qs = numth.get_primes(2 * N, 28, 4)
+    ps = numth.get_primes(2 * N, 29, 1)
+    t = PlainModulus.batching(N, 16).value
+    params = EncryptionParameters.create(
+        Scheme.BGV, N, qs + ps, plain_modulus=t, special_modulus_size=1)
+    ctx = make_context(params)
+    k = jax.random.split(jax.random.PRNGKey(43), 5)
+    sk = keys.gen_secret_key(ctx, k[0])
+    pk = keys.gen_public_key(ctx, sk, k[1])
+    rlk = keys.gen_relin_key(ctx, sk, k[2])
+    enc = BatchEncoder(ctx)
+    rg = np.random.default_rng(6)
+    a = rg.integers(0, t, N, dtype=np.uint64)
+    b = rg.integers(0, t, N, dtype=np.uint64)
+    ca = keys.encrypt_asymmetric(ctx, pk, enc.encode(a), k[3])
+    cb = keys.encrypt_asymmetric(ctx, pk, enc.encode(b), k[4])
+
+    # u64 chain: (a*b) mod-switched, then + (a*b at next level) -> balance
+    A64 = evaluate.mod_switch_to_next(
+        ctx, evaluate.multiply_and_relin(ctx, ca, cb, rlk))
+    B64 = evaluate.multiply_and_relin(
+        ctx, evaluate.mod_switch_to_next(ctx, ca),
+        evaluate.mod_switch_to_next(ctx, cb), rlk)
+    s64 = evaluate.add(ctx, A64, B64)
+
+    ev = Fast32(ctx, rlk=rlk)
+    fa, fb = ev.from_ciphertext(ca), ev.from_ciphertext(cb)
+    A = ev.mod_switch_to_next(ev.multiply_and_relin(fa, fb))
+    B = ev.multiply_and_relin(ev.mod_switch_to_next(fa),
+                              ev.mod_switch_to_next(fb))
+    assert A.correction_factor == A64.correction_factor
+    assert B.correction_factor == B64.correction_factor
+    s = ev.add(A, B)
+    assert s.correction_factor == s64.correction_factor
+    np.testing.assert_array_equal(np.asarray(s.data),
+                                  np.asarray(s64.data).astype(np.uint32))
+    got = enc.decode(keys.decrypt(ctx, sk, ev.to_ciphertext(s)))
+    expect = (2 * a.astype(object) * b.astype(object)) % t
+    np.testing.assert_array_equal(got.astype(object), expect)
