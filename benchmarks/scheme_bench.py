@@ -15,6 +15,10 @@ def main():
     ap.add_argument("--logn", type=int, default=13)
     ap.add_argument("--limbs", type=int, default=6)
     ap.add_argument("--trials", type=int, default=10)
+    ap.add_argument("--path", choices=["u64", "u32", "pallas"],
+                    default="u64",
+                    help="u32/pallas: evaluator verbs through the Fast32 "
+                         "fast path (<2^30 primes)")
     args = ap.parse_args()
 
     import os
@@ -34,14 +38,18 @@ def main():
     n = 1 << args.logn
     scheme = {"bfv": Scheme.BFV, "bgv": Scheme.BGV,
               "ckks": Scheme.CKKS}[args.scheme]
+    bits = 28 if args.path in ("u32", "pallas") else 40
     if scheme == Scheme.CKKS:
-        qs = numth.get_primes(2 * n, 40, args.limbs + 1)
+        qs = numth.get_primes(2 * n, bits, args.limbs + 1)
         params = EncryptionParameters.create(
             Scheme.CKKS, n, qs, special_modulus_size=1)
     else:
-        coeff = [m.value for m in CoeffModulus.create(
-            n, [40] * (args.limbs + 1))]
-        t_plain = PlainModulus.batching(n, 20).value
+        if args.path in ("u32", "pallas"):
+            coeff = numth.get_primes(2 * n, bits, args.limbs + 1)
+        else:
+            coeff = [m.value for m in CoeffModulus.create(
+                n, [bits] * (args.limbs + 1))]
+        t_plain = PlainModulus.batching(n, 16).value
         params = EncryptionParameters.create(
             scheme, n, coeff, plain_modulus=t_plain, special_modulus_size=1)
     ctx = make_context(params)
@@ -56,7 +64,7 @@ def main():
     if scheme == Scheme.CKKS:
         enc = CKKSEncoder(ctx)
         z = np.random.default_rng(0).standard_normal(enc.slots)
-        pt = enc.encode(z, 2.0 ** 35)
+        pt = enc.encode(z, 2.0 ** (bits - 6))
     else:
         enc = BatchEncoder(ctx)
         vals = np.arange(n, dtype=np.uint64) % params.plain_modulus
@@ -73,6 +81,54 @@ def main():
         c, p, pt, jax.random.PRNGKey(3)).data, ctx, pk, pt.data)
     bench("decrypt", lambda c, s, d: keys.decrypt(
         c, s, ct1.replace(data=d)).data, ctx, sk, ct1.data)
+
+    if args.path in ("u32", "pallas"):
+        # evaluator verbs through the u32 fast path: pipelines are built
+        # eagerly and ride through jit as ARGUMENTS (never captured — see
+        # CLAUDE.md invariants)
+        import jax.numpy as jnp
+        from phantom_tpu.ops import bfv32, bgv32
+        from phantom_tpu.ops import modmath32 as m32
+        from phantom_tpu.ops import pipeline32 as pp
+        use_pallas = args.path == "pallas"
+        ks = pp.build_keyswitch32(ctx, 1, use_pallas,
+                                  for_bgv=(scheme == Scheme.BGV))
+        evk = pp.convert_key32(ctx, rlk.data, 1)
+        g32 = pp.build_galois32(ctx, glk, 1)
+        is_ntt = scheme != Scheme.BFV
+        d1 = jnp.asarray(np.asarray(ct1.data).astype(np.uint32))
+        d2 = jnp.asarray(np.asarray(ct2.data).astype(np.uint32))
+
+        bench("add",
+              lambda k_, a, b: m32.add_mod32(a, b, k_.mv_ql.q[:, None]),
+              ks, d1, d2)
+
+        if scheme == Scheme.CKKS:
+            def mr(k_, e_, a, b):
+                t0, t1, t2 = pp._tensor_2x2(k_.mv_ql, a, b)
+                s0, s1 = pp.inner_product32(
+                    k_, pp.modup_from_ntt32(k_, t2), e_)
+                q = k_.mv_ql.q[:, None]
+                return jnp.stack(
+                    [m32.add_mod32(t0, pp.moddown32(k_, s0), q),
+                     m32.add_mod32(t1, pp.moddown32(k_, s1), q)])
+            bench("multiply_relin", mr, ks, evk, d1, d2)
+        elif scheme == Scheme.BFV:
+            pipe = bfv32.build_bfv32(ctx, rlk, 1, use_pallas)
+            bench("multiply_relin", bfv32.bfv_mult_relin32, pipe, d1, d2)
+        else:
+            pipe = bgv32.build_bgv32(ctx, rlk, 1, use_pallas)
+            bench("multiply_relin", bgv32.bgv_mult_relin32, pipe, d1, d2)
+
+        bench("rotate", lambda k_, g_, a: pp.rotate32(
+            k_, g_, a, 1, is_ntt_form=is_ntt), ks, g32, d1)
+
+        if scheme == Scheme.CKKS:
+            cpipe = pp.build_pipeline32(ctx, rlk, 1, use_pallas)
+            bench("multiply_relin_rescale", pp.mult_relin_rescale32,
+                  cpipe, d1, d2)
+        return
+
     bench("add", lambda c, a, b: evaluate.add(
         c, ct1.replace(data=a), ct2.replace(data=b)).data,
         ctx, ct1.data, ct2.data)

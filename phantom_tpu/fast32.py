@@ -50,7 +50,13 @@ class Ct32:
 
 
 class Fast32:
-    """Per-context u32 evaluator with per-level pipeline caches."""
+    """Per-context u32 evaluator with per-level pipeline caches.
+
+    Call the verbs EAGERLY (XLA dispatch is async, so eager calls already
+    pipeline on device); to place a verb inside your own jit, prebuild the
+    level first (`prebuild(ci)`) or use the ops-level pipelines directly
+    with the pipeline object as a jit argument — building pipelines inside
+    a trace is an error (table conversion needs concrete arrays)."""
 
     def __init__(self, ctx: Context, rlk=None, glk=None,
                  use_pallas: bool = False):
@@ -84,6 +90,23 @@ class Fast32:
             noise_scale_deg=c.noise_scale_deg)
 
     # -- per-level pipeline caches ------------------------------------------
+    def prebuild(self, ci: int):
+        """Eagerly build every pipeline this level can need (so verbs can
+        subsequently run inside a caller's jit without tracing a build)."""
+        self.keyswitch_at(ci)
+        if self.rlk is not None:
+            self.evk_at(ci)
+            if self.scheme == Scheme.CKKS:
+                if ci + 1 < len(self.ctx.chain):
+                    self._ckks_at(ci)
+            elif self.scheme == Scheme.BFV:
+                self._bfv_at(ci)
+            else:
+                self._bgv_at(ci)
+        if self.glk is not None:
+            self.galois_at(ci)
+        return self
+
     def keyswitch_at(self, ci: int) -> pp.KeySwitch32:
         if ci not in self._ks:
             self._ks[ci] = pp.build_keyswitch32(

@@ -46,3 +46,19 @@ def test_fused_scale_matches():
     plain = np.asarray(ntt32.ntt_inverse32(y, t32))
     np.testing.assert_array_equal(out.astype(object),
                                   (plain.astype(object) * s) % q)
+
+
+def test_max_degree_roundtrip():
+    """Degree-scaling smoke at the reference's max N = 131072
+    (defines.h:23): table generation + u32 forward/inverse roundtrip and
+    a spot bit-match against the u64 engine (first limb, sampled lanes)."""
+    n = 1 << 17
+    t64, t32, qs = make_pair(n, 28, 1)
+    q = qs[0]
+    x = np.stack([RNG.integers(0, q, n, dtype=np.uint32)])
+    y32 = ntt32.ntt_forward32(jnp.asarray(x), t32)
+    z32 = np.asarray(ntt32.ntt_inverse32(y32, t32))
+    np.testing.assert_array_equal(z32, x)
+    y64 = np.asarray(ntt64.ntt_forward(
+        jnp.asarray(x.astype(np.uint64)), t64))
+    np.testing.assert_array_equal(np.asarray(y32), y64.astype(np.uint32))
