@@ -19,6 +19,10 @@ def main():
     ap.add_argument("--sweep-step", type=int, default=1,
                     help="dropped-level stride (1 = every level, like the "
                          "reference's axis sweep)")
+    ap.add_argument("--path", choices=["u64", "u32", "pallas"],
+                    default="u64",
+                    help="u32/pallas: 28-bit primes + the uint32 "
+                         "keyswitch engine")
     args = ap.parse_args()
 
     import os
@@ -34,9 +38,14 @@ def main():
     from phantom_tpu.utils.timer import OpTimer, print_timer_banner
 
     n = 1 << args.logn
-    # reference uses 50-bit data + 60-bit special primes; same here
-    qs = numth.get_primes(2 * n, 50, args.limbs)
-    ps = numth.get_primes(2 * n, 60, args.alpha)
+    # reference uses 50-bit data + 60-bit special primes (u64 path); the
+    # u32 fast path uses 28/29-bit primes
+    if args.path in ("u32", "pallas"):
+        qs = numth.get_primes(2 * n, 28, args.limbs)
+        ps = numth.get_primes(2 * n, 29, args.alpha)
+    else:
+        qs = numth.get_primes(2 * n, 50, args.limbs)
+        ps = numth.get_primes(2 * n, 60, args.alpha)
     params = EncryptionParameters.create(
         Scheme.CKKS, n, qs + ps, special_modulus_size=args.alpha)
     ctx = make_context(params)
@@ -46,13 +55,27 @@ def main():
     rlk = keys.gen_relin_key(ctx, sk, k_rlk)
 
     print_timer_banner()
+    use_pallas = args.path == "pallas"
     for drop in range(0, args.limbs - 1, max(1, args.sweep_step)):
         cd = ctx.get_context_data(1 + drop)
         k = cd.size_ql
-        c2 = jax.numpy.asarray(
-            np.stack([np.random.default_rng(1).integers(0, int(q), n)
-                      for q in cd.moduli]).astype(np.uint64))
+        c2_np = np.stack([np.random.default_rng(1).integers(0, int(q), n)
+                          for q in cd.moduli]).astype(np.uint64)
 
+        if args.path in ("u32", "pallas"):
+            from phantom_tpu.ops import pipeline32 as pp
+            ks32 = pp.build_keyswitch32(ctx, 1 + drop, use_pallas)
+            evk32 = pp.convert_key32(ctx, rlk.data, 1 + drop)
+            c2 = jax.numpy.asarray(c2_np.astype(np.uint32))
+            t = OpTimer(f"modup_L{k}", trials=args.trials)
+            t.run(jax.jit(pp.modup32), ks32, c2)
+            t.print_csv()
+            t = OpTimer(f"keyswitch_L{k}", trials=args.trials)
+            t.run(jax.jit(pp.keyswitch32), ks32, c2, evk32)
+            t.print_csv()
+            continue
+
+        c2 = jax.numpy.asarray(c2_np)
         modup_fn = jax.jit(lambda c, x: keyswitch.modup(
             c, c.get_context_data(1 + drop), x))
         t = OpTimer(f"modup_L{k}", trials=args.trials)

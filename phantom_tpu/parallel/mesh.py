@@ -93,8 +93,12 @@ def sharded_mul_relin_rescale_step(ctx, ct_proto1, ct_proto2, rlk, mesh: Mesh):
 
     batched = jax.vmap(one, in_axes=(None, None, 0, 0))
     sh = ct_sharding(mesh)
-    # rescale drops one limb, so the output limb count need not divide the
-    # mesh axis; keep the batch axis sharded and let GSPMD lay out limbs
+    # Audited: rescale drops one limb, so the output limb count (k-1) does
+    # not divide the mesh axis and jit out_shardings require divisibility —
+    # the step therefore ends with a bounded limb gather of the (k-1, N)
+    # result per batch element.  This is an inherent cost of the limb
+    # layout; the coefficient-sharded pipeline (pipeline_sharded.py /
+    # sharded32.py) avoids it entirely and is the preferred multichip path.
     out_sh = NamedSharding(mesh, P("dp"))
     rep = replicate(mesh)
     jitted = jax.jit(batched, in_shardings=(rep, rep, sh, sh),
