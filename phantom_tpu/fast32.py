@@ -302,6 +302,171 @@ class Fast32:
         g = self.galois_at(c.chain_index)
         return c.replace(data=pp.hoisting_sum32(ks, g, c.data, steps))
 
+    # -- encrypt / decrypt ----------------------------------------------------
+    def _qlp_cast32(self, arr64, ci: int) -> jnp.ndarray:
+        from .schemes.keyswitch import qlp_rows
+        rows = np.asarray(qlp_rows(self.ctx,
+                                   self.keyswitch_at(ci).size_ql))
+        return jnp.asarray(np.asarray(arr64)[..., rows, :]
+                           .astype(np.uint32))
+
+    def _encrypt_zero_asym32(self, pk, ci: int, rng, is_ntt: bool):
+        """u32 mirror of keys.encrypt_zero_asymmetric: sample at the key
+        level (same u64 threefry streams, cast — lossless for <2^30
+        primes), u32 NTTs/mults, u32 moddown QlP -> Ql."""
+        import jax
+
+        from .ops import ntt as nttmod
+        from .ops import sampling as smp
+        ctx = self.ctx
+        p = ctx.params
+        n = p.n
+        ks = self.keyswitch_at(ci)
+        k_u, k_e0, k_e1 = jax.random.split(rng, 3)
+        u_coeff = smp.sample_ternary_rns(k_u, n, ctx.key_mv)
+        u32_rows = self._qlp_cast32(u_coeff, ci)
+        u_ntt = pp._fwd(ks, u32_rows, ks.t_qlp)
+        mult = None
+        if p.scheme == Scheme.BGV:
+            t = p.plain_modulus
+            mult = jnp.asarray([t % q for q in p.coeff_modulus],
+                               dtype=jnp.uint64)
+        pk32 = self._qlp_cast32(pk.data, ci)
+        qlp_q = ks.mv_qlp.q[:, None]
+        out = []
+        for i, k_e in enumerate((k_e0, k_e1)):
+            e = smp.sample_error_rns(k_e, n, ctx.key_mv, multiplier=mult)
+            e32 = self._qlp_cast32(e, ci)
+            prod = m32.mul_mod32(u_ntt, pk32[i], qlp_q,
+                                 ks.mv_qlp.ratio_hi[:, None],
+                                 ks.mv_qlp.ratio_lo[:, None])
+            if is_ntt:
+                ci_poly = m32.add_mod32(prod, pp._fwd(ks, e32, ks.t_qlp),
+                                        qlp_q)
+                out.append(pp.moddown32(ks, ci_poly))
+            else:
+                ci_poly = m32.add_mod32(pp._inv(ks, prod, ks.t_qlp), e32,
+                                        qlp_q)
+                out.append(pp.moddown_coeff32(ks, ci_poly))
+        return jnp.stack(out)
+
+    def encrypt_asymmetric(self, pk, plain, rng) -> Ct32:
+        """u32 asymmetric encryption; bit-identical to
+        keys.encrypt_asymmetric (tests/test_fast32.py)."""
+        from .ops import scaleround as sr
+        ctx = self.ctx
+        p = ctx.params
+        if p.scheme == Scheme.BFV:
+            ci = ctx.first_data_index
+            cd = ctx.get_context_data(ci)
+            zero = self._encrypt_zero_asym32(pk, ci, rng, is_ntt=False)
+            lifted = jnp.asarray(np.asarray(
+                sr.scale_plain_up(plain.data[0], cd.plain_lift)
+            ).astype(np.uint32))
+            q = self._mv(ci).q[:, None]
+            c0 = m32.add_mod32(zero[0], lifted, q)
+            return Ct32(data=jnp.stack([c0, zero[1]]), chain_index=ci,
+                        is_ntt_form=False)
+        if p.scheme == Scheme.CKKS:
+            ci = plain.chain_index
+            zero = self._encrypt_zero_asym32(pk, ci, rng, is_ntt=True)
+            pt32 = jnp.asarray(np.asarray(plain.data).astype(np.uint32))
+            q = self._mv(ci).q[:, None]
+            c0 = m32.add_mod32(zero[0], pt32, q)
+            return Ct32(data=jnp.stack([c0, zero[1]]), chain_index=ci,
+                        is_ntt_form=True, scale=plain.scale)
+        # BGV
+        from .schemes.keys import _bgv_lift_plain_ntt
+        ci = ctx.first_data_index
+        cd = ctx.get_context_data(ci)
+        zero = self._encrypt_zero_asym32(pk, ci, rng, is_ntt=True)
+        pt32 = jnp.asarray(np.asarray(
+            _bgv_lift_plain_ntt(ctx, cd, plain.data[0])).astype(np.uint32))
+        q = self._mv(ci).q[:, None]
+        c0 = m32.add_mod32(zero[0], pt32, q)
+        return Ct32(data=jnp.stack([c0, zero[1]]), chain_index=ci,
+                    is_ntt_form=True)
+
+    def _decrypt_consts(self, ci: int):
+        if not hasattr(self, "_dec"):
+            self._dec = {}
+        if ci not in self._dec:
+            from .host.rns import BaseConverter, RNSBase
+            from .ops import bconv32 as bc32
+            from .ops import scaleround32 as sr32
+            cd = self.ctx.get_context_data(ci)
+            ql = list(cd.moduli)
+            t = int(self.ctx.params.plain_modulus)
+            big_q = 1
+            for q in ql:
+                big_q *= q
+            if self.scheme == Scheme.BFV:
+                # round(t/Q * x) mod t IS the v-free construction with
+                # out = {t}: t | t*Q/Q, and the +v*t overshoot vanishes mod t
+                self._dec[ci] = sr32.make_exact_scale_round32(
+                    ql, t, big_q, [t])
+            elif self.scheme == Scheme.BGV:
+                half = (big_q - 1) >> 1
+                self._dec[ci] = (
+                    bc32.consts32_from_host(
+                        BaseConverter(RNSBase(ql), RNSBase([t]))),
+                    jnp.asarray(np.array([half % q for q in ql],
+                                         dtype=np.uint32)),
+                    jnp.uint32(half % t),
+                )
+        return self._dec.get(ci)
+
+    def decrypt(self, sk, c: Ct32):
+        """u32 decryption to a Plaintext (mirror of keys.decrypt)."""
+        from .host import numth
+        from .ops import bconv32 as bc32
+        from .ops import scaleround32 as sr32
+        from .schemes.ciphertext import Plaintext
+        ks = self.keyswitch_at(c.chain_index)
+        k = ks.size_ql
+        q = ks.mv_ql.q[:, None]
+        rh = ks.mv_ql.ratio_hi[:, None]
+        rl = ks.mv_ql.ratio_lo[:, None]
+        s = jnp.asarray(np.asarray(sk.data)[:k].astype(np.uint32))
+        polys = c.data
+        if not c.is_ntt_form:
+            polys = pp._fwd(ks, polys, ks.t_ql)
+        acc = polys[0]
+        s_pow = s
+        for i in range(1, c.size):
+            acc = m32.add_mod32(
+                acc, m32.mul_mod32(polys[i], s_pow, q, rh, rl), q)
+            if i + 1 < c.size:
+                s_pow = m32.mul_mod32(s_pow, s, q, rh, rl)
+        if self.scheme == Scheme.CKKS:
+            return Plaintext(
+                data=jnp.asarray(np.asarray(acc).astype(np.uint64)),
+                chain_index=c.chain_index, is_ntt_form=True, scale=c.scale)
+        x = pp._inv(ks, acc, ks.t_ql)
+        t = int(self.ctx.params.plain_modulus)
+        if self.scheme == Scheme.BFV:
+            consts = self._decrypt_consts(c.chain_index)
+            m = sr32.scale_and_round_exact32(x, consts)[0]
+            return Plaintext(
+                data=jnp.asarray(np.asarray(m).astype(np.uint64))[None],
+                chain_index=c.chain_index)
+        # BGV: centered exact conversion Ql -> t + correction-factor fix
+        q_to_t, qhalf_mod_q, qhalf_mod_t = self._decrypt_consts(
+            c.chain_index)
+        shifted = m32.add_mod32(x, qhalf_mod_q[:, None], q)
+        conv = bc32.bconv_exact32(shifted, q_to_t)
+        tq = q_to_t.obase.q[:, None]
+        m = m32.sub_mod32(conv, qhalf_mod_t, tq)
+        f = c.correction_factor % t
+        if f != 1:
+            finv = numth.invert_mod(f, t)
+            m = m32.mul_mod32(m, jnp.uint32(finv), tq,
+                              q_to_t.obase.ratio_hi[:, None],
+                              q_to_t.obase.ratio_lo[:, None])
+        return Plaintext(
+            data=jnp.asarray(np.asarray(m).astype(np.uint64)),
+            chain_index=c.chain_index)
+
 
 def _pad_to(data: jnp.ndarray, size: int) -> jnp.ndarray:
     if data.shape[0] == size:

@@ -310,6 +310,18 @@ def moddown32(ks: KeySwitch32, x: jnp.ndarray) -> jnp.ndarray:
                                q)
 
 
+def moddown_coeff32(ks: KeySwitch32, x: jnp.ndarray) -> jnp.ndarray:
+    """Moddown for coefficient-form input (reference: DRNSTool::moddown;
+    mirror of keyswitch.moddown_coeff)."""
+    k = ks.size_ql
+    x_q = x[:k]
+    delta = _moddown_delta32(ks, x[k:])
+    q = ks.mv_ql.q[:, None]
+    diff = m32.sub_mod32(x_q, delta, q)
+    return m32.mul_mod_shoup32(diff, ks.pinv[:, None], ks.pinv_shoup[:, None],
+                               q)
+
+
 def keyswitch32(ks: KeySwitch32, c2_coeff: jnp.ndarray,
                 evk: jnp.ndarray) -> jnp.ndarray:
     """Full hybrid keyswitch, coeff-form input -> (2, size_ql, N) NTT."""

@@ -93,3 +93,46 @@ def test_bgv_chain_bit_match():
     got = enc.decode(keys.decrypt(ctx, sk, ev.to_ciphertext(s)))
     expect = (2 * a.astype(object) * b.astype(object)) % t
     np.testing.assert_array_equal(got.astype(object), expect)
+
+
+@pytest.mark.parametrize("scheme", ["bfv", "ckks", "bgv"])
+def test_encrypt_decrypt_u32_bit_match(scheme):
+    """Fast32 encrypt produces the exact ciphertext bits of the u64 path
+    (same threefry streams), and Fast32 decrypt recovers the plaintext."""
+    sch = {"bfv": Scheme.BFV, "ckks": Scheme.CKKS, "bgv": Scheme.BGV}[scheme]
+    qs = numth.get_primes(2 * N, 28, 3)
+    ps = numth.get_primes(2 * N, 29, 1)
+    extra = {}
+    if sch != Scheme.CKKS:
+        extra["plain_modulus"] = PlainModulus.batching(N, 16).value
+    params = EncryptionParameters.create(
+        sch, N, qs + ps, special_modulus_size=1, **extra)
+    ctx = make_context(params)
+    k = jax.random.split(jax.random.PRNGKey(61), 4)
+    sk = keys.gen_secret_key(ctx, k[0])
+    pk = keys.gen_public_key(ctx, sk, k[1])
+    if sch == Scheme.CKKS:
+        enc = CKKSEncoder(ctx)
+        z = np.random.default_rng(2).standard_normal(enc.slots)
+        pt = enc.encode(z, 2.0 ** 24)
+    else:
+        enc = BatchEncoder(ctx)
+        t = ctx.params.plain_modulus
+        vals = np.random.default_rng(2).integers(0, t, N, dtype=np.uint64)
+        pt = enc.encode(vals)
+    ref = keys.encrypt_asymmetric(ctx, pk, pt, k[2])
+    ev = Fast32(ctx)
+    c = ev.encrypt_asymmetric(pk, pt, k[2])
+    np.testing.assert_array_equal(np.asarray(c.data),
+                                  np.asarray(ref.data).astype(np.uint32))
+    assert c.is_ntt_form == ref.is_ntt_form
+    # u32 decrypt matches the u64 decrypt bit-for-bit and decodes
+    m32_pt = ev.decrypt(sk, c)
+    m64_pt = keys.decrypt(ctx, sk, ref)
+    np.testing.assert_array_equal(np.asarray(m32_pt.data),
+                                  np.asarray(m64_pt.data))
+    if sch == Scheme.CKKS:
+        got = enc.decode(m32_pt)
+        np.testing.assert_allclose(got.real, z, atol=1e-3)
+    else:
+        np.testing.assert_array_equal(enc.decode(m32_pt), vals)
