@@ -302,6 +302,17 @@ class Fast32:
         g = self.galois_at(c.chain_index)
         return c.replace(data=pp.hoisting_sum32(ks, g, c.data, steps))
 
+    def hoisted_linear_combo(self, c: Ct32, steps, pts_qlp,
+                             pts_scale: float = 1.0) -> Ct32:
+        """sum_s pt_s * rotate(c, s), one modup/moddown (CKKS matvec
+        primitive); pts_qlp from ckks_encoder.encode_extended."""
+        ks = self.keyswitch_at(c.chain_index)
+        g = self.galois_at(c.chain_index)
+        pts32 = [jnp.asarray(np.asarray(p_).astype(np.uint32))
+                 for p_ in pts_qlp]
+        out = pp.hoisted_linear_combo32(ks, g, c.data, steps, pts32)
+        return c.replace(data=out, scale=c.scale * pts_scale)
+
     # -- encrypt / decrypt ----------------------------------------------------
     def _qlp_cast32(self, arr64, ci: int) -> jnp.ndarray:
         from .schemes.keyswitch import qlp_rows

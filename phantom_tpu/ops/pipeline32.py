@@ -518,6 +518,60 @@ def rotate32(ks: KeySwitch32, g: Galois32, d: jnp.ndarray,
     return apply_galois_coeff32(ks, g, d, elt)
 
 
+def hoisted_linear_combo32(ks: KeySwitch32, g: Galois32, d: jnp.ndarray,
+                           steps, pts_qlp32) -> jnp.ndarray:
+    """sum_s pt_s * rotate(d, s) with ONE modup and ONE moddown — the
+    Halevi-Shoup matvec inner loop on the u32 fast path (mirror of
+    evaluate.hoisted_linear_combo; reference building blocks: hoisting,
+    evaluate.cu:1670 + multiply_plain).
+
+    pts_qlp32: per-step (size_qlp, N) u32 NTT-form weights (from
+    ckks_encoder.encode_extended, cast), aligned with `steps`."""
+    from ..schemes import galois as gal
+    k = ks.size_ql
+    c0, c1 = d[0], d[1]
+    t_up = modup_from_ntt32(ks, c1)
+    q = ks.mv_ql.q[:, None]
+    rh = ks.mv_ql.ratio_hi[:, None]
+    rl = ks.mv_ql.ratio_lo[:, None]
+    qlp_q = ks.mv_qlp.q[:, None]
+    qlp_rh = ks.mv_qlp.ratio_hi[:, None]
+    qlp_rl = ks.mv_qlp.ratio_lo[:, None]
+    acc_c0 = None
+    acc_c1 = None
+    acc0 = acc1 = None
+    half_slots = ks.n // 2
+    for s, pt in zip(steps, pts_qlp32):
+        if s % half_slots == 0:
+            # identity rotation: no keyswitch at all
+            term0 = m32.mul_mod32(c0, pt[:k], q, rh, rl)
+            term1 = m32.mul_mod32(c1, pt[:k], q, rh, rl)
+            acc_c1 = term1 if acc_c1 is None else m32.add_mod32(
+                acc_c1, term1, q)
+        else:
+            elt = gal.get_elt_from_step(s, ks.n)
+            kidx = g.elts.index(elt)
+            perm = g.perms[kidx]
+            c0p = c0[..., perm]
+            tperm = t_up[..., perm]
+            s0, s1 = inner_product32(ks, tperm, g.evks[kidx])
+            w0 = m32.mul_mod32(s0, pt, qlp_q, qlp_rh, qlp_rl)
+            w1 = m32.mul_mod32(s1, pt, qlp_q, qlp_rh, qlp_rl)
+            term0 = m32.mul_mod32(c0p, pt[:k], q, rh, rl)
+            acc0 = w0 if acc0 is None else m32.add_mod32(acc0, w0, qlp_q)
+            acc1 = w1 if acc1 is None else m32.add_mod32(acc1, w1, qlp_q)
+        acc_c0 = term0 if acc_c0 is None else m32.add_mod32(acc_c0, term0, q)
+    if acc0 is not None:
+        cx0 = moddown32(ks, acc0)
+        cx1 = moddown32(ks, acc1)
+        out0 = m32.add_mod32(acc_c0, cx0, q)
+        out1 = cx1 if acc_c1 is None else m32.add_mod32(cx1, acc_c1, q)
+    else:
+        out0 = acc_c0
+        out1 = acc_c1
+    return jnp.stack([out0, out1])
+
+
 def hoisting_sum32(ks: KeySwitch32, g: Galois32, d: jnp.ndarray,
                    steps) -> jnp.ndarray:
     """sum_s rotate(d, s): ONE modup, per-step NTT-domain digit permutation

@@ -136,3 +136,36 @@ def test_encrypt_decrypt_u32_bit_match(scheme):
         np.testing.assert_allclose(got.real, z, atol=1e-3)
     else:
         np.testing.assert_array_equal(enc.decode(m32_pt), vals)
+
+
+def test_hoisted_linear_combo_u32_bit_match():
+    """Fast32's weighted-hoisting matvec primitive bit-matches the u64
+    evaluate.hoisted_linear_combo."""
+    from phantom_tpu.schemes import evaluate
+    from phantom_tpu.schemes.ckks_encoder import encode_extended
+    qs = numth.get_primes(2 * N, 28, 4)
+    ps = numth.get_primes(2 * N, 29, 2)
+    params = EncryptionParameters.create(
+        Scheme.CKKS, N, qs + ps, special_modulus_size=2)
+    ctx = make_context(params)
+    k = jax.random.split(jax.random.PRNGKey(71), 5)
+    sk = keys.gen_secret_key(ctx, k[0])
+    pk = keys.gen_public_key(ctx, sk, k[1])
+    glk = keys.create_galois_keys(ctx, sk, k[2], steps=[1, 2])
+    enc = CKKSEncoder(ctx)
+    scale = 2.0 ** 22
+    rg = np.random.default_rng(3)
+    z = rg.standard_normal(enc.slots)
+    ct = keys.encrypt_asymmetric(ctx, pk, enc.encode(z, scale), k[3])
+    steps = [0, 1, 2]
+    weights = [rg.standard_normal(enc.slots) for _ in steps]
+    pts_ext = [encode_extended(enc, w, scale, ct.chain_index)
+               for w in weights]
+    ref = evaluate.hoisted_linear_combo(ctx, ct, glk, steps, pts_ext, scale)
+
+    ev = Fast32(ctx, glk=glk)
+    c = ev.from_ciphertext(ct)
+    out = ev.hoisted_linear_combo(c, steps, pts_ext, scale)
+    np.testing.assert_array_equal(np.asarray(out.data),
+                                  np.asarray(ref.data).astype(np.uint32))
+    assert out.scale == ref.scale
