@@ -206,17 +206,59 @@ class Fast32:
 
         return scale(c1, m1), scale(c2, m2)
 
-    def add_plain_ckks(self, c: Ct32, pt_data_u32: jnp.ndarray) -> Ct32:
+    def _plain_rns32(self, ci: int, plain) -> jnp.ndarray:
+        """Lift a Plaintext to u32 (k, N) residues in the ct's domain
+        (BFV: round(Q*m/t) coeff form; CKKS: NTT residues as-is; BGV:
+        mod-t lift in NTT form)."""
+        from .ops import scaleround as sr
+        cd = self.ctx.get_context_data(ci)
+        if self.scheme == Scheme.BFV:
+            lifted = sr.scale_plain_up(plain.data[0], cd.plain_lift)
+        elif self.scheme == Scheme.CKKS:
+            lifted = plain.data
+        else:
+            from .schemes.keys import _bgv_lift_plain_ntt
+            lifted = _bgv_lift_plain_ntt(self.ctx, cd, plain.data[0])
+        return jnp.asarray(np.asarray(lifted).astype(np.uint32))
+
+    def add_plain(self, c: Ct32, plain) -> Ct32:
+        """ct + pt (mirror of evaluate.add_plain; for BGV the plaintext
+        enters scaled by the ct's correction factor)."""
         q = self._mv(c.chain_index).q[:, None]
-        c0 = m32.add_mod32(c.data[0], pt_data_u32, q)
+        if self.scheme == Scheme.BGV and c.correction_factor % \
+                self.ctx.params.plain_modulus != 1:
+            t = self.ctx.params.plain_modulus
+            f = c.correction_factor % t
+            m = (np.asarray(plain.data[0]).astype(object) * f) % t
+            plain = plain.replace(data=jnp.asarray(
+                m.astype(np.uint64))[None])
+        pt32 = self._plain_rns32(c.chain_index, plain)
+        c0 = m32.add_mod32(c.data[0], pt32, q)
         return c.replace(data=c.data.at[0].set(c0))
 
-    def multiply_plain_ckks(self, c: Ct32, pt_data_u32: jnp.ndarray,
-                            pt_scale: float = 1.0) -> Ct32:
-        mv = self._mv(c.chain_index)
-        prod = m32.mul_mod32(c.data, pt_data_u32[None], mv.q[:, None],
-                             mv.ratio_hi[:, None], mv.ratio_lo[:, None])
-        return c.replace(data=prod, scale=c.scale * pt_scale)
+    def multiply_plain(self, c: Ct32, plain) -> Ct32:
+        """ct * pt (mirror of evaluate.multiply_plain)."""
+        ks = self.keyswitch_at(c.chain_index)
+        mv = ks.mv_ql
+        q = mv.q[:, None]
+        rh = mv.ratio_hi[:, None]
+        rl = mv.ratio_lo[:, None]
+        if self.scheme == Scheme.BFV:
+            # coeff-form ct: NTT both, dyadic product, back (centered lift
+            # of m, as in evaluate._bfv_plain_centered_rns)
+            from .schemes.evaluate import _bfv_plain_centered_rns
+            cd = self.ctx.get_context_data(c.chain_index)
+            m_rns = jnp.asarray(np.asarray(_bfv_plain_centered_rns(
+                self.ctx, cd, plain.data[0])).astype(np.uint32))
+            m_ntt = pp._fwd(ks, m_rns, ks.t_ql)
+            ct_ntt = pp._fwd(ks, c.data, ks.t_ql)
+            prod = m32.mul_mod32(ct_ntt, m_ntt[None], q, rh, rl)
+            return c.replace(data=pp._inv(ks, prod, ks.t_ql))
+        pt32 = self._plain_rns32(c.chain_index, plain)
+        prod = m32.mul_mod32(c.data, pt32[None], q, rh, rl)
+        if self.scheme == Scheme.CKKS:
+            return c.replace(data=prod, scale=c.scale * plain.scale)
+        return c.replace(data=prod)
 
     # -- multiply / relinearize ---------------------------------------------
     def multiply_and_relin(self, c1: Ct32, c2: Ct32) -> Ct32:
@@ -278,7 +320,28 @@ class Fast32:
                  * numth.invert_mod(qlast % t, t)) % t
             return c.replace(data=out, chain_index=c.chain_index + 1,
                              correction_factor=f)
-        raise NotImplementedError("BFV u32 mod switch: use the u64 layer")
+        # BFV: round(x / q_last), coefficient form (mirror of
+        # evaluate._divide_round_qlast_coeff; reference:
+        # divide_and_round_q_last, rns.cu:1114)
+        rc = self.ctx.get_context_data(c.chain_index).rescale
+        mv = self._mv(c.chain_index)
+        k = self.keyswitch_at(c.chain_index).size_ql
+        qlast = mv.q[k - 1]
+        half = jnp.uint32(int(np.asarray(rc.half)))
+        xl = m32.add_mod32(c.data[..., k - 1:k, :], half, qlast)
+        rest_q = mv.q[:k - 1][:, None]
+        rest_rh = mv.ratio_hi[:k - 1][:, None]
+        red = m32.barrett_reduce_u32(xl, rest_q, rest_rh)
+        half_mod_q = jnp.asarray(
+            np.asarray(rc.half_mod_q).astype(np.uint32))
+        delta = m32.sub_mod32(red, half_mod_q[:, None], rest_q)
+        diff = m32.sub_mod32(c.data[..., :k - 1, :], delta, rest_q)
+        qinv = jnp.asarray(np.asarray(rc.qlast_inv).astype(np.uint32))
+        qinv_sh = jnp.asarray(
+            (np.asarray(rc.qlast_inv_shoup) >> 32).astype(np.uint32))
+        out = m32.mul_mod_shoup32(diff, qinv[:, None], qinv_sh[:, None],
+                                  rest_q)
+        return c.replace(data=out, chain_index=c.chain_index + 1)
 
     # -- rotations ----------------------------------------------------------
     def rotate(self, c: Ct32, step: int) -> Ct32:

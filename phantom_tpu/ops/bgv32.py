@@ -42,7 +42,8 @@ def build_bgv32(ctx, rlk, chain_index: int = 1,
     bgv = cd.bgv
     return BGVPipeline32(
         ks=build_keyswitch32(ctx, chain_index, use_pallas, for_bgv=True),
-        evk=convert_key32(ctx, rlk.data, chain_index),
+        evk=(convert_key32(ctx, rlk.data, chain_index)
+             if rlk is not None else None),
         t_ql_next=_conv_tables(ctx.tables_q(cd.size_ql - 1), use_pallas),
         qlast_inv=_u32(rc.qlast_inv),
         qlast_inv_shoup=_shoup32_from64(np.asarray(rc.qlast_inv_shoup)),

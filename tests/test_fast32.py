@@ -169,3 +169,49 @@ def test_hoisted_linear_combo_u32_bit_match():
     np.testing.assert_array_equal(np.asarray(out.data),
                                   np.asarray(ref.data).astype(np.uint32))
     assert out.scale == ref.scale
+
+
+@pytest.mark.parametrize("scheme", ["bfv", "bgv", "ckks"])
+def test_plain_ops_and_modswitch_u32_bit_match(scheme):
+    """Fast32 add_plain / multiply_plain / mod_switch bit-match the u64
+    evaluator for every scheme."""
+    from phantom_tpu.schemes import evaluate
+    sch = {"bfv": Scheme.BFV, "ckks": Scheme.CKKS, "bgv": Scheme.BGV}[scheme]
+    qs = numth.get_primes(2 * N, 28, 3)
+    ps = numth.get_primes(2 * N, 29, 1)
+    extra = {}
+    if sch != Scheme.CKKS:
+        extra["plain_modulus"] = PlainModulus.batching(N, 16).value
+    params = EncryptionParameters.create(
+        sch, N, qs + ps, special_modulus_size=1, **extra)
+    ctx = make_context(params)
+    k = jax.random.split(jax.random.PRNGKey(73), 4)
+    sk = keys.gen_secret_key(ctx, k[0])
+    pk = keys.gen_public_key(ctx, sk, k[1])
+    if sch == Scheme.CKKS:
+        enc = CKKSEncoder(ctx)
+        rgn = np.random.default_rng(4)
+        pt = enc.encode(rgn.standard_normal(enc.slots), 2.0 ** 24)
+        pt2 = enc.encode(rgn.standard_normal(enc.slots), 2.0 ** 24)
+    else:
+        enc = BatchEncoder(ctx)
+        t = ctx.params.plain_modulus
+        rgn = np.random.default_rng(4)
+        pt = enc.encode(rgn.integers(0, t, N, dtype=np.uint64))
+        pt2 = enc.encode(rgn.integers(0, t, N, dtype=np.uint64))
+    ct = keys.encrypt_asymmetric(ctx, pk, pt, k[2])
+    ev = Fast32(ctx)
+    c = ev.from_ciphertext(ct)
+
+    ref_add = np.asarray(evaluate.add_plain(ctx, ct, pt2).data)
+    np.testing.assert_array_equal(np.asarray(ev.add_plain(c, pt2).data),
+                                  ref_add.astype(np.uint32))
+    ref_mul = np.asarray(evaluate.multiply_plain(ctx, ct, pt2).data)
+    np.testing.assert_array_equal(
+        np.asarray(ev.multiply_plain(c, pt2).data),
+        ref_mul.astype(np.uint32))
+    ref_ms = evaluate.mod_switch_to_next(ctx, ct)
+    out_ms = ev.mod_switch_to_next(c)
+    np.testing.assert_array_equal(np.asarray(out_ms.data),
+                                  np.asarray(ref_ms.data).astype(np.uint32))
+    assert out_ms.correction_factor == ref_ms.correction_factor
