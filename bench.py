@@ -36,7 +36,7 @@ import numpy as np
 A100_BASELINE_OPS = 300.0
 
 
-def probe_backend(retries: int = 3, timeout_s: int = 240) -> str:
+def probe_backend(retries: int = 3, timeout_s: int = 180) -> str:
     """Probe the default (TPU) backend in a subprocess so a wedged device
     tunnel cannot hang this process.  Returns "tpu" when a device op
     completes, else "cpu" after exhausting retries with backoff."""

@@ -236,6 +236,20 @@ class Fast32:
         c0 = m32.add_mod32(c.data[0], pt32, q)
         return c.replace(data=c.data.at[0].set(c0))
 
+    def sub_plain(self, c: Ct32, plain) -> Ct32:
+        """ct - pt (mirror of evaluate.sub_plain)."""
+        q = self._mv(c.chain_index).q[:, None]
+        if self.scheme == Scheme.BGV and c.correction_factor % \
+                self.ctx.params.plain_modulus != 1:
+            t = self.ctx.params.plain_modulus
+            f = c.correction_factor % t
+            m = (np.asarray(plain.data[0]).astype(object) * f) % t
+            plain = plain.replace(data=jnp.asarray(
+                m.astype(np.uint64))[None])
+        pt32 = self._plain_rns32(c.chain_index, plain)
+        c0 = m32.sub_mod32(c.data[0], pt32, q)
+        return c.replace(data=c.data.at[0].set(c0))
+
     def multiply_plain(self, c: Ct32, plain) -> Ct32:
         """ct * pt (mirror of evaluate.multiply_plain)."""
         ks = self.keyswitch_at(c.chain_index)
