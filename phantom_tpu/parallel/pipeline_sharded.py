@@ -171,6 +171,46 @@ def _bconv_exact3(x, c):
     return mm.sub_mod(raw, corr, p)
 
 
+def _sr_exact3(x, c):
+    """3D mirror of scaleround.scale_and_round_exact (v-free exact
+    round((num/den)*x), 2^-128 fixed-point fraction)."""
+    d_q = _b3(c.ibase.q)
+    d_rlo = _b3(c.ibase.ratio_lo)
+    d_rhi = _b3(c.ibase.ratio_hi)
+    y = mm.mul_mod_shoup(x, _b3(c.ihat_inv), _b3(c.ihat_inv_shoup), d_q)
+    hi, lo = _accumulate3(y, c.omega_mod_out)
+    out_q = _b3(c.obase.q)
+    out_rlo = _b3(c.obase.ratio_lo)
+    out_rhi = _b3(c.obase.ratio_hi)
+    pow64 = _b3(c.pow64_mod_out)
+    hi_red = mm.barrett_reduce_u64(hi, out_q, out_rhi)
+    lo_red = mm.barrett_reduce_u64(lo, out_q, out_rhi)
+    int_part = mm.add_mod(
+        mm.mul_mod(hi_red, pow64, out_q, out_rlo, out_rhi), lo_red, out_q)
+
+    ph, plv = mm.mul_wide(y, _b3(c.rho))
+    g, r = mm.barrett_div_mod_u128(ph, plv, d_q, d_rlo, d_rhi)
+    f2, _ = mm.barrett_div_mod_u128(r, jnp.zeros_like(r), d_q, d_rlo, d_rhi)
+    sh = y.shape[1:]
+    g_hi = jnp.zeros(sh, dtype=jnp.uint64)
+    g_lo = jnp.zeros(sh, dtype=jnp.uint64)
+    e_hi = jnp.zeros(sh, dtype=jnp.uint64)
+    e_lo = jnp.zeros(sh, dtype=jnp.uint64)
+    for i in range(y.shape[0]):
+        g_lo, cr = mm.add_u64_carry(g_lo, g[i])
+        g_hi = g_hi + cr
+        e_lo, cr = mm.add_u64_carry(e_lo, f2[i])
+        e_hi = e_hi + cr
+    _, c3 = mm.add_u64_carry(e_lo, jnp.uint64(1 << 63) * jnp.ones_like(e_lo))
+    g_lo, cr = mm.add_u64_carry(g_lo, e_hi + c3)
+    g_hi = g_hi + cr
+    gh_red = mm.barrett_reduce_u64(g_hi[None], out_q, out_rhi)
+    gl_red = mm.barrett_reduce_u64(g_lo[None], out_q, out_rhi)
+    frac_part = mm.add_mod(
+        mm.mul_mod(gh_red, pow64, out_q, out_rlo, out_rhi), gl_red, out_q)
+    return mm.add_mod(int_part, frac_part, out_q)
+
+
 def _constrain(mesh, x):
     spec = (None,) * (x.ndim - 1) + ("coeff",)
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
@@ -218,13 +258,33 @@ def _inner_product3_constrained(c, mesh, t_modup):
     return _constrain(mesh, s0), _constrain(mesh, s1)
 
 
+def _moddown_delta3(ks, x_p):
+    """delta == x (mod P); BGV additionally forces delta == 0 (mod t)
+    (3D mirror of keyswitch._moddown_delta)."""
+    if ks.p_to_t is None:
+        return _bconv_exact3(x_p, ks.p_to_q)
+    q = _b3(ks.p_to_q.obase.q)
+    p_q = _b3(ks.p_to_q.ibase.q)
+    shifted = mm.add_mod(x_p, _b3(ks.phalf_mod_p), p_q)
+    dq = mm.sub_mod(_bconv_exact3(shifted, ks.p_to_q),
+                    _b3(ks.phalf_mod_q), q)
+    t = ks.t_mv.q[0]
+    dt = mm.sub_mod(_bconv_exact3(shifted, ks.p_to_t), ks.phalf_mod_t, t)
+    u = mm.mul_mod(dt, ks.neg_pinv_mod_t, t, ks.t_mv.ratio_lo[0],
+                   ks.t_mv.ratio_hi[0])
+    corr = mm.mul_mod(u, _b3(ks.bigp_mod_q), q,
+                      _b3(ks.p_to_q.obase.ratio_lo),
+                      _b3(ks.p_to_q.obase.ratio_hi))
+    return mm.add_mod(dq, corr, q)
+
+
 def _moddown3(c: ShardedPipelineConsts, mesh, x):
     """(size_qlp, n1, n2) NTT form -> (size_ql, n1, n2) NTT form."""
     ks = c.ks
     k = c.size_ql
     x_q = _constrain(mesh, x[:k])
     x_p = ntt_inverse_sharded3(x[k:], c.t_p, mesh, "coeff")
-    delta = _constrain(mesh, _bconv_exact3(x_p, ks.p_to_q))
+    delta = _constrain(mesh, _moddown_delta3(ks, x_p))
     delta_ntt = ntt_forward_sharded3(delta, c.t_ql, mesh, "coeff")
     q = _b3(c.mv_ql.q)
     diff = mm.sub_mod(x_q, delta_ntt, q)
@@ -270,6 +330,127 @@ def sharded_mult_relin_rescale(c: ShardedPipelineConsts, mesh: Mesh,
     out0 = mm.add_mod(c0, _moddown3(c, mesh, s0), q)
     out1 = mm.add_mod(c1, _moddown3(c, mesh, s1), q)
     return _rescale3(c, mesh, _constrain(mesh, jnp.stack([out0, out1])))
+
+
+def sharded_bgv_mult_relin_modswitch(c: ShardedPipelineConsts, mesh: Mesh,
+                                     bgv, d1, d2):
+    """BGV multiply + relinearize (t-corrected moddown) + mod switch,
+    coefficient-sharded (mirror of the BGV verbs; the caller tracks the
+    host-side correction factor as in the local evaluator).
+
+    bgv: the level's context.BGVConsts (neg_qlast_inv_mod_t etc.);
+    d1, d2: (2, size_ql, n1, n2) u64 NTT form."""
+    ks = c.ks
+    k = c.size_ql
+    d1 = _constrain(mesh, d1)
+    d2 = _constrain(mesh, d2)
+    c0, c1, c2 = _tensor_2x2_3(c.mv_ql, d1, d2)
+    c2_coeff = ntt_inverse_sharded3(c2, c.t_ql, mesh, "coeff")
+    t_up = _modup3(c, mesh, c2_coeff)
+    s0, s1 = _inner_product3_constrained(c, mesh, t_up)
+    q = _b3(c.mv_ql.q)
+    out0 = mm.add_mod(c0, _moddown3(c, mesh, s0), q)
+    out1 = mm.add_mod(c1, _moddown3(c, mesh, s1), q)
+    x = _constrain(mesh, jnp.stack([out0, out1]))
+
+    # mod switch: delta == c (mod q_last), == 0 (mod t), exact division
+    rc = c.rescale
+    t = bgv.t_mv.q[0]
+    t_rhi = bgv.t_mv.ratio_hi[0]
+    c_last = jnp.stack([
+        ntt_inverse_sharded3(x[i, k - 1:k], c.t_last, mesh, "coeff")
+        for i in range(2)])
+    r_t = mm.barrett_reduce_u64(c_last, t, t_rhi)
+    u = mm.mul_mod(r_t, bgv.neg_qlast_inv_mod_t, t,
+                   bgv.t_mv.ratio_lo[0], t_rhi)
+    rest_q = c.mv_ql.q[:k - 1][:, None, None]
+    rest_rlo = c.mv_ql.ratio_lo[:k - 1][:, None, None]
+    rest_rhi = c.mv_ql.ratio_hi[:k - 1][:, None, None]
+    c_last_mod_qi = mm.barrett_reduce_u64(c_last, rest_q, rest_rhi)
+    delta = mm.add_mod(
+        c_last_mod_qi,
+        mm.mul_mod(u, bgv.qlast_mod_qi[:, None, None], rest_q, rest_rlo,
+                   rest_rhi),
+        rest_q)
+    delta = _constrain(mesh, delta)
+    delta_ntt = jnp.stack([
+        ntt_forward_sharded3(delta[i], c.t_ql_next, mesh, "coeff")
+        for i in range(2)])
+    diff = mm.sub_mod(x[:, :k - 1], delta_ntt, rest_q)
+    return mm.mul_mod_shoup(diff, rc.qlast_inv[:, None, None],
+                            rc.qlast_inv_shoup[:, None, None], rest_q)
+
+
+@flax.struct.dataclass
+class BFVShardedConsts:
+    """Extra tables for the coefficient-sharded BFV HPS multiply."""
+
+    base: ShardedPipelineConsts = None
+    hps: object = None            # context.HPSMulConsts (u64)
+    mv_d: object = None           # ModulusVec over D = Ql u Rl
+    t_d: ShardedNTTTables = None  # sharded tables over D
+
+
+def build_bfv_sharded_consts(ctx, rlk, chain_index: int = 1):
+    from ..ops import ntt as ntt64
+    base = build_sharded_consts(ctx, rlk, chain_index)
+    cd = ctx.get_context_data(chain_index)
+    k = cd.size_ql
+    t_d64 = ntt64.concat_tables(ctx.tables_q(k), ctx.tables_r(k + 1))
+    return BFVShardedConsts(
+        base=base,
+        hps=cd.hps,
+        mv_d=cd.hps.dbase,
+        t_d=prepare_sharded_tables(t_d64),
+    )
+
+
+def sharded_bfv_mult_relin(bc3: BFVShardedConsts, mesh: Mesh, d1, d2):
+    """BFV HPS multiply + relinearize, coefficient-sharded (mirror of
+    evaluate.bfv_multiply_hps + relinearize).
+
+    d1, d2: (2, size_ql, n1, n2) u64 coefficient form ->
+    (2, size_ql, n1, n2)."""
+    c = bc3.base
+    ks = c.ks
+    hps = bc3.hps
+    k = c.size_ql
+
+    def lift(d):
+        polys = []
+        for i in range(d.shape[0]):
+            x_q = _constrain(mesh, d[i])
+            x_r = _constrain(mesh, _bconv_exact3(x_q, hps.q_to_r))
+            polys.append(jnp.concatenate([x_q, x_r], axis=0))
+        return jnp.stack(polys)
+
+    a = jnp.stack([ntt_forward_sharded3(p_, bc3.t_d, mesh, "coeff")
+                   for p_ in lift(d1)])
+    b = jnp.stack([ntt_forward_sharded3(p_, bc3.t_d, mesh, "coeff")
+                   for p_ in lift(d2)])
+    t0, t1, t2 = _tensor_2x2_3(bc3.mv_d, a, b)
+    prod = jnp.stack([
+        ntt_inverse_sharded3(p_, bc3.t_d, mesh, "coeff")
+        for p_ in (t0, t1, t2)])
+
+    # round(t/Ql): D -> Rl (v-free exact), centered shift, exact Rl -> Ql
+    outs = []
+    for i in range(3):
+        w_r = _sr_exact3(_constrain(mesh, prod[i]), hps.sr_to_r)
+        shifted = mm.add_mod(w_r, _b3(hps.rl_half_mod_r),
+                             _b3(hps.sr_to_r.obase.q))
+        conv = _bconv_exact3(_constrain(mesh, shifted), hps.r_to_q)
+        outs.append(mm.sub_mod(conv, _b3(hps.rl_half_mod_q),
+                               _b3(hps.r_to_q.obase.q)))
+
+    # relinearize c2 (coefficient-form keyswitch) and fold into c0, c1
+    t_up = _modup3(c, mesh, _constrain(mesh, outs[2]))
+    s0, s1 = _inner_product3_constrained(c, mesh, t_up)
+    sw0 = ntt_inverse_sharded3(_moddown3(c, mesh, s0), c.t_ql, mesh, "coeff")
+    sw1 = ntt_inverse_sharded3(_moddown3(c, mesh, s1), c.t_ql, mesh, "coeff")
+    q = _b3(c.mv_ql.q)
+    return jnp.stack([mm.add_mod(outs[0], sw0, q),
+                      mm.add_mod(outs[1], sw1, q)])
 
 
 def build_sharded_step(ctx, rlk, mesh: Mesh, chain_index: int = 1):
