@@ -308,6 +308,36 @@ class Fast32:
         f = (c1.correction_factor * c2.correction_factor) % t
         return c1.replace(data=out, correction_factor=f)
 
+    def square_and_relin(self, c: Ct32) -> Ct32:
+        """ct^2 + relinearize via the square tensor (one fewer dyadic
+        multiply; mirror of evaluate.square + relinearize)."""
+        ci = c.chain_index
+        if self.scheme == Scheme.CKKS:
+            ks = self.keyswitch_at(ci)
+            evk = self.evk_at(ci)
+            q = ks.mv_ql.q[:, None]
+            t0, t1, t2 = pp._tensor_square_2x2(ks.mv_ql, c.data)
+            t_up = pp.modup_from_ntt32(ks, t2)
+            s0, s1 = pp.inner_product32(ks, t_up, evk)
+            out = jnp.stack([m32.add_mod32(t0, pp.moddown32(ks, s0), q),
+                             m32.add_mod32(t1, pp.moddown32(ks, s1), q)])
+            return c.replace(data=out, scale=c.scale * c.scale)
+        if self.scheme == Scheme.BGV:
+            ks = self.keyswitch_at(ci)
+            evk = self.evk_at(ci)
+            q = ks.mv_ql.q[:, None]
+            t0, t1, t2 = pp._tensor_square_2x2(ks.mv_ql, c.data)
+            switched = pp.keyswitch_from_ntt32(ks, t2, evk)
+            out = jnp.stack([m32.add_mod32(t0, switched[0], q),
+                             m32.add_mod32(t1, switched[1], q)])
+            t = self.ctx.params.plain_modulus
+            return c.replace(data=out,
+                             correction_factor=(c.correction_factor ** 2)
+                             % t)
+        # BFV: square via the general multiply (the HPS square shortcut
+        # shares the lift; the general path is bit-identical)
+        return self.multiply_and_relin(c, c)
+
     # -- rescale / mod switch -----------------------------------------------
     def rescale_to_next(self, c: Ct32) -> Ct32:
         if self.scheme != Scheme.CKKS:

@@ -400,6 +400,19 @@ def _tensor_2x2(mv: ModulusVec32, a, b):
     return c0, c1, c2
 
 
+def _tensor_square_2x2(mv: ModulusVec32, a):
+    """(a0, a1)^2 with the cross term computed once (mirror of
+    polyops.tensor_square_2x2; reference: tensor_square_2x2_rns_poly)."""
+    q = mv.q[:, None]
+    rh = mv.ratio_hi[:, None]
+    rl = mv.ratio_lo[:, None]
+    c0 = m32.mul_mod32(a[0], a[0], q, rh, rl)
+    cross = m32.mul_mod32(a[0], a[1], q, rh, rl)
+    c1 = m32.add_mod32(cross, cross, q)
+    c2 = m32.mul_mod32(a[1], a[1], q, rh, rl)
+    return c0, c1, c2
+
+
 def _rescale(p: CKKSPipeline32, x):
     """round(x / q_last) on NTT-form (k, N) -> (k-1, N)."""
     ks = p.ks
