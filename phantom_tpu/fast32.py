@@ -308,6 +308,52 @@ class Fast32:
         f = (c1.correction_factor * c2.correction_factor) % t
         return c1.replace(data=out, correction_factor=f)
 
+    def multiply(self, c1: Ct32, c2: Ct32) -> Ct32:
+        """Unrelinearized multiply -> size-3 ciphertext (mirror of
+        evaluate.multiply)."""
+        ci = c1.chain_index
+        if self.scheme == Scheme.BFV:
+            p = self._bfv_at(ci)
+            mt = self.ctx.params.mul_tech
+            if mt == MulTech.BEHZ:
+                out = bfv32.bfv_mult_behz32(p, c1.data, c2.data)
+            elif mt == MulTech.HPS_OVERQ:
+                out = bfv32.bfv_mult_hps_overq32(p, c1.data, c2.data)
+            elif mt == MulTech.HPS_OVERQ_LEVELED:
+                out = bfv32.bfv_mult_leveled32(p, c1.data, c2.data)
+            else:
+                out = bfv32.bfv_mult32(p, c1.data, c2.data)
+            nsd = max(c1.noise_scale_deg, c2.noise_scale_deg) + (
+                1 if mt == MulTech.HPS_OVERQ_LEVELED else 0)
+            return c1.replace(data=out, noise_scale_deg=nsd)
+        ks = self.keyswitch_at(ci)
+        t0, t1, t2 = pp._tensor_2x2(ks.mv_ql, c1.data, c2.data)
+        out = jnp.stack([t0, t1, t2])
+        if self.scheme == Scheme.CKKS:
+            return c1.replace(data=out, scale=c1.scale * c2.scale)
+        t = self.ctx.params.plain_modulus
+        return c1.replace(
+            data=out,
+            correction_factor=(c1.correction_factor
+                               * c2.correction_factor) % t)
+
+    def relinearize(self, c: Ct32) -> Ct32:
+        """size-3 -> size-2 via the relin key (mirror of
+        evaluate.relinearize)."""
+        if c.size != 3:
+            raise ValueError("relinearize expects a size-3 ciphertext")
+        ks = self.keyswitch_at(c.chain_index)
+        evk = self.evk_at(c.chain_index)
+        q = ks.mv_ql.q[:, None]
+        if c.is_ntt_form:
+            switched = pp.keyswitch_from_ntt32(ks, c.data[2], evk)
+        else:
+            switched = pp._inv(ks, pp.keyswitch32(ks, c.data[2], evk),
+                               ks.t_ql)
+        return c.replace(data=jnp.stack(
+            [m32.add_mod32(c.data[0], switched[0], q),
+             m32.add_mod32(c.data[1], switched[1], q)]))
+
     def square_and_relin(self, c: Ct32) -> Ct32:
         """ct^2 + relinearize via the square tensor (one fewer dyadic
         multiply; mirror of evaluate.square + relinearize)."""

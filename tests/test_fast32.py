@@ -249,3 +249,41 @@ def test_square_and_relin_u32_bit_match(scheme):
     np.testing.assert_array_equal(np.asarray(out.data),
                                   np.asarray(ref.data).astype(np.uint32))
     assert out.correction_factor == ref.correction_factor
+
+
+@pytest.mark.parametrize("scheme", ["bfv", "ckks", "bgv"])
+def test_multiply_then_relinearize_u32_bit_match(scheme):
+    """Unfused multiply -> size-3 ct -> relinearize matches the u64 path."""
+    from phantom_tpu.schemes import evaluate
+    sch = {"bfv": Scheme.BFV, "ckks": Scheme.CKKS, "bgv": Scheme.BGV}[scheme]
+    qs = numth.get_primes(2 * N, 28, 3)
+    ps = numth.get_primes(2 * N, 29, 1)
+    extra = {}
+    if sch != Scheme.CKKS:
+        extra["plain_modulus"] = PlainModulus.batching(N, 16).value
+    params = EncryptionParameters.create(
+        sch, N, qs + ps, special_modulus_size=1, **extra)
+    ctx = make_context(params)
+    k = jax.random.split(jax.random.PRNGKey(97), 4)
+    sk = keys.gen_secret_key(ctx, k[0])
+    pk = keys.gen_public_key(ctx, sk, k[1])
+    rlk = keys.gen_relin_key(ctx, sk, k[2])
+    if sch == Scheme.CKKS:
+        enc = CKKSEncoder(ctx)
+        pt = enc.encode(np.random.default_rng(6).standard_normal(enc.slots),
+                        2.0 ** 24)
+    else:
+        enc = BatchEncoder(ctx)
+        t = ctx.params.plain_modulus
+        pt = enc.encode(np.random.default_rng(6).integers(
+            0, t, N, dtype=np.uint64))
+    ct = keys.encrypt_asymmetric(ctx, pk, pt, k[3])
+    ref3 = evaluate.multiply(ctx, ct, ct)
+    ref2 = evaluate.relinearize(ctx, ref3, rlk)
+    ev = Fast32(ctx, rlk=rlk)
+    c3 = ev.multiply(ev.from_ciphertext(ct), ev.from_ciphertext(ct))
+    np.testing.assert_array_equal(np.asarray(c3.data),
+                                  np.asarray(ref3.data).astype(np.uint32))
+    c2 = ev.relinearize(c3)
+    np.testing.assert_array_equal(np.asarray(c2.data),
+                                  np.asarray(ref2.data).astype(np.uint32))
