@@ -74,11 +74,13 @@ def main():
     ap.add_argument("--batch", type=int, default=1,
                     help="ciphertext pairs per step (vmapped); ops/s "
                          "scales accordingly")
-    ap.add_argument("--path", choices=["u32", "pallas", "u64"],
-                    default="u32",
-                    help="u32: 28-bit primes + uint32 fast pipeline "
-                         "(default); pallas: + fused NTT kernels; "
-                         "u64: generic evaluator")
+    ap.add_argument("--path", choices=["auto", "u32", "pallas", "mxu", "u64"],
+                    default="auto",
+                    help="u32: 28-bit primes + uint32 butterfly pipeline; "
+                         "mxu: four-step matmul NTT engine; pallas: fused "
+                         "VMEM NTT kernels; u64: generic evaluator; auto "
+                         "(default): measure u32 and mxu on an accelerator "
+                         "and report the faster (u32 only on CPU fallback)")
     ap.add_argument("--scheme", choices=["ckks", "bfv", "bgv"],
                     default="ckks",
                     help="headline step: ckks = mult+relin+rescale, "
@@ -115,7 +117,7 @@ def main():
 
     n = args.n
     t0 = time.time()
-    bits = 28 if args.path in ("u32", "pallas") else 50
+    bits = 28 if args.path != "u64" else 50
     qs = numth.get_primes(2 * n, bits, args.limbs + 1)
     ps = numth.get_primes(2 * n, bits + 1, args.alpha)
     coeff = [qs[0]] + qs[1:args.limbs] + ps  # q0 + rest + special
@@ -164,42 +166,44 @@ def main():
                    "bfv": f"mult+relin ({args.multech.upper()})",
                    "bgv": "mult+relin+modswitch"}[args.scheme]
 
-    if args.path in ("u32", "pallas"):
-        use_pallas = args.path == "pallas"
-        if scheme == Scheme.CKKS:
-            from phantom_tpu.ops import pipeline32 as pp
-            pipe = pp.build_pipeline32(ctx, rlk, use_pallas=use_pallas)
-            fn = pp.mult_relin_rescale32
-        elif scheme == Scheme.BFV:
-            from phantom_tpu.ops import bfv32
-            if args.multech == "behz":
-                pipe = bfv32.build_bfv_behz32(ctx, rlk,
-                                              use_pallas=use_pallas)
-                fn = bfv32.bfv_mult_relin_behz32
-            elif args.multech == "overq":
-                pipe = bfv32.build_bfv32(ctx, rlk, use_pallas=use_pallas)
-                fn = bfv32.bfv_mult_relin_overq32
-            elif args.multech == "leveled":
-                pipe = bfv32.build_bfv_leveled32(ctx, rlk,
-                                                 use_pallas=use_pallas)
-                fn = bfv32.bfv_mult_relin_leveled32
+    def make_run(path):
+        """Build the jitted step for one engine path; returns a thunk."""
+        if path in ("u32", "pallas", "mxu"):
+            use_pallas = path if path != "u32" else False
+            if scheme == Scheme.CKKS:
+                from phantom_tpu.ops import pipeline32 as pp
+                pipe = pp.build_pipeline32(ctx, rlk, use_pallas=use_pallas)
+                fn = pp.mult_relin_rescale32
+            elif scheme == Scheme.BFV:
+                from phantom_tpu.ops import bfv32
+                if args.multech == "behz":
+                    pipe = bfv32.build_bfv_behz32(ctx, rlk,
+                                                  use_pallas=use_pallas)
+                    fn = bfv32.bfv_mult_relin_behz32
+                elif args.multech == "overq":
+                    pipe = bfv32.build_bfv32(ctx, rlk, use_pallas=use_pallas)
+                    fn = bfv32.bfv_mult_relin_overq32
+                elif args.multech == "leveled":
+                    pipe = bfv32.build_bfv_leveled32(ctx, rlk,
+                                                     use_pallas=use_pallas)
+                    fn = bfv32.bfv_mult_relin_leveled32
+                else:
+                    pipe = bfv32.build_bfv32(ctx, rlk, use_pallas=use_pallas)
+                    fn = bfv32.bfv_mult_relin32
             else:
-                pipe = bfv32.build_bfv32(ctx, rlk, use_pallas=use_pallas)
-                fn = bfv32.bfv_mult_relin32
-        else:
-            from phantom_tpu.ops import bgv32
-            pipe = bgv32.build_bgv32(ctx, rlk, use_pallas=use_pallas)
-            fn = bgv32.bgv_mult_relin_modswitch32
-        d1 = jnp.asarray(np.asarray(ct1.data).astype(np.uint32))
-        d2 = jnp.asarray(np.asarray(ct2.data).astype(np.uint32))
-        if args.batch > 1:
-            d1 = jnp.broadcast_to(d1[None], (args.batch,) + d1.shape)
-            d2 = jnp.broadcast_to(d2[None], (args.batch,) + d2.shape)
-            step_jit = jax.jit(jax.vmap(fn, in_axes=(None, 0, 0)))
-        else:
-            step_jit = jax.jit(fn)
-        run = lambda: step_jit(pipe, d1, d2)
-    else:
+                from phantom_tpu.ops import bgv32
+                pipe = bgv32.build_bgv32(ctx, rlk, use_pallas=use_pallas)
+                fn = bgv32.bgv_mult_relin_modswitch32
+            d1 = jnp.asarray(np.asarray(ct1.data).astype(np.uint32))
+            d2 = jnp.asarray(np.asarray(ct2.data).astype(np.uint32))
+            if args.batch > 1:
+                d1 = jnp.broadcast_to(d1[None], (args.batch,) + d1.shape)
+                d2 = jnp.broadcast_to(d2[None], (args.batch,) + d2.shape)
+                step_jit = jax.jit(jax.vmap(fn, in_axes=(None, 0, 0)))
+            else:
+                step_jit = jax.jit(fn)
+            return lambda: step_jit(pipe, d1, d2)
+
         def step(c, r, da, db):
             a = ct1.replace(data=da)
             b = ct2.replace(data=db)
@@ -213,22 +217,47 @@ def main():
         # ctx and rlk enter as jit *arguments* (pytrees), not captured
         # constants — keeps XLA from constant-folding the twiddle tables
         step_jit = jax.jit(step)
-        run = lambda: step_jit(ctx, rlk, ct1.data, ct2.data)
+        return lambda: step_jit(ctx, rlk, ct1.data, ct2.data)
 
-    t0 = time.time()
-    out = run()
-    out.block_until_ready()
-    compile_s = time.time() - t0
-    print(f"# compile+first-run {compile_s:.1f}s", file=sys.stderr)
-
-    times = []
-    for _ in range(args.trials):
+    def bench_path(path):
+        run = make_run(path)
         t0 = time.time()
         out = run()
         out.block_until_ready()
-        times.append(time.time() - t0)
-    med = float(np.median(times))
-    mean = float(np.mean(times))
+        print(f"# [{path}] compile+first-run {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        times = []
+        for _ in range(args.trials):
+            t0 = time.time()
+            out = run()
+            out.block_until_ready()
+            times.append(time.time() - t0)
+        med = float(np.median(times))
+        mean = float(np.mean(times))
+        print(f"# [{path}] median {med*1e6:.0f}us -> "
+              f"{args.batch/med:.1f} ops/s", file=sys.stderr)
+        return med, mean
+
+    on_accel = jax.devices()[0].platform != "cpu"
+    if args.path == "auto":
+        paths = ["mxu", "u32"] if on_accel else ["u32"]
+    else:
+        paths = [args.path]
+
+    results = {}
+    path_errors = []
+    for path in paths:
+        try:
+            results[path] = bench_path(path)
+        except Exception as e:
+            import traceback
+            traceback.print_exc(file=sys.stderr)
+            path_errors.append(f"{path}: {type(e).__name__}: {e}"[:200])
+    if not results:
+        raise RuntimeError("; ".join(path_errors) or "no path measured")
+
+    best = min(results, key=lambda p: results[p][0])
+    med, mean = results[best]
     ops = args.batch / med
 
     if args.csv:
@@ -237,13 +266,18 @@ def main():
 
     rec = {
         "metric": f"{args.scheme.upper()} n={n} L={args.limbs} {metric_step} "
-                  f"({args.path}, {jax.devices()[0].platform})",
+                  f"({best}, {jax.devices()[0].platform})",
         "value": round(ops, 3),
         "unit": "ops/s",
         "vs_baseline": round(ops / A100_BASELINE_OPS, 4),
     }
+    if len(results) > 1:
+        rec["paths"] = {p: round(args.batch / m, 3)
+                        for p, (m, _) in results.items()}
     if backend_error:
         rec["error"] = backend_error
+    if path_errors:
+        rec["path_errors"] = path_errors
     print(json.dumps(rec))
 
 

@@ -18,6 +18,8 @@ def main():
     ap.add_argument("--u32", action="store_true",
                     help="32-bit fast path (28-bit primes)")
     ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--mxu", action="store_true",
+                    help="four-step matmul NTT (ops/ntt_mxu.py)")
     args = ap.parse_args()
 
     import os
@@ -32,22 +34,27 @@ def main():
     from phantom_tpu.host.modulus import Modulus
     from phantom_tpu.host.ntt_tables import make_rns_ntt_tables
     from phantom_tpu.ops import ntt as ntt64
-    from phantom_tpu.ops import ntt32, ntt_pallas as ntp
+    from phantom_tpu.ops import ntt32, ntt_mxu, ntt_pallas as ntp
     from phantom_tpu.utils.timer import OpTimer, print_timer_banner
 
     print_timer_banner()
     rng = np.random.default_rng(0)
+    fast = args.u32 or args.pallas or args.mxu
     for logn in args.dims:
         n = 1 << logn
-        bits = 28 if (args.u32 or args.pallas) else 50
+        bits = 28 if fast else 50
         q = numth.get_primes(2 * n, bits, 1)[0]
         t64 = ntt64.tables_from_host(make_rns_ntt_tables(n, [Modulus(q)]))
-        if args.u32 or args.pallas:
+        if fast:
             t32 = ntt32.tables32_from_tables64(t64)
             tp = ntp.prepare_tables(t32) if args.pallas else None
+            tm = ntt_mxu.prepare_mxu_tables(t32) if args.mxu else None
         for batch in args.batches:
             x = rng.integers(0, q, size=(batch, 1, n))
-            if args.pallas:
+            if args.mxu:
+                xd = jnp.asarray(x.astype(np.uint32))
+                fn = jax.jit(lambda v: ntt_mxu.ntt_forward_mxu(v, tm))
+            elif args.pallas:
                 xd = jnp.asarray(x.astype(np.uint32))
                 fn = jax.jit(lambda v: ntp.ntt_forward_pallas(v, tp))
             elif args.u32:

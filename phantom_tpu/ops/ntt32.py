@@ -34,6 +34,10 @@ class NTTTables32(NamedTuple):
     def n(self) -> int:
         return self.root_powers.shape[-1]
 
+    def limb_slice(self, idx) -> "NTTTables32":
+        ia = np.asarray(idx)
+        return NTTTables32(*(a[ia] for a in self))
+
 
 def tables32_from_tables64(t) -> NTTTables32:
     """Convert NTTTablesDevice (u64) for q < 2^30 into the u32 layout."""

@@ -1,0 +1,322 @@
+"""MXU (matmul) formulation of the negacyclic NTT — the systolic-array path.
+
+TPU-native alternative to the butterfly engines (ops/ntt32.py VPU stages,
+ops/ntt_pallas.py fused-VMEM stages): the four-step factorization turns the
+transform into two *shared* modular matmuls that ride the 128x128 MXU, with
+one pointwise twiddle between them.  For N = n1 x n2 and the library's
+evaluation order out[k] = p(psi^(2*rev(k)+1)) (host/ntt_tables.py), with
+omega = psi^2, t1 = rev_l1(k1), t2 = rev_l2(k2):
+
+    out[k1, k2] = sum_{j2} [ WB[j2, k2] * D[k1, j2] *
+                             sum_{j1} WA[k1, j1] * x[j1, j2] ]
+
+    WA[k1, j1] = psi^(n2*j1*(1 + 2*t1))        (n1 x n1, left matmul)
+    D [k1, j2] = psi^(j2*(1 + 2*t1))           (pointwise, Shoup mul)
+    WB[j2, k2] = psi^(2*n1*j2*t2)              (n2 x n2, right matmul)
+
+(the psi^j pre-twist of the negacyclic transform is absorbed into WA and D;
+the cross term omega^(t1*j2) is exactly D).  The inverse factorizes
+symmetrically with negated exponents; 1/n is NOT folded in — the `scale`
+argument (default inv_degree) replaces it, matching ntt_inverse32 semantics.
+
+Modular matmuls are exact: operands split into radix-2^b digit planes
+(b=8 -> int32 dots, b=7 -> int8 dots for the native int8 MXU mode), plane
+pairs contracted on the MXU with int32 accumulation (max partial
+(2^b-1)^2 * n2 * planes < 2^31 for n2 <= 512, i.e. N <= 131072 = the
+reference's max degree), recombined into an exact (carry, hi, lo) u32
+triple and Barrett-reduced — the same spill discipline as the base-
+conversion MXU matmul (ops/bconv32.py; reference bconv_matmul_kernel,
+rns_bconv.cu:109).
+
+Cost model vs butterflies at N=65536: 2 * n1*n1*n2 MACs/limb on the MXU
+(~0.5 GMAC at L=28, int8) versus ~29M 15-op VPU butterflies — the MXU's
+~100x MAC advantage makes this the intended production forward/inverse
+path on TPU (reference counterpart: fntt_2d.cu/intt_2d.cu, which chose
+shared-memory radix-8 because a GPU has no systolic array).
+
+All outputs are canonical [0, q) residues, bit-identical to the u64 and
+u32 butterfly engines (tested in tests/test_ntt_mxu.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import modmath32 as m32
+from .bconv32 import ModulusVec32, modulus_vec32
+from .modmath32 import U32
+from .ntt32 import NTTTables32
+
+
+# None = auto: 7-bit int8 planes on TPU (native int8 MXU), 8-bit int32
+# planes elsewhere.  Both are exact and bit-identical.
+PLANE_BITS = None
+
+
+def _plane_bits() -> int:
+    if PLANE_BITS is not None:
+        return PLANE_BITS
+    return 7 if jax.default_backend() == "tpu" else 8
+
+
+@flax.struct.dataclass
+class MXUNTTTables:
+    """Per-base four-step tables; all arrays lead with the limb axis L."""
+
+    mv: ModulusVec32 = None
+    wa: jnp.ndarray = None         # (L, n1, n1) forward left matrix
+    d: jnp.ndarray = None          # (L, n1, n2) forward twiddle
+    d_shoup: jnp.ndarray = None
+    wb: jnp.ndarray = None         # (L, n2, n2) forward right matrix
+    wbi: jnp.ndarray = None        # (L, n2, n2) inverse right matrix
+    di: jnp.ndarray = None         # (L, n1, n2) inverse twiddle
+    di_shoup: jnp.ndarray = None
+    wai: jnp.ndarray = None        # (L, n1, n1) inverse left matrix
+    inv_degree: jnp.ndarray = None        # (L,)
+    inv_degree_shoup: jnp.ndarray = None  # (L,)
+    n1: int = flax.struct.field(pytree_node=False, default=0)
+    n2: int = flax.struct.field(pytree_node=False, default=0)
+
+    @property
+    def q(self):
+        return self.mv.q
+
+    def limb_slice(self, idx) -> "MXUNTTTables":
+        ia = np.asarray(idx)
+        return MXUNTTTables(
+            mv=ModulusVec32(*(a[ia] for a in self.mv)),
+            wa=self.wa[ia], d=self.d[ia], d_shoup=self.d_shoup[ia],
+            wb=self.wb[ia], wbi=self.wbi[ia], di=self.di[ia],
+            di_shoup=self.di_shoup[ia], wai=self.wai[ia],
+            inv_degree=self.inv_degree[ia],
+            inv_degree_shoup=self.inv_degree_shoup[ia],
+            n1=self.n1, n2=self.n2)
+
+
+def _split_n(n: int):
+    logn = n.bit_length() - 1
+    log1 = logn // 2
+    return 1 << log1, 1 << (logn - log1)
+
+
+def _bitrev_vec(k: int) -> np.ndarray:
+    logk = k.bit_length() - 1
+    out = np.zeros(k, dtype=np.int64)
+    for i in range(k):
+        r, v = 0, i
+        for _ in range(logk):
+            r = (r << 1) | (v & 1)
+            v >>= 1
+        out[i] = r
+    return out
+
+
+def _psi_power_table(psi: np.ndarray, q: np.ndarray, two_n: int) -> np.ndarray:
+    """(L, 2n) uint64 table of psi^e mod q by doubling (q < 2^30)."""
+    p = np.ones((psi.shape[0], 1), dtype=np.uint64)
+    psi = psi.astype(np.uint64)
+    q = q.astype(np.uint64)
+    while p.shape[1] < two_n:
+        step = (p[:, -1] * psi) % q  # psi^len
+        p = np.concatenate([p, (p * step[:, None]) % q[:, None]], axis=1)
+    return p[:, :two_n]
+
+
+def prepare_mxu_tables(t32: NTTTables32) -> MXUNTTTables:
+    n = t32.n
+    n1, n2 = _split_n(n)
+    two_n = 2 * n
+    q = np.asarray(t32.q).astype(np.uint64)
+    # psi = root_powers[n/2]: bitrev(n/2) = 1 (host/ntt_tables.py layout)
+    psi = np.asarray(t32.root_powers)[:, n // 2].astype(np.uint64)
+    pt = _psi_power_table(psi, q, two_n)
+
+    r1 = _bitrev_vec(n1)                      # t1 = rev_l1(k1)
+    r2 = _bitrev_vec(n2)                      # t2 = rev_l2(k2)
+    j1 = np.arange(n1, dtype=np.int64)
+    j2 = np.arange(n2, dtype=np.int64)
+    odd1 = 1 + 2 * r1                          # (n1,)
+
+    ea = (odd1[:, None] * (n2 * j1)[None, :]) % two_n      # WA[k1, j1]
+    ed = (odd1[:, None] * j2[None, :]) % two_n             # D [k1, j2]
+    eb = (2 * n1 * j2[:, None] * r2[None, :]) % two_n      # WB[j2, k2]
+
+    def gather(e):
+        return pt[:, e]                        # (L,) x e.shape uint64
+
+    def neg(e):
+        return (two_n - e) % two_n
+
+    wa = gather(ea)
+    d = gather(ed)
+    wb = gather(eb)
+    wai = gather(neg(ea)).transpose(0, 2, 1)   # WAi[j1, k1] = psi^(-ea[k1,j1])
+    di = gather(neg(ed))
+    wbi = gather(neg(eb)).transpose(0, 2, 1)   # WBi[k2, j2] = psi^(-eb[j2,k2])
+
+    def shoup(v):
+        return ((v << np.uint64(32)) // q[:, None, None]).astype(np.uint32)
+
+    u32c = lambda v: jnp.asarray(v.astype(np.uint32))
+    return MXUNTTTables(
+        mv=modulus_vec32([int(x) for x in q]),
+        wa=u32c(wa), d=u32c(d), d_shoup=jnp.asarray(shoup(d)),
+        wb=u32c(wb), wbi=u32c(wbi), di=u32c(di),
+        di_shoup=jnp.asarray(shoup(di)), wai=u32c(wai),
+        inv_degree=t32.inv_degree, inv_degree_shoup=t32.inv_degree_shoup,
+        n1=n1, n2=n2)
+
+
+# ---------------------------------------------------------------------------
+# exact modular matmul on digit planes
+# ---------------------------------------------------------------------------
+
+def _planes(x: jnp.ndarray, bits: int):
+    nplanes = -(-32 // bits)
+    mask = U32((1 << bits) - 1)
+    dt = jnp.int8 if bits <= 7 else jnp.int32
+    return [((x >> U32(bits * p)) & mask).astype(dt) for p in range(nplanes)]
+
+
+def _combine_triple(partials, bits: int, shape):
+    """sum_d partials[d] * 2^(bits*d) as an exact (carry, hi, lo) triple.
+
+    partials[d] < 2^31 (int32 -> u32 cast), bits*d <= 56: same three-word
+    spill discipline as bconv32.accumulate_matmul_96_mxu."""
+    zero = jnp.zeros(shape, dtype=jnp.uint32)
+    c, hi, lo = zero, zero, zero
+    for d_idx, p_ in enumerate(partials):
+        p_ = p_.astype(jnp.uint32)
+        shift = bits * d_idx
+        if shift == 0:
+            w0, w1, w2 = p_, zero, zero
+        elif shift < 32:
+            w0 = p_ << U32(shift)
+            w1 = p_ >> U32(32 - shift)
+            w2 = zero
+        elif shift == 32:
+            w0, w1, w2 = zero, p_, zero
+        else:
+            w0 = zero
+            w1 = p_ << U32(shift - 32)
+            w2 = p_ >> U32(64 - shift)
+        lo, cr = m32.add_u32_carry(lo, w0)
+        hi, cra = m32.add_u32_carry(hi, w1)
+        hi, crb = m32.add_u32_carry(hi, cr)
+        c = c + cra + crb + w2
+    return c, hi, lo
+
+
+def _diag_dots(aps, xps, contract):
+    """All plane-pair dots grouped by digit diagonal a+b."""
+    nplanes = len(aps)
+    partials = [None] * (2 * nplanes - 1)
+    for a in range(nplanes):
+        for b in range(nplanes):
+            term = contract(aps[a], xps[b])
+            d_idx = a + b
+            partials[d_idx] = term if partials[d_idx] is None \
+                else partials[d_idx] + term
+    return partials
+
+
+def _reduce_triple(c, hi, lo, mv: ModulusVec32):
+    """(c*2^64 + hi*2^32 + lo) mod q, consts broadcast over (L, m, n)."""
+    q = mv.q[:, None, None]
+    rh = mv.ratio_hi[:, None, None]
+    rl = mv.ratio_lo[:, None, None]
+    t_c = m32.mul_mod32(m32.barrett_reduce_u32(c, q, rh),
+                        mv.pow64[:, None, None], q, rh, rl)
+    t_h = m32.mul_mod32(m32.barrett_reduce_u32(hi, q, rh),
+                        mv.pow32[:, None, None], q, rh, rl)
+    t_l = m32.barrett_reduce_u32(lo, q, rh)
+    return m32.add_mod32(m32.add_mod32(t_c, t_h, q), t_l, q)
+
+
+def mm_left_mod(table: jnp.ndarray, x: jnp.ndarray,
+                mv: ModulusVec32) -> jnp.ndarray:
+    """out[..., l, i, k] = sum_j table[l, i, j] * x[..., l, j, k] mod q."""
+    bits = _plane_bits()
+    tps = _planes(table, bits)
+    xps = _planes(x, bits)
+
+    def contract(a, b):
+        return jnp.einsum("lij,...ljk->...lik", a, b,
+                          preferred_element_type=jnp.int32)
+
+    partials = _diag_dots(tps, xps, contract)
+    shape = x.shape[:-2] + (table.shape[-2], x.shape[-1])
+    c, hi, lo = _combine_triple(partials, bits, shape)
+    return _reduce_triple(c, hi, lo, mv)
+
+
+def mm_right_mod(x: jnp.ndarray, table: jnp.ndarray,
+                 mv: ModulusVec32) -> jnp.ndarray:
+    """out[..., l, i, c] = sum_k x[..., l, i, k] * table[l, k, c] mod q."""
+    bits = _plane_bits()
+    xps = _planes(x, bits)
+    tps = _planes(table, bits)
+
+    def contract(a, b):
+        return jnp.einsum("...lik,lkc->...lic", a, b,
+                          preferred_element_type=jnp.int32)
+
+    partials = _diag_dots(xps, tps, contract)
+    shape = x.shape[:-1] + (table.shape[-1],)
+    c, hi, lo = _combine_triple(partials, bits, shape)
+    return _reduce_triple(c, hi, lo, mv)
+
+
+# ---------------------------------------------------------------------------
+# forward / inverse transforms
+# ---------------------------------------------------------------------------
+
+def ntt_forward_mxu(x: jnp.ndarray, t: MXUNTTTables,
+                    sub_from=None, epi_scale=None,
+                    epi_scale_shoup=None) -> jnp.ndarray:
+    """x: (..., L, N) uint32 in [0, q) -> NTT form in [0, q).
+
+    With sub_from/epi_scale set, returns (sub_from - NTT(x)) * epi_scale —
+    the fused moddown/rescale epilogue (reference: ntt_moddown.cu:222);
+    here the epilogue fuses into the final matmul's reduction under XLA."""
+    n1, n2 = t.n1, t.n2
+    lead = x.shape[:-1]
+    xm = x.reshape(*lead, n1, n2)
+    q3 = t.mv.q[:, None, None]
+    z = mm_left_mod(t.wa, xm, t.mv)
+    v = m32.mul_mod_shoup_lazy32(z, t.d, t.d_shoup, q3)
+    out = mm_right_mod(v, t.wb, t.mv).reshape(*lead, n1 * n2)
+    if sub_from is None:
+        return out
+    q = t.mv.q[:, None]
+    diff = sub_from - out + q
+    sc = jnp.asarray(epi_scale, dtype=jnp.uint32)[:, None]
+    scs = jnp.asarray(epi_scale_shoup, dtype=jnp.uint32)[:, None]
+    return m32.csub32(m32.mul_mod_shoup_lazy32(diff, sc, scs, q), q)
+
+
+def ntt_inverse_mxu(x: jnp.ndarray, t: MXUNTTTables,
+                    scale: Optional[jnp.ndarray] = None,
+                    scale_shoup: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """x: (..., L, N) uint32 in [0, 2q) -> coefficients in [0, q).
+
+    `scale` (default inv_degree = 1/N) REPLACES the 1/N normalization,
+    matching ntt_inverse32 — fused scales must pre-multiply 1/N in."""
+    n1, n2 = t.n1, t.n2
+    lead = x.shape[:-1]
+    xm = x.reshape(*lead, n1, n2)
+    q3 = t.mv.q[:, None, None]
+    s = mm_right_mod(xm, t.wbi, t.mv)
+    v = m32.mul_mod_shoup_lazy32(s, t.di, t.di_shoup, q3)
+    if scale is None:
+        scale = t.inv_degree
+        scale_shoup = t.inv_degree_shoup
+    sc = jnp.asarray(scale, dtype=jnp.uint32)[:, None, None]
+    scs = jnp.asarray(scale_shoup, dtype=jnp.uint32)[:, None, None]
+    v = m32.mul_mod_shoup_lazy32(v, sc, scs, q3)
+    return mm_left_mod(t.wai, v, t.mv).reshape(*lead, n1 * n2)

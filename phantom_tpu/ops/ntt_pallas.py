@@ -58,6 +58,15 @@ class PallasNTTTables:
     n1: int = flax.struct.field(pytree_node=False, default=0)
     n2: int = flax.struct.field(pytree_node=False, default=0)
 
+    def limb_slice(self, idx) -> "PallasNTTTables":
+        ia = np.asarray(idx)
+        return PallasNTTTables(
+            q=self.q[ia], fwd=self.fwd[ia], fwd_shoup=self.fwd_shoup[ia],
+            inv=self.inv[ia], inv_shoup=self.inv_shoup[ia],
+            inv_degree=self.inv_degree[ia],
+            inv_degree_shoup=self.inv_degree_shoup[ia],
+            n1=self.n1, n2=self.n2)
+
 
 def _transpose_regions(table: np.ndarray, n1: int) -> np.ndarray:
     """Transpose every stage region [m, 2m) for m >= n1, per limb row."""

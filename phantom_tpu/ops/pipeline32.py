@@ -32,12 +32,24 @@ import numpy as np
 from . import bconv32 as bc32
 from . import modmath32 as m32
 from . import ntt32
+from . import ntt_mxu
 from . import ntt_pallas as ntp
 from .bconv32 import BaseConvConsts32, ModulusVec32, modulus_vec32
 
 
 def _u32(v) -> jnp.ndarray:
     return jnp.asarray(np.asarray(v).astype(np.uint32))
+
+
+def normalize_engine(use_pallas) -> str:
+    """Engine selector: False/'xla' = u32 butterfly stages, True/'pallas' =
+    fused-VMEM Pallas kernels, 'mxu' = four-step matmul NTT (ops/ntt_mxu)."""
+    if use_pallas is True:
+        return "pallas"
+    if use_pallas in (False, None):
+        return "xla"
+    assert use_pallas in ("xla", "pallas", "mxu"), use_pallas
+    return use_pallas
 
 
 def _shoup32_from64(shoup64) -> jnp.ndarray:
@@ -61,7 +73,7 @@ class KeySwitch32:
     n: int = flax.struct.field(pytree_node=False)
     size_ql: int = flax.struct.field(pytree_node=False)
     size_p: int = flax.struct.field(pytree_node=False)
-    use_pallas: bool = flax.struct.field(pytree_node=False, default=False)
+    engine: str = flax.struct.field(pytree_node=False, default="xla")
     mv_ql: ModulusVec32 = None
     mv_qlp: ModulusVec32 = None
     # NTT tables
@@ -85,10 +97,19 @@ class KeySwitch32:
     bigp_mod_q: Optional[jnp.ndarray] = None
     t_mv: Optional[ModulusVec32] = None
 
+    @property
+    def use_pallas(self) -> bool:
+        return self.engine == "pallas"
 
-def _conv_tables(t64, use_pallas: bool):
+
+def _conv_tables(t64, use_pallas):
+    engine = normalize_engine(use_pallas)
     t32 = ntt32.tables32_from_tables64(t64)
-    return ntp.prepare_tables(t32) if use_pallas else t32
+    if engine == "pallas":
+        return ntp.prepare_tables(t32)
+    if engine == "mxu":
+        return ntt_mxu.prepare_mxu_tables(t32)
+    return t32
 
 
 def build_keyswitch32(ctx, chain_index: int = 1,
@@ -139,7 +160,7 @@ def build_keyswitch32(ctx, chain_index: int = 1,
         n=ctx.params.n,
         size_ql=k,
         size_p=alpha,
-        use_pallas=use_pallas,
+        engine=normalize_engine(use_pallas),
         mv_ql=modulus_vec32(data_moduli),
         mv_qlp=modulus_vec32(qlp_moduli),
         t_qlp=_conv_tables(t_qlp64, use_pallas),
@@ -166,28 +187,39 @@ def convert_key32(ctx, key_data, chain_index: int = 1) -> jnp.ndarray:
     return jnp.asarray(k64[:beta][:, :, np.asarray(rows)].astype(np.uint32))
 
 
-def _fwd(ks, x, tables):
-    if ks.use_pallas:
-        return ntp.ntt_forward_pallas(x, tables)
-    return ntt32.ntt_forward32(x, tables)
+def _fwd(ks, x, tables, sub_from=None, epi_scale=None, epi_scale_shoup=None):
+    """Forward NTT on whichever engine `tables` belongs to.  With
+    sub_from/epi_scale set, computes (sub_from - NTT(x)) * epi_scale —
+    fused in VMEM on the Pallas engine, into the matmul epilogue on the
+    MXU engine, composed (bit-identically) on the XLA stage engine."""
+    if isinstance(tables, ntp.PallasNTTTables):
+        return ntp.ntt_forward_pallas(
+            x, tables, sub_from=sub_from, epi_scale=epi_scale,
+            epi_scale_shoup=epi_scale_shoup)
+    if isinstance(tables, ntt_mxu.MXUNTTTables):
+        return ntt_mxu.ntt_forward_mxu(
+            x, tables, sub_from=sub_from, epi_scale=epi_scale,
+            epi_scale_shoup=epi_scale_shoup)
+    out = ntt32.ntt_forward32(x, tables)
+    if sub_from is None:
+        return out
+    q = tables.q[:, None]
+    diff = m32.sub_mod32(sub_from, out, q)
+    return m32.mul_mod_shoup32(
+        diff, jnp.asarray(epi_scale, dtype=jnp.uint32)[:, None],
+        jnp.asarray(epi_scale_shoup, dtype=jnp.uint32)[:, None], q)
 
 
 def _inv(ks, x, tables, **kw):
-    if ks.use_pallas:
+    if isinstance(tables, ntp.PallasNTTTables):
         return ntp.ntt_inverse_pallas(x, tables, **kw)
+    if isinstance(tables, ntt_mxu.MXUNTTTables):
+        return ntt_mxu.ntt_inverse_mxu(x, tables, **kw)
     return ntt32.ntt_inverse32(x, tables, **kw)
 
 
-def slice_tables32(use_pallas: bool, tables, lo, hi):
-    if use_pallas:
-        return ntp.PallasNTTTables(
-            q=tables.q[lo:hi], fwd=tables.fwd[lo:hi],
-            fwd_shoup=tables.fwd_shoup[lo:hi], inv=tables.inv[lo:hi],
-            inv_shoup=tables.inv_shoup[lo:hi],
-            inv_degree=tables.inv_degree[lo:hi],
-            inv_degree_shoup=tables.inv_degree_shoup[lo:hi],
-            n1=tables.n1, n2=tables.n2)
-    return ntt32.NTTTables32(*(a[lo:hi] for a in tables))
+def slice_tables32(use_pallas, tables, lo, hi):
+    return tables.limb_slice(np.arange(lo, hi))
 
 
 def modup32(ks: KeySwitch32, c2_coeff: jnp.ndarray) -> jnp.ndarray:
@@ -232,16 +264,7 @@ def modup_from_ntt32(ks: KeySwitch32, c2_ntt: jnp.ndarray) -> jnp.ndarray:
 def _compl_tables(ks: KeySwitch32, lo: int, hi: int):
     """QlP tables minus rows [lo, hi) (a digit's complement)."""
     idx = list(range(lo)) + list(range(hi, ks.size_ql + ks.size_p))
-    t = ks.t_qlp
-    if ks.use_pallas:
-        ia = np.asarray(idx)
-        return ntp.PallasNTTTables(
-            q=t.q[ia], fwd=t.fwd[ia], fwd_shoup=t.fwd_shoup[ia],
-            inv=t.inv[ia], inv_shoup=t.inv_shoup[ia],
-            inv_degree=t.inv_degree[ia], inv_degree_shoup=t.inv_degree_shoup[ia],
-            n1=t.n1, n2=t.n2)
-    ia = np.asarray(idx)
-    return ntt32.NTTTables32(*(a[ia] for a in t))
+    return ks.t_qlp.limb_slice(idx)
 
 
 def inner_product32(ks: KeySwitch32, t_modup: jnp.ndarray,
@@ -298,16 +321,9 @@ def moddown32(ks: KeySwitch32, x: jnp.ndarray) -> jnp.ndarray:
     x_q = x[:k]
     x_p = _inv(ks, x[k:], ks.t_p)
     delta = _moddown_delta32(ks, x_p)
-    q = ks.mv_ql.q[:, None]
-    if ks.use_pallas:
-        # fused epilogue inside the Pallas forward NTT: no extra HBM pass
-        return ntp.ntt_forward_pallas(
-            delta, ks.t_ql, sub_from=x_q,
-            epi_scale=ks.pinv, epi_scale_shoup=ks.pinv_shoup)
-    delta_ntt = _fwd(ks, delta, ks.t_ql)
-    diff = m32.sub_mod32(x_q, delta_ntt, q)
-    return m32.mul_mod_shoup32(diff, ks.pinv[:, None], ks.pinv_shoup[:, None],
-                               q)
+    # (x_q - fNTT(delta)) * P^{-1} with the epilogue fused into the engine
+    return _fwd(ks, delta, ks.t_ql, sub_from=x_q,
+                epi_scale=ks.pinv, epi_scale_shoup=ks.pinv_shoup)
 
 
 def moddown_coeff32(ks: KeySwitch32, x: jnp.ndarray) -> jnp.ndarray:
@@ -425,14 +441,8 @@ def _rescale(p: CKKSPipeline32, x):
     rest_rh = ks.mv_ql.ratio_hi[:k - 1][:, None]
     red = m32.barrett_reduce_u32(xl, rest_q, rest_rh)
     delta = m32.sub_mod32(red, p.half_mod_q[:, None], rest_q)
-    if ks.use_pallas:
-        return ntp.ntt_forward_pallas(
-            delta, p.t_ql_next, sub_from=x[..., :k - 1, :],
-            epi_scale=p.qlast_inv, epi_scale_shoup=p.qlast_inv_shoup)
-    delta_ntt = _fwd(ks, delta, p.t_ql_next)
-    diff = m32.sub_mod32(x[..., :k - 1, :], delta_ntt, rest_q)
-    return m32.mul_mod_shoup32(diff, p.qlast_inv[:, None],
-                               p.qlast_inv_shoup[:, None], rest_q)
+    return _fwd(ks, delta, p.t_ql_next, sub_from=x[..., :k - 1, :],
+                epi_scale=p.qlast_inv, epi_scale_shoup=p.qlast_inv_shoup)
 
 
 def mult_relin_rescale32(p: CKKSPipeline32, d1: jnp.ndarray,
