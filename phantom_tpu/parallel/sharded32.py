@@ -20,6 +20,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import modmath32 as m32
 from ..ops import ntt32
+from ..ops import ntt_mxu
 from ..ops.modmath32 import U32, csub32, mul_mod_shoup_lazy32
 from ..ops.ntt_pallas import _split_n, _transpose_regions
 from ..ops.pipeline32 import CKKSPipeline32, KeySwitch32
@@ -160,6 +161,65 @@ def ntt_inverse_sharded32(xm3, t: ShardedNTTTables32, mesh: Mesh,
     return csub32(mul_mod_shoup_lazy32(xm, sc_v, sc_s, qq), qq)
 
 
+# -- sharded MXU (four-step matmul) NTT -------------------------------------
+#
+# With n2 sharded ("lane" layout) the phase-A matmul contracts the
+# *unsharded* n1 axis — fully local; one all-to-all re-shards to n1
+# ("row" layout) so the phase-B matmul contracts the now-local n2 axis;
+# one all-to-all back restores the pipeline's lane layout.  Exactly the
+# butterfly engine's collective structure (2 all-to-alls, nothing else),
+# but all compute is MXU matmuls instead of ~log2(N) VPU stage passes.
+
+def _sc_spec(mesh, x, spec):
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def ntt_forward_sharded_mxu(xm, t: ntt_mxu.MXUNTTTables, mesh: Mesh,
+                            axis: str = "coeff"):
+    """xm (L, n1, n2) u32 in [0, q), n2 sharded -> NTT form, n2 sharded."""
+    lane = P(None, None, axis)
+    row = P(None, axis, None)
+    q3 = t.mv.q[:, None, None]
+    xm = _sc_spec(mesh, xm, lane)
+    z = _sc_spec(mesh, ntt_mxu.mm_left_mod(t.wa, xm, t.mv), lane)
+    v = mul_mod_shoup_lazy32(z, t.d, t.d_shoup, q3)
+    v = _sc_spec(mesh, v, row)                       # all-to-all
+    out = _sc_spec(mesh, ntt_mxu.mm_right_mod(v, t.wb, t.mv), row)
+    return _sc_spec(mesh, out, lane)                 # all-to-all back
+
+
+def ntt_inverse_sharded_mxu(xm3, t: ntt_mxu.MXUNTTTables, mesh: Mesh,
+                            axis: str = "coeff", scale=None,
+                            scale_shoup=None):
+    """NTT form (L, n1, n2), n2 sharded -> coefficients, n2 sharded."""
+    lane = P(None, None, axis)
+    row = P(None, axis, None)
+    q3 = t.mv.q[:, None, None]
+    x = _sc_spec(mesh, _sc_spec(mesh, xm3, lane), row)   # all-to-all
+    s = _sc_spec(mesh, ntt_mxu.mm_right_mod(x, t.wbi, t.mv), row)
+    v = mul_mod_shoup_lazy32(s, t.di, t.di_shoup, q3)
+    if scale is None:
+        sc_v, sc_s = t.inv_degree, t.inv_degree_shoup
+    else:
+        sc_v, sc_s = scale, scale_shoup
+    v = mul_mod_shoup_lazy32(v, jnp.asarray(sc_v)[:, None, None],
+                             jnp.asarray(sc_s)[:, None, None], q3)
+    v = _sc_spec(mesh, v, lane)                          # all-to-all back
+    return _sc_spec(mesh, ntt_mxu.mm_left_mod(t.wai, v, t.mv), lane)
+
+
+def _fwd_sharded(x, t, mesh, axis="coeff"):
+    if isinstance(t, ntt_mxu.MXUNTTTables):
+        return ntt_forward_sharded_mxu(x, t, mesh, axis)
+    return ntt_forward_sharded32(x, t, mesh, axis)
+
+
+def _inv_sharded(x, t, mesh, axis="coeff", scale=None, scale_shoup=None):
+    if isinstance(t, ntt_mxu.MXUNTTTables):
+        return ntt_inverse_sharded_mxu(x, t, mesh, axis, scale, scale_shoup)
+    return ntt_inverse_sharded32(x, t, mesh, axis, scale, scale_shoup)
+
+
 # -- 3D u32 helpers (broadcast per-limb consts over both coeff axes) --------
 
 def _b3(a):
@@ -279,7 +339,10 @@ class Sharded32Consts:
         return self.st_ql.n2
 
 
-def build_sharded32(ctx, rlk, chain_index: int = 1) -> Sharded32Consts:
+def build_sharded32(ctx, rlk, chain_index: int = 1,
+                    engine: str = "xla") -> Sharded32Consts:
+    """engine: "xla" = butterfly stages + stage-wise sharding constraints;
+    "mxu" = four-step matmul NTT (local matmuls, 2 all-to-alls)."""
     from ..ops import ntt as ntt64mod
     from ..ops import pipeline32 as pp
     from ..schemes.keyswitch import qlp_rows
@@ -289,7 +352,10 @@ def build_sharded32(ctx, rlk, chain_index: int = 1) -> Sharded32Consts:
     rows = qlp_rows(ctx, k)
 
     def prep(t64):
-        return prepare_sharded_tables32(ntt32.tables32_from_tables64(t64))
+        t32 = ntt32.tables32_from_tables64(t64)
+        if engine == "mxu":
+            return ntt_mxu.prepare_mxu_tables(t32)
+        return prepare_sharded_tables32(t32)
 
     st_qlp = prep(ntt64mod._limb_gather(ctx.ntt, rows))
     evk = np.asarray(pipe.evk)
@@ -320,7 +386,7 @@ def sharded_mult_relin_rescale32(c: Sharded32Consts, mesh: Mesh,
     t0, t1, t2 = _tensor3(ks.mv_ql, d1, d2)
 
     # modup (coeff-form path: iNTT then per-digit conversion)
-    c2_coeff = ntt_inverse_sharded32(t2, c.st_ql, mesh)
+    c2_coeff = _inv_sharded(t2, c.st_ql, mesh)
     t_up = []
     for d in range(beta):
         lo, hi = d * alpha, min((d + 1) * alpha, k)
@@ -328,7 +394,7 @@ def sharded_mult_relin_rescale32(c: Sharded32Consts, mesh: Mesh,
         compl = _sc(mesh, _bconv_approx3_32(x, ks.digit_convs[d]))
         assembled = _sc(mesh, jnp.concatenate(
             [compl[:lo], x, compl[lo:]], axis=0))
-        t_up.append(ntt_forward_sharded32(assembled, c.st_qlp, mesh))
+        t_up.append(_fwd_sharded(assembled, c.st_qlp, mesh))
     t_up = jnp.stack(t_up)
 
     # inner product
@@ -350,9 +416,9 @@ def sharded_mult_relin_rescale32(c: Sharded32Consts, mesh: Mesh,
     outs = []
     for s, base in zip(halves, (t0, t1)):
         x_q = _sc(mesh, s[:k])
-        x_p = ntt_inverse_sharded32(s[k:], c.st_p, mesh)
+        x_p = _inv_sharded(s[k:], c.st_p, mesh)
         delta = _sc(mesh, _bconv_exact3_32(x_p, ks.p_to_q))
-        delta_ntt = ntt_forward_sharded32(delta, c.st_ql, mesh)
+        delta_ntt = _fwd_sharded(delta, c.st_ql, mesh)
         diff = m32.sub_mod32(x_q, delta_ntt, q)
         down = m32.mul_mod_shoup32(diff, _b3(ks.pinv), _b3(ks.pinv_shoup), q)
         outs.append(m32.add_mod32(base, down, q))
@@ -361,7 +427,7 @@ def sharded_mult_relin_rescale32(c: Sharded32Consts, mesh: Mesh,
     # rescale
     p = c.pipe
     xl = jnp.stack([
-        ntt_inverse_sharded32(out[i, k - 1:k], c.st_last, mesh)
+        _inv_sharded(out[i, k - 1:k], c.st_last, mesh)
         for i in range(2)])
     qlast = ks.mv_ql.q[k - 1]
     xl = m32.add_mod32(xl, p.half, qlast)
@@ -371,17 +437,18 @@ def sharded_mult_relin_rescale32(c: Sharded32Consts, mesh: Mesh,
     delta = _sc(mesh, m32.sub_mod32(red, p.half_mod_q[:, None, None],
                                     rest_q))
     delta_ntt = jnp.stack([
-        ntt_forward_sharded32(delta[i], c.st_ql_next, mesh)
+        _fwd_sharded(delta[i], c.st_ql_next, mesh)
         for i in range(2)])
     diff = m32.sub_mod32(out[:, :k - 1], delta_ntt, rest_q)
     return m32.mul_mod_shoup32(diff, p.qlast_inv[:, None, None],
                                p.qlast_inv_shoup[:, None, None], rest_q)
 
 
-def build_sharded_step32(ctx, rlk, mesh: Mesh, chain_index: int = 1):
+def build_sharded_step32(ctx, rlk, mesh: Mesh, chain_index: int = 1,
+                         engine: str = "xla"):
     """Jitted batched step over a ("dp", "coeff") mesh; (B, 2, L, n1, n2)
     u32 batches, B over "dp", n2 over "coeff"."""
-    consts = build_sharded32(ctx, rlk, chain_index)
+    consts = build_sharded32(ctx, rlk, chain_index, engine)
 
     def one(cc, d1, d2):
         return sharded_mult_relin_rescale32(cc, mesh, d1, d2)

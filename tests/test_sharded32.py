@@ -37,7 +37,8 @@ def setup():
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
-def test_sharded32_matches_local(setup):
+@pytest.mark.parametrize("engine", ["xla", "mxu"])
+def test_sharded32_matches_local(setup, engine):
     ctx, rlk, ct1, ct2 = setup
     pipe = pp.build_pipeline32(ctx, rlk)
     d1 = jnp.asarray(np.asarray(ct1.data).astype(np.uint32))
@@ -45,7 +46,7 @@ def test_sharded32_matches_local(setup):
     local = np.asarray(pp.mult_relin_rescale32(pipe, d1, d2))
 
     mesh = make_coeff_mesh(8, dp=1)
-    consts, step = s32.build_sharded_step32(ctx, rlk, mesh)
+    consts, step = s32.build_sharded_step32(ctx, rlk, mesh, engine=engine)
     n1, n2 = consts.n1, consts.n2
     out = np.asarray(step(d1.reshape(1, 2, -1, n1, n2),
                           d2.reshape(1, 2, -1, n1, n2)))
@@ -53,11 +54,12 @@ def test_sharded32_matches_local(setup):
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
-def test_sharded32_hlo_collectives(setup):
+@pytest.mark.parametrize("engine", ["xla", "mxu"])
+def test_sharded32_hlo_collectives(setup, engine):
     ctx, rlk, ct1, ct2 = setup
     mesh = make_coeff_mesh(8, dp=1)
     from jax.sharding import NamedSharding, PartitionSpec as P
-    consts = s32.build_sharded32(ctx, rlk)
+    consts = s32.build_sharded32(ctx, rlk, engine=engine)
     n1, n2 = consts.n1, consts.n2
     sh = NamedSharding(mesh, P(None, None, None, "coeff"))
     fn = jax.jit(lambda c, a, b: s32.sharded_mult_relin_rescale32(
