@@ -15,7 +15,7 @@ def main():
     ap.add_argument("--logn", type=int, default=13)
     ap.add_argument("--limbs", type=int, default=6)
     ap.add_argument("--trials", type=int, default=10)
-    ap.add_argument("--path", choices=["u64", "u32", "pallas"],
+    ap.add_argument("--path", choices=["u64", "u32", "pallas", "mxu"],
                     default="u64",
                     help="u32/pallas: evaluator verbs through the Fast32 "
                          "fast path (<2^30 primes)")
@@ -44,7 +44,7 @@ def main():
         params = EncryptionParameters.create(
             Scheme.CKKS, n, qs, special_modulus_size=1)
     else:
-        if args.path in ("u32", "pallas"):
+        if args.path in ("u32", "pallas", "mxu"):
             coeff = numth.get_primes(2 * n, bits, args.limbs + 1)
         else:
             coeff = [m.value for m in CoeffModulus.create(
@@ -82,7 +82,7 @@ def main():
     bench("decrypt", lambda c, s, d: keys.decrypt(
         c, s, ct1.replace(data=d)).data, ctx, sk, ct1.data)
 
-    if args.path in ("u32", "pallas"):
+    if args.path in ("u32", "pallas", "mxu"):
         # evaluator verbs through the u32 fast path: pipelines are built
         # eagerly and ride through jit as ARGUMENTS (never captured — see
         # CLAUDE.md invariants)
@@ -90,7 +90,7 @@ def main():
         from phantom_tpu.ops import bfv32, bgv32
         from phantom_tpu.ops import modmath32 as m32
         from phantom_tpu.ops import pipeline32 as pp
-        use_pallas = args.path == "pallas"
+        use_pallas = args.path if args.path != "u32" else False
         ks = pp.build_keyswitch32(ctx, 1, use_pallas,
                                   for_bgv=(scheme == Scheme.BGV))
         evk = pp.convert_key32(ctx, rlk.data, 1)

@@ -66,21 +66,25 @@ def _plane_bits() -> int:
 
 @flax.struct.dataclass
 class MXUNTTTables:
-    """Per-base four-step tables; all arrays lead with the limb axis L."""
+    """Per-base four-step tables; matmul operands are stored as
+    pre-decomposed digit-plane stacks (P, L, m, k) so the hot path never
+    re-extracts table planes (only the data operand is decomposed at run
+    time).  All arrays lead with (planes,) limb axes."""
 
     mv: ModulusVec32 = None
-    wa: jnp.ndarray = None         # (L, n1, n1) forward left matrix
-    d: jnp.ndarray = None          # (L, n1, n2) forward twiddle
+    wa: jnp.ndarray = None         # (P, L, n1, n1) forward left planes
+    d: jnp.ndarray = None          # (L, n1, n2) forward twiddle (u32)
     d_shoup: jnp.ndarray = None
-    wb: jnp.ndarray = None         # (L, n2, n2) forward right matrix
-    wbi: jnp.ndarray = None        # (L, n2, n2) inverse right matrix
-    di: jnp.ndarray = None         # (L, n1, n2) inverse twiddle
+    wb: jnp.ndarray = None         # (P, L, n2, n2) forward right planes
+    wbi: jnp.ndarray = None        # (P, L, n2, n2) inverse right planes
+    di: jnp.ndarray = None         # (L, n1, n2) inverse twiddle (u32)
     di_shoup: jnp.ndarray = None
-    wai: jnp.ndarray = None        # (L, n1, n1) inverse left matrix
+    wai: jnp.ndarray = None        # (P, L, n1, n1) inverse left planes
     inv_degree: jnp.ndarray = None        # (L,)
     inv_degree_shoup: jnp.ndarray = None  # (L,)
     n1: int = flax.struct.field(pytree_node=False, default=0)
     n2: int = flax.struct.field(pytree_node=False, default=0)
+    plane_bits: int = flax.struct.field(pytree_node=False, default=8)
 
     @property
     def q(self):
@@ -90,12 +94,12 @@ class MXUNTTTables:
         ia = np.asarray(idx)
         return MXUNTTTables(
             mv=ModulusVec32(*(a[ia] for a in self.mv)),
-            wa=self.wa[ia], d=self.d[ia], d_shoup=self.d_shoup[ia],
-            wb=self.wb[ia], wbi=self.wbi[ia], di=self.di[ia],
-            di_shoup=self.di_shoup[ia], wai=self.wai[ia],
+            wa=self.wa[:, ia], d=self.d[ia], d_shoup=self.d_shoup[ia],
+            wb=self.wb[:, ia], wbi=self.wbi[:, ia], di=self.di[ia],
+            di_shoup=self.di_shoup[ia], wai=self.wai[:, ia],
             inv_degree=self.inv_degree[ia],
             inv_degree_shoup=self.inv_degree_shoup[ia],
-            n1=self.n1, n2=self.n2)
+            n1=self.n1, n2=self.n2, plane_bits=self.plane_bits)
 
 
 def _split_n(n: int):
@@ -162,14 +166,25 @@ def prepare_mxu_tables(t32: NTTTables32) -> MXUNTTTables:
     def shoup(v):
         return ((v << np.uint64(32)) // q[:, None, None]).astype(np.uint32)
 
+    bits = _plane_bits()
+    nplanes = -(-32 // bits)
+    pdt = np.int8 if bits <= 7 else np.int32
+    mask = (1 << bits) - 1
+
+    def planes(v):
+        v = v.astype(np.uint32)
+        return jnp.asarray(np.stack(
+            [((v >> (bits * p)) & mask).astype(pdt)
+             for p in range(nplanes)]))
+
     u32c = lambda v: jnp.asarray(v.astype(np.uint32))
     return MXUNTTTables(
         mv=modulus_vec32([int(x) for x in q]),
-        wa=u32c(wa), d=u32c(d), d_shoup=jnp.asarray(shoup(d)),
-        wb=u32c(wb), wbi=u32c(wbi), di=u32c(di),
-        di_shoup=jnp.asarray(shoup(di)), wai=u32c(wai),
+        wa=planes(wa), d=u32c(d), d_shoup=jnp.asarray(shoup(d)),
+        wb=planes(wb), wbi=planes(wbi), di=u32c(di),
+        di_shoup=jnp.asarray(shoup(di)), wai=planes(wai),
         inv_degree=t32.inv_degree, inv_degree_shoup=t32.inv_degree_shoup,
-        n1=n1, n2=n2)
+        n1=n1, n2=n2, plane_bits=bits)
 
 
 # ---------------------------------------------------------------------------
@@ -238,11 +253,12 @@ def _reduce_triple(c, hi, lo, mv: ModulusVec32):
     return m32.add_mod32(m32.add_mod32(t_c, t_h, q), t_l, q)
 
 
-def mm_left_mod(table: jnp.ndarray, x: jnp.ndarray,
-                mv: ModulusVec32) -> jnp.ndarray:
-    """out[..., l, i, k] = sum_j table[l, i, j] * x[..., l, j, k] mod q."""
-    bits = _plane_bits()
-    tps = _planes(table, bits)
+def mm_left_mod(table_planes: jnp.ndarray, x: jnp.ndarray,
+                mv: ModulusVec32, bits: int) -> jnp.ndarray:
+    """out[..., l, i, k] = sum_j table[l, i, j] * x[..., l, j, k] mod q.
+
+    table_planes: (P, L, m, k) pre-decomposed digit planes."""
+    tps = list(table_planes)
     xps = _planes(x, bits)
 
     def contract(a, b):
@@ -250,24 +266,23 @@ def mm_left_mod(table: jnp.ndarray, x: jnp.ndarray,
                           preferred_element_type=jnp.int32)
 
     partials = _diag_dots(tps, xps, contract)
-    shape = x.shape[:-2] + (table.shape[-2], x.shape[-1])
+    shape = x.shape[:-2] + (table_planes.shape[-2], x.shape[-1])
     c, hi, lo = _combine_triple(partials, bits, shape)
     return _reduce_triple(c, hi, lo, mv)
 
 
-def mm_right_mod(x: jnp.ndarray, table: jnp.ndarray,
-                 mv: ModulusVec32) -> jnp.ndarray:
+def mm_right_mod(x: jnp.ndarray, table_planes: jnp.ndarray,
+                 mv: ModulusVec32, bits: int) -> jnp.ndarray:
     """out[..., l, i, c] = sum_k x[..., l, i, k] * table[l, k, c] mod q."""
-    bits = _plane_bits()
     xps = _planes(x, bits)
-    tps = _planes(table, bits)
+    tps = list(table_planes)
 
     def contract(a, b):
         return jnp.einsum("...lik,lkc->...lic", a, b,
                           preferred_element_type=jnp.int32)
 
     partials = _diag_dots(xps, tps, contract)
-    shape = x.shape[:-1] + (table.shape[-1],)
+    shape = x.shape[:-1] + (table_planes.shape[-1],)
     c, hi, lo = _combine_triple(partials, bits, shape)
     return _reduce_triple(c, hi, lo, mv)
 
@@ -288,9 +303,9 @@ def ntt_forward_mxu(x: jnp.ndarray, t: MXUNTTTables,
     lead = x.shape[:-1]
     xm = x.reshape(*lead, n1, n2)
     q3 = t.mv.q[:, None, None]
-    z = mm_left_mod(t.wa, xm, t.mv)
+    z = mm_left_mod(t.wa, xm, t.mv, t.plane_bits)
     v = m32.mul_mod_shoup_lazy32(z, t.d, t.d_shoup, q3)
-    out = mm_right_mod(v, t.wb, t.mv).reshape(*lead, n1 * n2)
+    out = mm_right_mod(v, t.wb, t.mv, t.plane_bits).reshape(*lead, n1 * n2)
     if sub_from is None:
         return out
     q = t.mv.q[:, None]
@@ -311,7 +326,7 @@ def ntt_inverse_mxu(x: jnp.ndarray, t: MXUNTTTables,
     lead = x.shape[:-1]
     xm = x.reshape(*lead, n1, n2)
     q3 = t.mv.q[:, None, None]
-    s = mm_right_mod(xm, t.wbi, t.mv)
+    s = mm_right_mod(xm, t.wbi, t.mv, t.plane_bits)
     v = m32.mul_mod_shoup_lazy32(s, t.di, t.di_shoup, q3)
     if scale is None:
         scale = t.inv_degree
@@ -319,4 +334,4 @@ def ntt_inverse_mxu(x: jnp.ndarray, t: MXUNTTTables,
     sc = jnp.asarray(scale, dtype=jnp.uint32)[:, None, None]
     scs = jnp.asarray(scale_shoup, dtype=jnp.uint32)[:, None, None]
     v = m32.mul_mod_shoup_lazy32(v, sc, scs, q3)
-    return mm_left_mod(t.wai, v, t.mv).reshape(*lead, n1 * n2)
+    return mm_left_mod(t.wai, v, t.mv, t.plane_bits).reshape(*lead, n1 * n2)
