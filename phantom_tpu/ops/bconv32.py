@@ -165,24 +165,42 @@ def bconv_exact32(x: jnp.ndarray, c: BaseConvConsts32) -> jnp.ndarray:
     return m32.sub_mod32(raw, corr, q)
 
 
+# None = auto: 7-bit int8 planes on TPU (native int8 MXU mode), 8-bit
+# int32 planes elsewhere.  Both exact and bit-identical.
+MXU_PLANE_BITS = None
+
+
+def _mxu_plane_bits() -> int:
+    import jax
+    if MXU_PLANE_BITS is not None:
+        return MXU_PLANE_BITS
+    return 7 if jax.default_backend() == "tpu" else 8
+
+
 def accumulate_matmul_96_mxu(y: jnp.ndarray, mat: jnp.ndarray):
-    """MXU variant of accumulate_matmul_96: byte-plane int8 dots
-    (see ops/bconv.py accumulate_matmul_128_mxu), recombined into the
-    (carry, hi, lo) u32 triple.  Exact: P_s < 256^2*k*4 < 2^26 (k <= 63)."""
+    """MXU variant of accumulate_matmul_96: digit-plane dots (radix 2^7
+    int8 for the native int8 MXU mode, or radix 2^8 int32 — see
+    ops/bconv.py accumulate_matmul_128_mxu), recombined into the
+    (carry, hi, lo) u32 triple.  Exact: partials < (2^b-1)^2 * k * P
+    < 2^31 for k <= 63 input limbs."""
     import jax
     k_in, n = y.shape
     k_out = mat.shape[0]
+    bits = _mxu_plane_bits()
+    nplanes = -(-32 // bits)
+    mask = U32((1 << bits) - 1)
+    pdt = jnp.int8 if bits <= 7 else jnp.int32
 
-    def bytes_of(x):
-        return [((x >> U32(8 * b)) & U32(0xFF)).astype(jnp.int32)
-                for b in range(4)]
+    def planes_of(x):
+        return [((x >> U32(bits * b)) & mask).astype(pdt)
+                for b in range(nplanes)]
 
-    yb = bytes_of(y)
-    mb = bytes_of(mat)
+    yb = planes_of(y)
+    mb = planes_of(mat)
     partials = []
-    for s_idx in range(7):
+    for s_idx in range(2 * nplanes - 1):
         acc = None
-        for a in range(max(0, s_idx - 3), min(4, s_idx + 1)):
+        for a in range(max(0, s_idx - nplanes + 1), min(nplanes, s_idx + 1)):
             b = s_idx - a
             term = jax.lax.dot_general(
                 mb[a], yb[b], dimension_numbers=(((1,), (0,)), ((), ())),
@@ -195,7 +213,7 @@ def accumulate_matmul_96_mxu(y: jnp.ndarray, mat: jnp.ndarray):
     lo = jnp.zeros((k_out, n), dtype=jnp.uint32)
     zero = jnp.zeros((k_out, n), dtype=jnp.uint32)
     for s_idx, p_ in enumerate(partials):
-        shift = 8 * s_idx
+        shift = bits * s_idx
         # split p * 2^shift into three u32 words (wrapping shifts keep the
         # low word; explicit >> recovers the spilled bits)
         if shift == 0:

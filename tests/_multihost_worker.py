@@ -80,6 +80,45 @@ def main():
     for shard in out.addressable_shards:
         np.testing.assert_array_equal(np.asarray(shard.data),
                                       ref3[shard.index])
+
+    # phase 2: the u32 fast representation with the MXU matmul NTT engine
+    # across the same 2-process mesh (primes < 2^30)
+    from phantom_tpu.ops import pipeline32 as pp
+    from phantom_tpu.parallel import sharded32 as s32
+    qs2 = numth.get_primes(2 * n, 28, limbs)
+    ps2 = numth.get_primes(2 * n, 29, alpha)
+    params2 = EncryptionParameters.create(
+        Scheme.CKKS, n, qs2 + ps2, special_modulus_size=alpha)
+    ctx2 = make_context(params2)
+    sk2 = keys.gen_secret_key(ctx2, k[0])
+    pk2 = keys.gen_public_key(ctx2, sk2, k[1])
+    rlk2 = keys.gen_relin_key(ctx2, sk2, k[2])
+    enc2 = CKKSEncoder(ctx2)
+    pt2 = enc2.encode(z, 2.0 ** 22)
+    ua = keys.encrypt_asymmetric(ctx2, pk2, pt2, k[3])
+    ub = keys.encrypt_asymmetric(ctx2, pk2, pt2, k[4])
+    u1 = jnp.asarray(np.asarray(ua.data).astype(np.uint32))
+    u2 = jnp.asarray(np.asarray(ub.data).astype(np.uint32))
+    pipe32 = pp.build_pipeline32(ctx2, rlk2)
+    local32 = np.asarray(pp.mult_relin_rescale32(pipe32, u1, u2))
+
+    consts32 = s32.build_sharded32(ctx2, rlk2, engine="mxu")
+    n1b, n2b = consts32.n1, consts32.n2
+    u1_np = np.asarray(u1).reshape(2, -1, n1b, n2b)
+    u2_np = np.asarray(u2).reshape(2, -1, n1b, n2b)
+    g1 = jax.make_array_from_callback(u1_np.shape, sh,
+                                      lambda idx: u1_np[idx])
+    g2 = jax.make_array_from_callback(u2_np.shape, sh,
+                                      lambda idx: u2_np[idx])
+    fn32 = jax.jit(
+        lambda c, a, b: s32.sharded_mult_relin_rescale32(c, mesh, a, b),
+        in_shardings=(NamedSharding(mesh, P()), sh, sh), out_shardings=sh)
+    out32 = fn32(consts32, g1, g2)
+    out32.block_until_ready()
+    ref32 = local32.reshape(2, -1, n1b, n2b)
+    for shard in out32.addressable_shards:
+        np.testing.assert_array_equal(np.asarray(shard.data),
+                                      ref32[shard.index])
     print(f"MULTIHOST_OK pid={pid}")
 
 

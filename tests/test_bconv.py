@@ -93,3 +93,32 @@ def test_scale_plain_up_exact():
         expect = (base.prod * int(m[j]) * 2 + t) // (2 * t)  # round(Q*m/t)
         for i, q in enumerate(base.moduli):
             assert int(out[i, j]) == expect % q
+
+
+def test_bconv32_mxu_matmul_bit_match():
+    """The MXU digit-plane accumulate (auto-enabled on accelerators) must
+    bit-match the VPU triple accumulate, for both plane radixes."""
+    import pytest
+    from phantom_tpu.ops import bconv32 as bc32
+
+    n = 64
+    ib = RNSBase(numth.get_primes(4096, 28, 4))
+    ob = RNSBase(numth.get_primes(4096, 29, 3))
+    c32 = bc32.consts32_from_host(BaseConverter(ib, ob))
+    x = np.stack([RNG.integers(0, int(q), n) for q in ib.moduli]
+                 ).astype(np.uint32)
+    xd = jnp.asarray(x)
+
+    ref_approx = np.asarray(bc32.bconv_approx32(xd, c32))
+    ref_exact = np.asarray(bc32.bconv_exact32(xd, c32))
+    old_use, old_bits = bc32.USE_MXU_MATMUL32, bc32.MXU_PLANE_BITS
+    try:
+        bc32.USE_MXU_MATMUL32 = True
+        for bits in (7, 8):
+            bc32.MXU_PLANE_BITS = bits
+            np.testing.assert_array_equal(
+                np.asarray(bc32.bconv_approx32(xd, c32)), ref_approx)
+            np.testing.assert_array_equal(
+                np.asarray(bc32.bconv_exact32(xd, c32)), ref_exact)
+    finally:
+        bc32.USE_MXU_MATMUL32, bc32.MXU_PLANE_BITS = old_use, old_bits
