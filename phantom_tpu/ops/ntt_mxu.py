@@ -28,6 +28,13 @@ triple and Barrett-reduced — the same spill discipline as the base-
 conversion MXU matmul (ops/bconv32.py; reference bconv_matmul_kernel,
 rns_bconv.cu:109).
 
+Plane counts track the actual value range, not the 32-bit word: tables
+and strictly-reduced data need only ceil(q_bits / b) planes, so a 28-bit
+prime chain at b=7 runs 4x4 = 16 plane dots per matmul instead of the
+naive 5x5 = 25 — every lazy [0, 2q) intermediate is csub'd back to
+[0, q) before entering a matmul (one VPU pass buys a whole row of MXU
+passes).  Results are bit-identical either way (the matmul is exact).
+
 Cost model vs butterflies at N=65536: 2 * n1*n1*n2 MACs/limb on the MXU
 (~0.5 GMAC at L=28, int8) versus ~29M 15-op VPU butterflies — the MXU's
 ~100x MAC advantage makes this the intended production forward/inverse
@@ -85,6 +92,9 @@ class MXUNTTTables:
     n1: int = flax.struct.field(pytree_node=False, default=0)
     n2: int = flax.struct.field(pytree_node=False, default=0)
     plane_bits: int = flax.struct.field(pytree_node=False, default=8)
+    # max bit length over the base's moduli: strictly-reduced values and
+    # table entries decompose into ceil(q_bits / plane_bits) planes
+    q_bits: int = flax.struct.field(pytree_node=False, default=32)
 
     @property
     def q(self):
@@ -99,7 +109,8 @@ class MXUNTTTables:
             di_shoup=self.di_shoup[ia], wai=self.wai[:, ia],
             inv_degree=self.inv_degree[ia],
             inv_degree_shoup=self.inv_degree_shoup[ia],
-            n1=self.n1, n2=self.n2, plane_bits=self.plane_bits)
+            n1=self.n1, n2=self.n2, plane_bits=self.plane_bits,
+            q_bits=self.q_bits)
 
 
 def _split_n(n: int):
@@ -167,7 +178,8 @@ def prepare_mxu_tables(t32: NTTTables32) -> MXUNTTTables:
         return ((v << np.uint64(32)) // q[:, None, None]).astype(np.uint32)
 
     bits = _plane_bits()
-    nplanes = -(-32 // bits)
+    q_bits = max(int(x).bit_length() for x in q)
+    nplanes = -(-q_bits // bits)   # table values are < q
     pdt = np.int8 if bits <= 7 else np.int32
     mask = (1 << bits) - 1
 
@@ -184,15 +196,15 @@ def prepare_mxu_tables(t32: NTTTables32) -> MXUNTTTables:
         wb=planes(wb), wbi=planes(wbi), di=u32c(di),
         di_shoup=jnp.asarray(shoup(di)), wai=planes(wai),
         inv_degree=t32.inv_degree, inv_degree_shoup=t32.inv_degree_shoup,
-        n1=n1, n2=n2, plane_bits=bits)
+        n1=n1, n2=n2, plane_bits=bits, q_bits=q_bits)
 
 
 # ---------------------------------------------------------------------------
 # exact modular matmul on digit planes
 # ---------------------------------------------------------------------------
 
-def _planes(x: jnp.ndarray, bits: int):
-    nplanes = -(-32 // bits)
+def _planes(x: jnp.ndarray, bits: int, value_bits: int = 32):
+    nplanes = -(-value_bits // bits)
     mask = U32((1 << bits) - 1)
     dt = jnp.int8 if bits <= 7 else jnp.int32
     return [((x >> U32(bits * p)) & mask).astype(dt) for p in range(nplanes)]
@@ -228,11 +240,11 @@ def _combine_triple(partials, bits: int, shape):
 
 
 def _diag_dots(aps, xps, contract):
-    """All plane-pair dots grouped by digit diagonal a+b."""
-    nplanes = len(aps)
-    partials = [None] * (2 * nplanes - 1)
-    for a in range(nplanes):
-        for b in range(nplanes):
+    """All plane-pair dots grouped by digit diagonal a+b (plane counts may
+    differ between the two operands)."""
+    partials = [None] * (len(aps) + len(xps) - 1)
+    for a in range(len(aps)):
+        for b in range(len(xps)):
             term = contract(aps[a], xps[b])
             d_idx = a + b
             partials[d_idx] = term if partials[d_idx] is None \
@@ -254,12 +266,14 @@ def _reduce_triple(c, hi, lo, mv: ModulusVec32):
 
 
 def mm_left_mod(table_planes: jnp.ndarray, x: jnp.ndarray,
-                mv: ModulusVec32, bits: int) -> jnp.ndarray:
+                mv: ModulusVec32, bits: int,
+                x_bits: int = 32) -> jnp.ndarray:
     """out[..., l, i, k] = sum_j table[l, i, j] * x[..., l, j, k] mod q.
 
-    table_planes: (P, L, m, k) pre-decomposed digit planes."""
+    table_planes: (P, L, m, k) pre-decomposed digit planes.  `x_bits`
+    bounds the data values (pass q_bits for strictly-reduced input)."""
     tps = list(table_planes)
-    xps = _planes(x, bits)
+    xps = _planes(x, bits, x_bits)
 
     def contract(a, b):
         return jnp.einsum("lij,...ljk->...lik", a, b,
@@ -272,9 +286,10 @@ def mm_left_mod(table_planes: jnp.ndarray, x: jnp.ndarray,
 
 
 def mm_right_mod(x: jnp.ndarray, table_planes: jnp.ndarray,
-                 mv: ModulusVec32, bits: int) -> jnp.ndarray:
+                 mv: ModulusVec32, bits: int,
+                 x_bits: int = 32) -> jnp.ndarray:
     """out[..., l, i, c] = sum_k x[..., l, i, k] * table[l, k, c] mod q."""
-    xps = _planes(x, bits)
+    xps = _planes(x, bits, x_bits)
     tps = list(table_planes)
 
     def contract(a, b):
@@ -301,11 +316,16 @@ def ntt_forward_mxu(x: jnp.ndarray, t: MXUNTTTables,
     here the epilogue fuses into the final matmul's reduction under XLA."""
     n1, n2 = t.n1, t.n2
     lead = x.shape[:-1]
-    xm = x.reshape(*lead, n1, n2)
+    # tolerate the lazy [0, 2q) bound: trimmed plane counts require
+    # strictly reduced operands (values above 2^q_bits would drop bits)
+    xm = m32.csub32(x.reshape(*lead, n1, n2), t.mv.q[:, None, None])
     q3 = t.mv.q[:, None, None]
-    z = mm_left_mod(t.wa, xm, t.mv, t.plane_bits)
-    v = m32.mul_mod_shoup_lazy32(z, t.d, t.d_shoup, q3)
-    out = mm_right_mod(v, t.wb, t.mv, t.plane_bits).reshape(*lead, n1 * n2)
+    z = mm_left_mod(t.wa, xm, t.mv, t.plane_bits, t.q_bits)
+    # strict twiddle product: the csub pays for itself by keeping the
+    # phase-B operand at ceil(q_bits/b) planes instead of +1 for [0, 2q)
+    v = m32.csub32(m32.mul_mod_shoup_lazy32(z, t.d, t.d_shoup, q3), q3)
+    out = mm_right_mod(v, t.wb, t.mv, t.plane_bits,
+                       t.q_bits).reshape(*lead, n1 * n2)
     if sub_from is None:
         return out
     q = t.mv.q[:, None]
@@ -324,14 +344,15 @@ def ntt_inverse_mxu(x: jnp.ndarray, t: MXUNTTTables,
     matching ntt_inverse32 — fused scales must pre-multiply 1/N in."""
     n1, n2 = t.n1, t.n2
     lead = x.shape[:-1]
-    xm = x.reshape(*lead, n1, n2)
+    xm = m32.csub32(x.reshape(*lead, n1, n2), t.mv.q[:, None, None])
     q3 = t.mv.q[:, None, None]
-    s = mm_right_mod(xm, t.wbi, t.mv, t.plane_bits)
+    s = mm_right_mod(xm, t.wbi, t.mv, t.plane_bits, t.q_bits)
     v = m32.mul_mod_shoup_lazy32(s, t.di, t.di_shoup, q3)
     if scale is None:
         scale = t.inv_degree
         scale_shoup = t.inv_degree_shoup
     sc = jnp.asarray(scale, dtype=jnp.uint32)[:, None, None]
     scs = jnp.asarray(scale_shoup, dtype=jnp.uint32)[:, None, None]
-    v = m32.mul_mod_shoup_lazy32(v, sc, scs, q3)
-    return mm_left_mod(t.wai, v, t.mv, t.plane_bits).reshape(*lead, n1 * n2)
+    v = m32.csub32(m32.mul_mod_shoup_lazy32(v, sc, scs, q3), q3)
+    return mm_left_mod(t.wai, v, t.mv, t.plane_bits,
+                       t.q_bits).reshape(*lead, n1 * n2)

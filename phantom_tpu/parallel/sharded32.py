@@ -180,11 +180,14 @@ def ntt_forward_sharded_mxu(xm, t: ntt_mxu.MXUNTTTables, mesh: Mesh,
     lane = P(None, None, axis)
     row = P(None, axis, None)
     q3 = t.mv.q[:, None, None]
-    xm = _sc_spec(mesh, xm, lane)
-    z = _sc_spec(mesh, ntt_mxu.mm_left_mod(t.wa, xm, t.mv, t.plane_bits), lane)
-    v = mul_mod_shoup_lazy32(z, t.d, t.d_shoup, q3)
+    xm = _sc_spec(mesh, csub32(xm, q3), lane)  # tolerate lazy [0, 2q) input
+    z = _sc_spec(mesh, ntt_mxu.mm_left_mod(t.wa, xm, t.mv, t.plane_bits,
+                                           t.q_bits), lane)
+    # strict twiddle product keeps the phase-B operand at q_bits planes
+    v = csub32(mul_mod_shoup_lazy32(z, t.d, t.d_shoup, q3), q3)
     v = _sc_spec(mesh, v, row)                       # all-to-all
-    out = _sc_spec(mesh, ntt_mxu.mm_right_mod(v, t.wb, t.mv, t.plane_bits), row)
+    out = _sc_spec(mesh, ntt_mxu.mm_right_mod(v, t.wb, t.mv, t.plane_bits,
+                                              t.q_bits), row)
     return _sc_spec(mesh, out, lane)                 # all-to-all back
 
 
@@ -196,16 +199,19 @@ def ntt_inverse_sharded_mxu(xm3, t: ntt_mxu.MXUNTTTables, mesh: Mesh,
     row = P(None, axis, None)
     q3 = t.mv.q[:, None, None]
     x = _sc_spec(mesh, _sc_spec(mesh, xm3, lane), row)   # all-to-all
-    s = _sc_spec(mesh, ntt_mxu.mm_right_mod(x, t.wbi, t.mv, t.plane_bits), row)
+    x = csub32(x, q3)                                    # [0, 2q) -> [0, q)
+    s = _sc_spec(mesh, ntt_mxu.mm_right_mod(x, t.wbi, t.mv, t.plane_bits,
+                                            t.q_bits), row)
     v = mul_mod_shoup_lazy32(s, t.di, t.di_shoup, q3)
     if scale is None:
         sc_v, sc_s = t.inv_degree, t.inv_degree_shoup
     else:
         sc_v, sc_s = scale, scale_shoup
-    v = mul_mod_shoup_lazy32(v, jnp.asarray(sc_v)[:, None, None],
-                             jnp.asarray(sc_s)[:, None, None], q3)
+    v = csub32(mul_mod_shoup_lazy32(v, jnp.asarray(sc_v)[:, None, None],
+                                    jnp.asarray(sc_s)[:, None, None], q3), q3)
     v = _sc_spec(mesh, v, lane)                          # all-to-all back
-    return _sc_spec(mesh, ntt_mxu.mm_left_mod(t.wai, v, t.mv, t.plane_bits), lane)
+    return _sc_spec(mesh, ntt_mxu.mm_left_mod(t.wai, v, t.mv, t.plane_bits,
+                                              t.q_bits), lane)
 
 
 def _fwd_sharded(x, t, mesh, axis="coeff"):
