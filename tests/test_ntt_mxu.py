@@ -105,3 +105,23 @@ def test_limb_slice(plane_bits):
     y_full = np.asarray(ntt_mxu.ntt_forward_mxu(jnp.asarray(full), tm))
     y_sub = np.asarray(ntt_mxu.ntt_forward_mxu(jnp.asarray(x), sub))
     np.testing.assert_array_equal(y_sub, y_full[[1, 3]])
+
+
+@pytest.mark.skipif(not __import__("os").environ.get("PHANTOM_FULL_SWEEP"),
+                    reason="large-degree sweep (set PHANTOM_FULL_SWEEP=1)")
+@pytest.mark.parametrize("logn", [16, 17])
+def test_reference_max_degrees(logn):
+    """Bit-match vs the u32 engine at the reference's headline degrees
+    (N=65536 and its max 131072, 1_bfv.cu sweep / ckks_bench.cu)."""
+    n = 1 << logn
+    qs = numth.get_primes(2 * n, 28, 2) + numth.get_primes(2 * n, 29, 1)
+    t64 = ntt64.tables_from_host(
+        make_rns_ntt_tables(n, [Modulus(q) for q in qs]))
+    t32 = ntt32.tables32_from_tables64(t64)
+    tm = ntt_mxu.prepare_mxu_tables(t32)
+    x = np.stack([RNG.integers(0, q, n) for q in qs]).astype(np.uint32)
+    xd = jnp.asarray(x)
+    fwd = np.asarray(ntt_mxu.ntt_forward_mxu(xd, tm))
+    np.testing.assert_array_equal(fwd, np.asarray(ntt32.ntt_forward32(xd, t32)))
+    inv = np.asarray(ntt_mxu.ntt_inverse_mxu(jnp.asarray(fwd), tm))
+    np.testing.assert_array_equal(inv, x)
