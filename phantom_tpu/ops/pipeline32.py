@@ -31,6 +31,7 @@ import numpy as np
 
 from . import bconv32 as bc32
 from . import modmath32 as m32
+from ..utils import debug
 from . import ntt32
 from . import ntt_mxu
 from . import ntt_pallas as ntp
@@ -452,14 +453,21 @@ def mult_relin_rescale32(p: CKKSPipeline32, d1: jnp.ndarray,
     Bit-identical to evaluate.multiply_and_relin + rescale_to_next on the
     u64 path."""
     ks = p.ks
+    q = ks.mv_ql.q[:, None]
+    debug.check_range(d1, q, "mult_relin_rescale32: d1 not canonical")
+    debug.check_range(d2, q, "mult_relin_rescale32: d2 not canonical")
     c0, c1, c2 = _tensor_2x2(ks.mv_ql, d1, d2)
     t_up = modup_from_ntt32(ks, c2)
+    debug.check_range(t_up, ks.mv_qlp.q[:, None],
+                      "modup digits not canonical over QlP")
     s0, s1 = inner_product32(ks, t_up, p.evk)
-    q = ks.mv_ql.q[:, None]
     out0 = m32.add_mod32(c0, moddown32(ks, s0), q)
     out1 = m32.add_mod32(c1, moddown32(ks, s1), q)
     out = jnp.stack([out0, out1])
-    return _rescale(p, out)
+    res = _rescale(p, out)
+    debug.check_range(res, ks.mv_ql.q[:-1, None],
+                      "rescale output not canonical")
+    return res
 
 
 # ---------------------------------------------------------------------------
