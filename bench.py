@@ -74,7 +74,8 @@ def main():
     ap.add_argument("--batch", type=int, default=1,
                     help="ciphertext pairs per step (vmapped); ops/s "
                          "scales accordingly")
-    ap.add_argument("--path", choices=["auto", "u32", "pallas", "mxu", "u64"],
+    ap.add_argument("--path", choices=["auto", "u32", "pallas", "mxu",
+                                       "mxu-nofold", "u64"],
                     default="auto",
                     help="u32: 28-bit primes + uint32 butterfly pipeline; "
                          "mxu: four-step matmul NTT engine; pallas: fused "
@@ -168,8 +169,9 @@ def main():
 
     def make_run(path):
         """Build the jitted step for one engine path; returns a thunk."""
-        if path in ("u32", "pallas", "mxu"):
-            use_pallas = path if path != "u32" else False
+        if path in ("u32", "pallas", "mxu", "mxu-nofold"):
+            use_pallas = "mxu" if path.startswith("mxu") else (
+                path if path != "u32" else False)
             if scheme == Scheme.CKKS:
                 from phantom_tpu.ops import pipeline32 as pp
                 pipe = pp.build_pipeline32(ctx, rlk, use_pallas=use_pallas)
@@ -202,7 +204,16 @@ def main():
                 step_jit = jax.jit(jax.vmap(fn, in_axes=(None, 0, 0)))
             else:
                 step_jit = jax.jit(fn)
-            return lambda: step_jit(pipe, d1, d2)
+            fold = path != "mxu-nofold"
+
+            def run():
+                # consulted at trace time; each path's jit traces under
+                # its own reduction strategy
+                from phantom_tpu.ops import ntt_mxu
+                ntt_mxu.FOLD_DIAGONALS = fold
+                return step_jit(pipe, d1, d2)
+
+            return run
 
         def step(c, r, da, db):
             a = ct1.replace(data=da)
@@ -240,7 +251,7 @@ def main():
 
     on_accel = jax.devices()[0].platform != "cpu"
     if args.path == "auto":
-        paths = ["mxu", "u32"] if on_accel else ["u32"]
+        paths = ["mxu", "mxu-nofold", "u32"] if on_accel else ["u32"]
     else:
         paths = [args.path]
 

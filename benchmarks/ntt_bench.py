@@ -20,6 +20,9 @@ def main():
     ap.add_argument("--pallas", action="store_true")
     ap.add_argument("--mxu", action="store_true",
                     help="four-step matmul NTT (ops/ntt_mxu.py)")
+    ap.add_argument("--no-fold", action="store_true",
+                    help="mxu: (carry,hi,lo) triple reduction instead of "
+                         "the per-diagonal Shoup fold")
     args = ap.parse_args()
 
     import os
@@ -35,6 +38,8 @@ def main():
     from phantom_tpu.host.ntt_tables import make_rns_ntt_tables
     from phantom_tpu.ops import ntt as ntt64
     from phantom_tpu.ops import ntt32, ntt_mxu, ntt_pallas as ntp
+    if args.no_fold:
+        ntt_mxu.FOLD_DIAGONALS = False
     from phantom_tpu.utils.timer import OpTimer, print_timer_banner
 
     print_timer_banner()

@@ -89,6 +89,11 @@ class MXUNTTTables:
     wai: jnp.ndarray = None        # (P, L, n1, n1) inverse left planes
     inv_degree: jnp.ndarray = None        # (L,)
     inv_degree_shoup: jnp.ndarray = None  # (L,)
+    # per-diagonal fold constants 2^(plane_bits*d) mod q + Shoup companions,
+    # (L, D): the diagonal partials fold straight into a lazy Shoup
+    # accumulation instead of the (carry, hi, lo) triple + 96-bit Barrett
+    pow_diag: jnp.ndarray = None
+    pow_diag_shoup: jnp.ndarray = None
     n1: int = flax.struct.field(pytree_node=False, default=0)
     n2: int = flax.struct.field(pytree_node=False, default=0)
     plane_bits: int = flax.struct.field(pytree_node=False, default=8)
@@ -109,6 +114,8 @@ class MXUNTTTables:
             di_shoup=self.di_shoup[ia], wai=self.wai[:, ia],
             inv_degree=self.inv_degree[ia],
             inv_degree_shoup=self.inv_degree_shoup[ia],
+            pow_diag=self.pow_diag[ia],
+            pow_diag_shoup=self.pow_diag_shoup[ia],
             n1=self.n1, n2=self.n2, plane_bits=self.plane_bits,
             q_bits=self.q_bits)
 
@@ -189,6 +196,14 @@ def prepare_mxu_tables(t32: NTTTables32) -> MXUNTTTables:
             [((v >> (bits * p)) & mask).astype(pdt)
              for p in range(nplanes)]))
 
+    # fold constants for every diagonal any data operand can produce
+    # (data planes <= ceil(32/bits) for raw u32 input)
+    n_diag = nplanes + (-(-32 // bits)) - 1
+    pd = np.stack([(np.uint64(1) << np.uint64(bits * d_)) % q
+                   for d_ in range(n_diag)], axis=1)  # (L, D)
+    pd_shoup = ((pd.astype(object) << 32) // q[:, None].astype(object)
+                ).astype(np.uint64)
+
     u32c = lambda v: jnp.asarray(v.astype(np.uint32))
     return MXUNTTTables(
         mv=modulus_vec32([int(x) for x in q]),
@@ -196,6 +211,7 @@ def prepare_mxu_tables(t32: NTTTables32) -> MXUNTTTables:
         wb=planes(wb), wbi=planes(wbi), di=u32c(di),
         di_shoup=jnp.asarray(shoup(di)), wai=planes(wai),
         inv_degree=t32.inv_degree, inv_degree_shoup=t32.inv_degree_shoup,
+        pow_diag=u32c(pd), pow_diag_shoup=u32c(pd_shoup),
         n1=n1, n2=n2, plane_bits=bits, q_bits=q_bits)
 
 
@@ -252,6 +268,24 @@ def _diag_dots(aps, xps, contract):
     return partials
 
 
+def _fold_diagonals(partials, pow_diag, pow_diag_shoup, mv: ModulusVec32):
+    """sum_d partials[d] * 2^(bits*d) mod q via per-diagonal Shoup folds.
+
+    Each partial is an int32 accumulator (< 2^31, any u32 is valid Shoup
+    input); each fold lands in [0, 2q) and the running sum is csub'd back
+    below 2q, so everything stays in native u32 — no 96-bit triple, no
+    Barrett-u64.  Consts broadcast over (L, m, n)."""
+    q3 = mv.q[:, None, None]
+    two_q = q3 * np.uint32(2)
+    acc = None
+    for d_idx, p_ in enumerate(partials):
+        term = m32.mul_mod_shoup_lazy32(
+            p_.astype(jnp.uint32), pow_diag[:, d_idx][:, None, None],
+            pow_diag_shoup[:, d_idx][:, None, None], q3)
+        acc = term if acc is None else m32.csub32(acc + term, two_q)
+    return m32.csub32(acc, q3)
+
+
 def _reduce_triple(c, hi, lo, mv: ModulusVec32):
     """(c*2^64 + hi*2^32 + lo) mod q, consts broadcast over (L, m, n)."""
     q = mv.q[:, None, None]
@@ -267,11 +301,13 @@ def _reduce_triple(c, hi, lo, mv: ModulusVec32):
 
 def mm_left_mod(table_planes: jnp.ndarray, x: jnp.ndarray,
                 mv: ModulusVec32, bits: int,
-                x_bits: int = 32) -> jnp.ndarray:
+                x_bits: int = 32, diag=None) -> jnp.ndarray:
     """out[..., l, i, k] = sum_j table[l, i, j] * x[..., l, j, k] mod q.
 
     table_planes: (P, L, m, k) pre-decomposed digit planes.  `x_bits`
-    bounds the data values (pass q_bits for strictly-reduced input)."""
+    bounds the data values (pass q_bits for strictly-reduced input).
+    `diag` = (pow_diag, pow_diag_shoup) enables the Shoup diagonal fold
+    (bit-identical, ~2x fewer VPU ops than the triple + Barrett)."""
     tps = list(table_planes)
     xps = _planes(x, bits, x_bits)
 
@@ -280,6 +316,8 @@ def mm_left_mod(table_planes: jnp.ndarray, x: jnp.ndarray,
                           preferred_element_type=jnp.int32)
 
     partials = _diag_dots(tps, xps, contract)
+    if diag is not None:
+        return _fold_diagonals(partials, diag[0], diag[1], mv)
     shape = x.shape[:-2] + (table_planes.shape[-2], x.shape[-1])
     c, hi, lo = _combine_triple(partials, bits, shape)
     return _reduce_triple(c, hi, lo, mv)
@@ -287,7 +325,7 @@ def mm_left_mod(table_planes: jnp.ndarray, x: jnp.ndarray,
 
 def mm_right_mod(x: jnp.ndarray, table_planes: jnp.ndarray,
                  mv: ModulusVec32, bits: int,
-                 x_bits: int = 32) -> jnp.ndarray:
+                 x_bits: int = 32, diag=None) -> jnp.ndarray:
     """out[..., l, i, c] = sum_k x[..., l, i, k] * table[l, k, c] mod q."""
     xps = _planes(x, bits, x_bits)
     tps = list(table_planes)
@@ -297,6 +335,8 @@ def mm_right_mod(x: jnp.ndarray, table_planes: jnp.ndarray,
                           preferred_element_type=jnp.int32)
 
     partials = _diag_dots(xps, tps, contract)
+    if diag is not None:
+        return _fold_diagonals(partials, diag[0], diag[1], mv)
     shape = x.shape[:-1] + (table_planes.shape[-1],)
     c, hi, lo = _combine_triple(partials, bits, shape)
     return _reduce_triple(c, hi, lo, mv)
@@ -305,6 +345,18 @@ def mm_right_mod(x: jnp.ndarray, table_planes: jnp.ndarray,
 # ---------------------------------------------------------------------------
 # forward / inverse transforms
 # ---------------------------------------------------------------------------
+
+# Diagonal-partial reduction strategy: True = per-diagonal Shoup folds
+# (~2x fewer raw VPU ops), False = (carry,hi,lo) triple + 96-bit Barrett.
+# Bit-identical; measured ~equal on CPU/LLVM — flip on hardware via
+# benchmarks/ntt_bench.py to pick the TPU winner.
+FOLD_DIAGONALS = True
+
+
+def _diag_of(t: MXUNTTTables):
+    if t.pow_diag is None or not FOLD_DIAGONALS:
+        return None
+    return (t.pow_diag, t.pow_diag_shoup)
 
 def ntt_forward_mxu(x: jnp.ndarray, t: MXUNTTTables,
                     sub_from=None, epi_scale=None,
@@ -320,12 +372,13 @@ def ntt_forward_mxu(x: jnp.ndarray, t: MXUNTTTables,
     # strictly reduced operands (values above 2^q_bits would drop bits)
     xm = m32.csub32(x.reshape(*lead, n1, n2), t.mv.q[:, None, None])
     q3 = t.mv.q[:, None, None]
-    z = mm_left_mod(t.wa, xm, t.mv, t.plane_bits, t.q_bits)
+    dg = _diag_of(t)
+    z = mm_left_mod(t.wa, xm, t.mv, t.plane_bits, t.q_bits, dg)
     # strict twiddle product: the csub pays for itself by keeping the
     # phase-B operand at ceil(q_bits/b) planes instead of +1 for [0, 2q)
     v = m32.csub32(m32.mul_mod_shoup_lazy32(z, t.d, t.d_shoup, q3), q3)
     out = mm_right_mod(v, t.wb, t.mv, t.plane_bits,
-                       t.q_bits).reshape(*lead, n1 * n2)
+                       t.q_bits, dg).reshape(*lead, n1 * n2)
     if sub_from is None:
         return out
     q = t.mv.q[:, None]
@@ -346,7 +399,8 @@ def ntt_inverse_mxu(x: jnp.ndarray, t: MXUNTTTables,
     lead = x.shape[:-1]
     xm = m32.csub32(x.reshape(*lead, n1, n2), t.mv.q[:, None, None])
     q3 = t.mv.q[:, None, None]
-    s = mm_right_mod(xm, t.wbi, t.mv, t.plane_bits, t.q_bits)
+    dg = _diag_of(t)
+    s = mm_right_mod(xm, t.wbi, t.mv, t.plane_bits, t.q_bits, dg)
     v = m32.mul_mod_shoup_lazy32(s, t.di, t.di_shoup, q3)
     if scale is None:
         scale = t.inv_degree
@@ -355,4 +409,4 @@ def ntt_inverse_mxu(x: jnp.ndarray, t: MXUNTTTables,
     scs = jnp.asarray(scale_shoup, dtype=jnp.uint32)[:, None, None]
     v = m32.csub32(m32.mul_mod_shoup_lazy32(v, sc, scs, q3), q3)
     return mm_left_mod(t.wai, v, t.mv, t.plane_bits,
-                       t.q_bits).reshape(*lead, n1 * n2)
+                       t.q_bits, dg).reshape(*lead, n1 * n2)

@@ -182,12 +182,14 @@ def ntt_forward_sharded_mxu(xm, t: ntt_mxu.MXUNTTTables, mesh: Mesh,
     q3 = t.mv.q[:, None, None]
     xm = _sc_spec(mesh, csub32(xm, q3), lane)  # tolerate lazy [0, 2q) input
     z = _sc_spec(mesh, ntt_mxu.mm_left_mod(t.wa, xm, t.mv, t.plane_bits,
-                                           t.q_bits), lane)
+                                           t.q_bits, ntt_mxu._diag_of(t)),
+                 lane)
     # strict twiddle product keeps the phase-B operand at q_bits planes
     v = csub32(mul_mod_shoup_lazy32(z, t.d, t.d_shoup, q3), q3)
     v = _sc_spec(mesh, v, row)                       # all-to-all
     out = _sc_spec(mesh, ntt_mxu.mm_right_mod(v, t.wb, t.mv, t.plane_bits,
-                                              t.q_bits), row)
+                                              t.q_bits, ntt_mxu._diag_of(t)),
+                   row)
     return _sc_spec(mesh, out, lane)                 # all-to-all back
 
 
@@ -201,7 +203,8 @@ def ntt_inverse_sharded_mxu(xm3, t: ntt_mxu.MXUNTTTables, mesh: Mesh,
     x = _sc_spec(mesh, _sc_spec(mesh, xm3, lane), row)   # all-to-all
     x = csub32(x, q3)                                    # [0, 2q) -> [0, q)
     s = _sc_spec(mesh, ntt_mxu.mm_right_mod(x, t.wbi, t.mv, t.plane_bits,
-                                            t.q_bits), row)
+                                            t.q_bits, ntt_mxu._diag_of(t)),
+                 row)
     v = mul_mod_shoup_lazy32(s, t.di, t.di_shoup, q3)
     if scale is None:
         sc_v, sc_s = t.inv_degree, t.inv_degree_shoup
@@ -211,7 +214,8 @@ def ntt_inverse_sharded_mxu(xm3, t: ntt_mxu.MXUNTTTables, mesh: Mesh,
                                     jnp.asarray(sc_s)[:, None, None], q3), q3)
     v = _sc_spec(mesh, v, lane)                          # all-to-all back
     return _sc_spec(mesh, ntt_mxu.mm_left_mod(t.wai, v, t.mv, t.plane_bits,
-                                              t.q_bits), lane)
+                                              t.q_bits, ntt_mxu._diag_of(t)),
+                    lane)
 
 
 def _fwd_sharded(x, t, mesh, axis="coeff"):

@@ -125,3 +125,24 @@ def test_reference_max_degrees(logn):
     np.testing.assert_array_equal(fwd, np.asarray(ntt32.ntt_forward32(xd, t32)))
     inv = np.asarray(ntt_mxu.ntt_inverse_mxu(jnp.asarray(fwd), tm))
     np.testing.assert_array_equal(inv, x)
+
+
+def test_fold_vs_triple_reduction(plane_bits):
+    """Both diagonal-partial reduction strategies are bit-identical."""
+    n = 256
+    t32, tm, qs = make_tables(n, 28, 3)
+    x = np.stack([RNG.integers(0, q, n) for q in qs]).astype(np.uint32)
+    xd = jnp.asarray(x)
+    old = ntt_mxu.FOLD_DIAGONALS
+    try:
+        ntt_mxu.FOLD_DIAGONALS = True
+        fwd_fold = np.asarray(ntt_mxu.ntt_forward_mxu(xd, tm))
+        inv_fold = np.asarray(ntt_mxu.ntt_inverse_mxu(jnp.asarray(fwd_fold), tm))
+        ntt_mxu.FOLD_DIAGONALS = False
+        fwd_tri = np.asarray(ntt_mxu.ntt_forward_mxu(xd, tm))
+        inv_tri = np.asarray(ntt_mxu.ntt_inverse_mxu(jnp.asarray(fwd_tri), tm))
+    finally:
+        ntt_mxu.FOLD_DIAGONALS = old
+    np.testing.assert_array_equal(fwd_fold, fwd_tri)
+    np.testing.assert_array_equal(inv_fold, inv_tri)
+    np.testing.assert_array_equal(inv_fold, x)
