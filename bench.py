@@ -209,8 +209,9 @@ def main():
             def run():
                 # consulted at trace time; each path's jit traces under
                 # its own reduction strategy
-                from phantom_tpu.ops import ntt_mxu
+                from phantom_tpu.ops import bconv32, ntt_mxu
                 ntt_mxu.FOLD_DIAGONALS = fold
+                bconv32.FOLD_DIAGONALS32 = fold
                 return step_jit(pipe, d1, d2)
 
             return run

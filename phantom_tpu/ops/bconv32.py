@@ -50,6 +50,11 @@ class BaseConvConsts32(NamedTuple):
     q_mod_p: jnp.ndarray         # (k_out,)
     U: jnp.ndarray               # (k_in,) floor(2^32/q)
     V: jnp.ndarray               # (k_in,) 2^32 mod q
+    # (k_out, 57) powers 2^e mod p + Shoup companions: the MXU digit-plane
+    # matmul folds each diagonal partial with 2^(bits*d) directly (sliced
+    # statically per radix) instead of the 96-bit triple + Barrett
+    pow2: jnp.ndarray = None
+    pow2_shoup: jnp.ndarray = None
 
 
 def consts32_from_host(conv) -> BaseConvConsts32:
@@ -57,6 +62,9 @@ def consts32_from_host(conv) -> BaseConvConsts32:
     ib, ob = conv.ibase, conv.obase
     u32a = lambda v: jnp.asarray(np.array([int(x) for x in v],
                                           dtype=np.uint32))
+    po = np.array([int(p) for p in ob.moduli], dtype=np.uint64)
+    pw = np.array([[pow(2, e, int(p)) for e in range(57)]
+                   for p in po], dtype=np.uint64)
     return BaseConvConsts32(
         ibase=modulus_vec32(ib.moduli),
         obase=modulus_vec32(ob.moduli),
@@ -68,6 +76,9 @@ def consts32_from_host(conv) -> BaseConvConsts32:
         q_mod_p=u32a(conv.q_mod_p),
         U=u32a([(1 << 32) // q for q in ib.moduli]),
         V=u32a([(1 << 32) % q for q in ib.moduli]),
+        pow2=jnp.asarray(pw.astype(np.uint32)),
+        pow2_shoup=jnp.asarray(((pw << np.uint64(32)) // po[:, None]
+                                ).astype(np.uint32)),
     )
 
 
@@ -109,15 +120,13 @@ def scale_by_qhat_inv32(x: jnp.ndarray, c: BaseConvConsts32) -> jnp.ndarray:
 
 def bconv_approx32(x: jnp.ndarray, c: BaseConvConsts32) -> jnp.ndarray:
     y = scale_by_qhat_inv32(x, c)
-    cc, hh, ll = _accumulate32(y, c.qhat_mod_p)
-    return reduce_u96_any32(cc, hh, ll, c.obase)
+    return _accumulate_reduce32(y, c.qhat_mod_p, c)
 
 
 def matmul_reduce32(y: jnp.ndarray, c: BaseConvConsts32) -> jnp.ndarray:
     """The bconv matmul + reduction on *pre-scaled* y (x * QhatInv already
     applied, e.g. fused into an inverse NTT — reference: ntt_modup.cu)."""
-    cc, hh, ll = _accumulate32(y, c.qhat_mod_p)
-    return reduce_u96_any32(cc, hh, ll, c.obase)
+    return _accumulate_reduce32(y, c.qhat_mod_p, c)
 
 
 def floor_sum_div32(y: jnp.ndarray, c: BaseConvConsts32) -> jnp.ndarray:
@@ -156,8 +165,7 @@ def floor_sum_div32(y: jnp.ndarray, c: BaseConvConsts32) -> jnp.ndarray:
 def bconv_exact32(x: jnp.ndarray, c: BaseConvConsts32) -> jnp.ndarray:
     """Value-exact conversion (reference bConv_HPS semantics)."""
     y = scale_by_qhat_inv32(x, c)
-    cc, hh, ll = _accumulate32(y, c.qhat_mod_p)
-    raw = reduce_u96_any32(cc, hh, ll, c.obase)
+    raw = _accumulate_reduce32(y, c.qhat_mod_p, c)
     v = floor_sum_div32(y, c)
     q = c.obase.q[:, None]
     corr = m32.mul_mod32(v[None, :], c.q_mod_p[:, None], q,
@@ -237,13 +245,65 @@ def accumulate_matmul_96_mxu(y: jnp.ndarray, mat: jnp.ndarray):
 
 # None = auto (accelerators yes, CPU no)
 USE_MXU_MATMUL32 = None
+# MXU path reduction strategy (mirror of ntt_mxu.FOLD_DIAGONALS):
+# True = per-diagonal Shoup folds, False = (carry,hi,lo) triple
+FOLD_DIAGONALS32 = True
 
 
-def _accumulate32(y, mat):
+def _use_mxu() -> bool:
     import jax
     use = USE_MXU_MATMUL32
     if use is None:
         use = jax.default_backend() not in ("cpu",)
-    if use:
+    return use
+
+
+def _accumulate32(y, mat):
+    if _use_mxu():
         return accumulate_matmul_96_mxu(y, mat)
     return accumulate_matmul_96(y, mat)
+
+
+def accumulate_fold32(y: jnp.ndarray, mat: jnp.ndarray,
+                      c: BaseConvConsts32) -> jnp.ndarray:
+    """MXU digit-plane matmul with per-diagonal Shoup folds: returns
+    sum_i y[i,:] * mat[:,i] mod p directly in [0, p) — no 96-bit triple
+    (mirror of ntt_mxu._fold_diagonals; operands < 2^30, k_in <= 63 so
+    every int32 diagonal partial < 2^31, a valid Shoup input)."""
+    import jax
+    bits = _mxu_plane_bits()
+    nplanes = -(-30 // bits)
+    mask = U32((1 << bits) - 1)
+    pdt = jnp.int8 if bits <= 7 else jnp.int32
+
+    def planes_of(x):
+        return [((x >> U32(bits * b)) & mask).astype(pdt)
+                for b in range(nplanes)]
+
+    yb = planes_of(y)
+    mb = planes_of(mat)
+    q = c.obase.q[:, None]
+    two_q = q * U32(2)
+    acc = None
+    for s_idx in range(2 * nplanes - 1):
+        p_ = None
+        for a in range(max(0, s_idx - nplanes + 1), min(nplanes, s_idx + 1)):
+            term = jax.lax.dot_general(
+                mb[a], yb[s_idx - a],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            p_ = term if p_ is None else p_ + term
+        folded = m32.mul_mod_shoup_lazy32(
+            p_.astype(jnp.uint32), c.pow2[:, bits * s_idx][:, None],
+            c.pow2_shoup[:, bits * s_idx][:, None], q)
+        acc = folded if acc is None else m32.csub32(acc + folded, two_q)
+    return m32.csub32(acc, q)
+
+
+def _accumulate_reduce32(y, mat, c: BaseConvConsts32) -> jnp.ndarray:
+    """sum_i y[i,:] * mat[:,i] mod p over c.obase, via whichever
+    accumulate path is active."""
+    if _use_mxu() and FOLD_DIAGONALS32 and c.pow2 is not None:
+        return accumulate_fold32(y, mat, c)
+    cc, hh, ll = _accumulate32(y, mat)
+    return reduce_u96_any32(cc, hh, ll, c.obase)

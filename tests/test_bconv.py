@@ -111,14 +111,17 @@ def test_bconv32_mxu_matmul_bit_match():
 
     ref_approx = np.asarray(bc32.bconv_approx32(xd, c32))
     ref_exact = np.asarray(bc32.bconv_exact32(xd, c32))
-    old_use, old_bits = bc32.USE_MXU_MATMUL32, bc32.MXU_PLANE_BITS
+    old = (bc32.USE_MXU_MATMUL32, bc32.MXU_PLANE_BITS, bc32.FOLD_DIAGONALS32)
     try:
         bc32.USE_MXU_MATMUL32 = True
         for bits in (7, 8):
-            bc32.MXU_PLANE_BITS = bits
-            np.testing.assert_array_equal(
-                np.asarray(bc32.bconv_approx32(xd, c32)), ref_approx)
-            np.testing.assert_array_equal(
-                np.asarray(bc32.bconv_exact32(xd, c32)), ref_exact)
+            for fold in (True, False):
+                bc32.MXU_PLANE_BITS = bits
+                bc32.FOLD_DIAGONALS32 = fold
+                np.testing.assert_array_equal(
+                    np.asarray(bc32.bconv_approx32(xd, c32)), ref_approx)
+                np.testing.assert_array_equal(
+                    np.asarray(bc32.bconv_exact32(xd, c32)), ref_exact)
     finally:
-        bc32.USE_MXU_MATMUL32, bc32.MXU_PLANE_BITS = old_use, old_bits
+        (bc32.USE_MXU_MATMUL32, bc32.MXU_PLANE_BITS,
+         bc32.FOLD_DIAGONALS32) = old

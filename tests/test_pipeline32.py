@@ -43,3 +43,22 @@ def test_bit_match(setup, use_pallas):
     d2 = jnp.asarray(np.asarray(ct2.data).astype(np.uint32))
     out = np.asarray(pp.mult_relin_rescale32(p, d1, d2))
     np.testing.assert_array_equal(out, ref.astype(np.uint32))
+
+
+def test_bit_match_mxu_bconv_fold(setup):
+    """Full pipeline with the MXU bconv matmul (per-diagonal fold) forced
+    on — the accelerator configuration — still bit-matches u64."""
+    from phantom_tpu.ops import bconv32 as bc32
+    ctx, rlk, ct1, ct2, ref = setup
+    p = pp.build_pipeline32(ctx, rlk, use_pallas="mxu")
+    d1 = jnp.asarray(np.asarray(ct1.data).astype(np.uint32))
+    d2 = jnp.asarray(np.asarray(ct2.data).astype(np.uint32))
+    old = (bc32.USE_MXU_MATMUL32, bc32.FOLD_DIAGONALS32)
+    try:
+        for fold in (True, False):
+            bc32.USE_MXU_MATMUL32 = True
+            bc32.FOLD_DIAGONALS32 = fold
+            out = np.asarray(pp.mult_relin_rescale32(p, d1, d2))
+            np.testing.assert_array_equal(out, ref.astype(np.uint32))
+    finally:
+        bc32.USE_MXU_MATMUL32, bc32.FOLD_DIAGONALS32 = old
