@@ -62,9 +62,7 @@ def consts32_from_host(conv) -> BaseConvConsts32:
     ib, ob = conv.ibase, conv.obase
     u32a = lambda v: jnp.asarray(np.array([int(x) for x in v],
                                           dtype=np.uint32))
-    po = np.array([int(p) for p in ob.moduli], dtype=np.uint64)
-    pw = np.array([[pow(2, e, int(p)) for e in range(57)]
-                   for p in po], dtype=np.uint64)
+    pw, pw_sh = pow2_tables(ob.moduli)
     return BaseConvConsts32(
         ibase=modulus_vec32(ib.moduli),
         obase=modulus_vec32(ob.moduli),
@@ -76,9 +74,8 @@ def consts32_from_host(conv) -> BaseConvConsts32:
         q_mod_p=u32a(conv.q_mod_p),
         U=u32a([(1 << 32) // q for q in ib.moduli]),
         V=u32a([(1 << 32) % q for q in ib.moduli]),
-        pow2=jnp.asarray(pw.astype(np.uint32)),
-        pow2_shoup=jnp.asarray(((pw << np.uint64(32)) // po[:, None]
-                                ).astype(np.uint32)),
+        pow2=pw,
+        pow2_shoup=pw_sh,
     )
 
 
@@ -120,13 +117,15 @@ def scale_by_qhat_inv32(x: jnp.ndarray, c: BaseConvConsts32) -> jnp.ndarray:
 
 def bconv_approx32(x: jnp.ndarray, c: BaseConvConsts32) -> jnp.ndarray:
     y = scale_by_qhat_inv32(x, c)
-    return _accumulate_reduce32(y, c.qhat_mod_p, c)
+    return _accumulate_reduce32(y, c.qhat_mod_p, c.obase, c.pow2,
+                                c.pow2_shoup)
 
 
 def matmul_reduce32(y: jnp.ndarray, c: BaseConvConsts32) -> jnp.ndarray:
     """The bconv matmul + reduction on *pre-scaled* y (x * QhatInv already
     applied, e.g. fused into an inverse NTT — reference: ntt_modup.cu)."""
-    return _accumulate_reduce32(y, c.qhat_mod_p, c)
+    return _accumulate_reduce32(y, c.qhat_mod_p, c.obase, c.pow2,
+                                c.pow2_shoup)
 
 
 def floor_sum_div32(y: jnp.ndarray, c: BaseConvConsts32) -> jnp.ndarray:
@@ -165,7 +164,8 @@ def floor_sum_div32(y: jnp.ndarray, c: BaseConvConsts32) -> jnp.ndarray:
 def bconv_exact32(x: jnp.ndarray, c: BaseConvConsts32) -> jnp.ndarray:
     """Value-exact conversion (reference bConv_HPS semantics)."""
     y = scale_by_qhat_inv32(x, c)
-    raw = _accumulate_reduce32(y, c.qhat_mod_p, c)
+    raw = _accumulate_reduce32(y, c.qhat_mod_p, c.obase, c.pow2,
+                               c.pow2_shoup)
     v = floor_sum_div32(y, c)
     q = c.obase.q[:, None]
     corr = m32.mul_mod32(v[None, :], c.q_mod_p[:, None], q,
@@ -264,8 +264,20 @@ def _accumulate32(y, mat):
     return accumulate_matmul_96(y, mat)
 
 
-def accumulate_fold32(y: jnp.ndarray, mat: jnp.ndarray,
-                      c: BaseConvConsts32) -> jnp.ndarray:
+def pow2_tables(moduli):
+    """(k, 57) device tables of 2^e mod p + Shoup companions, the fold
+    constants for every diagonal shift either plane radix produces."""
+    po = np.array([int(p) for p in moduli], dtype=np.uint64)
+    pw = np.array([[pow(2, e, int(p)) for e in range(57)]
+                   for p in po], dtype=np.uint64)
+    return (jnp.asarray(pw.astype(np.uint32)),
+            jnp.asarray(((pw << np.uint64(32)) // po[:, None]
+                         ).astype(np.uint32)))
+
+
+def accumulate_fold32(y: jnp.ndarray, mat: jnp.ndarray, obase: ModulusVec32,
+                      pow2: jnp.ndarray,
+                      pow2_shoup: jnp.ndarray) -> jnp.ndarray:
     """MXU digit-plane matmul with per-diagonal Shoup folds: returns
     sum_i y[i,:] * mat[:,i] mod p directly in [0, p) — no 96-bit triple
     (mirror of ntt_mxu._fold_diagonals; operands < 2^30, k_in <= 63 so
@@ -282,7 +294,7 @@ def accumulate_fold32(y: jnp.ndarray, mat: jnp.ndarray,
 
     yb = planes_of(y)
     mb = planes_of(mat)
-    q = c.obase.q[:, None]
+    q = obase.q[:, None]
     two_q = q * U32(2)
     acc = None
     for s_idx in range(2 * nplanes - 1):
@@ -294,16 +306,17 @@ def accumulate_fold32(y: jnp.ndarray, mat: jnp.ndarray,
                 preferred_element_type=jnp.int32)
             p_ = term if p_ is None else p_ + term
         folded = m32.mul_mod_shoup_lazy32(
-            p_.astype(jnp.uint32), c.pow2[:, bits * s_idx][:, None],
-            c.pow2_shoup[:, bits * s_idx][:, None], q)
+            p_.astype(jnp.uint32), pow2[:, bits * s_idx][:, None],
+            pow2_shoup[:, bits * s_idx][:, None], q)
         acc = folded if acc is None else m32.csub32(acc + folded, two_q)
     return m32.csub32(acc, q)
 
 
-def _accumulate_reduce32(y, mat, c: BaseConvConsts32) -> jnp.ndarray:
-    """sum_i y[i,:] * mat[:,i] mod p over c.obase, via whichever
-    accumulate path is active."""
-    if _use_mxu() and FOLD_DIAGONALS32 and c.pow2 is not None:
-        return accumulate_fold32(y, mat, c)
+def _accumulate_reduce32(y, mat, obase: ModulusVec32, pow2=None,
+                         pow2_shoup=None) -> jnp.ndarray:
+    """sum_i y[i,:] * mat[:,i] mod p over obase, via whichever accumulate
+    path is active."""
+    if _use_mxu() and FOLD_DIAGONALS32 and pow2 is not None:
+        return accumulate_fold32(y, mat, obase, pow2, pow2_shoup)
     cc, hh, ll = _accumulate32(y, mat)
-    return reduce_u96_any32(cc, hh, ll, c.obase)
+    return reduce_u96_any32(cc, hh, ll, obase)

@@ -35,6 +35,9 @@ class ExactScaleRound32(NamedTuple):
     omega_mod_out: jnp.ndarray   # (k_out, k_in) floor(G/d_i) mod out_j
     rho: jnp.ndarray             # (k_in,) G mod d_i (< d_i < 2^30)
     obase: ModulusVec32
+    # (k_out, 57) fold constants for the MXU digit-plane matmul
+    pow2: jnp.ndarray = None
+    pow2_shoup: jnp.ndarray = None
 
 
 def make_exact_scale_round32(in_moduli, num: int, den: int,
@@ -49,6 +52,7 @@ def make_exact_scale_round32(in_moduli, num: int, den: int,
     rho = [G - w * d for w, d in zip(omega, in_moduli)]
     u32a = lambda v: jnp.asarray(np.array([int(x) for x in v],
                                           dtype=np.uint32))
+    pw, pw_sh = bc32.pow2_tables(out_moduli)
     return ExactScaleRound32(
         ibase=modulus_vec32(list(in_moduli)),
         ihat_inv=u32a(ibase.qhat_inv_mod_qi),
@@ -58,6 +62,8 @@ def make_exact_scale_round32(in_moduli, num: int, den: int,
             [[w % p for w in omega] for p in out_moduli], dtype=np.uint32)),
         rho=u32a(rho),
         obase=modulus_vec32(list(out_moduli)),
+        pow2=pw,
+        pow2_shoup=pw_sh,
     )
 
 
@@ -74,8 +80,8 @@ def scale_and_round_exact32(x: jnp.ndarray,
     d_rl = c.ibase.ratio_lo[:, None]
     y = m32.mul_mod_shoup32(x, c.ihat_inv[:, None], c.ihat_inv_shoup[:, None],
                             d_q)
-    cc, hh, ll = bc32._accumulate32(y, c.omega_mod_out)
-    int_part = bc32.reduce_u96_any32(cc, hh, ll, c.obase)
+    int_part = bc32._accumulate_reduce32(y, c.omega_mod_out, c.obase,
+                                         c.pow2, c.pow2_shoup)
 
     # frac: y_i * rho_i = g_i * d_i + r_i (exact u64 divmod), then refine
     # r_i/d_i three more 2^32 fixed-point levels:

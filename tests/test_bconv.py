@@ -125,3 +125,32 @@ def test_bconv32_mxu_matmul_bit_match():
     finally:
         (bc32.USE_MXU_MATMUL32, bc32.MXU_PLANE_BITS,
          bc32.FOLD_DIAGONALS32) = old
+
+
+def test_scaleround32_mxu_fold_bit_match():
+    """scale_and_round_exact32's omega matmul under the MXU digit-plane
+    fold (accelerator configuration) bit-matches the VPU triple path."""
+    from phantom_tpu.ops import bconv32 as bc32
+    from phantom_tpu.ops import scaleround32 as sr32
+
+    n = 64
+    ib = numth.get_primes(4096, 28, 4)
+    ob = numth.get_primes(4096, 29, 2)
+    # the v-free rule needs out_j | num*prod(I)/den: num=prod(ob), den=1
+    num = int(np.prod([np.uint64(p) for p in ob], dtype=object))
+    c = sr32.make_exact_scale_round32(ib, num, 1, ob)
+    x = np.stack([RNG.integers(0, int(q), n) for q in ib]).astype(np.uint32)
+    xd = jnp.asarray(x)
+    ref = np.asarray(sr32.scale_and_round_exact32(xd, c))
+    old = (bc32.USE_MXU_MATMUL32, bc32.FOLD_DIAGONALS32, bc32.MXU_PLANE_BITS)
+    try:
+        bc32.USE_MXU_MATMUL32 = True
+        for bits in (7, 8):
+            for fold in (True, False):
+                bc32.MXU_PLANE_BITS = bits
+                bc32.FOLD_DIAGONALS32 = fold
+                np.testing.assert_array_equal(
+                    np.asarray(sr32.scale_and_round_exact32(xd, c)), ref)
+    finally:
+        (bc32.USE_MXU_MATMUL32, bc32.FOLD_DIAGONALS32,
+         bc32.MXU_PLANE_BITS) = old
