@@ -74,8 +74,8 @@ def main():
     ap.add_argument("--batch", type=int, default=1,
                     help="ciphertext pairs per step (vmapped); ops/s "
                          "scales accordingly")
-    ap.add_argument("--path", choices=["auto", "u32", "pallas", "mxu",
-                                       "mxu-nofold", "u64"],
+    ap.add_argument("--path", choices=["auto", "u32", "pallas", "pallas-roll",
+                                       "mxu", "mxu-nofold", "u64"],
                     default="auto",
                     help="u32: 28-bit primes + uint32 butterfly pipeline; "
                          "mxu: four-step matmul NTT engine; pallas: fused "
@@ -169,7 +169,7 @@ def main():
 
     def make_run(path):
         """Build the jitted step for one engine path; returns a thunk."""
-        if path in ("u32", "pallas", "mxu", "mxu-nofold"):
+        if path in ("u32", "pallas", "pallas-roll", "mxu", "mxu-nofold"):
             use_pallas = "mxu" if path.startswith("mxu") else (
                 path if path != "u32" else False)
             if scheme == Scheme.CKKS:

@@ -35,6 +35,7 @@ from ..utils import debug
 from . import ntt32
 from . import ntt_mxu
 from . import ntt_pallas as ntp
+from . import ntt_pallas_roll as ntr
 from .bconv32 import BaseConvConsts32, ModulusVec32, modulus_vec32
 
 
@@ -44,12 +45,14 @@ def _u32(v) -> jnp.ndarray:
 
 def normalize_engine(use_pallas) -> str:
     """Engine selector: False/'xla' = u32 butterfly stages, True/'pallas' =
-    fused-VMEM Pallas kernels, 'mxu' = four-step matmul NTT (ops/ntt_mxu)."""
+    fused-VMEM Pallas kernels, 'pallas-roll' = the reshape-free
+    roll/select Pallas kernels (ops/ntt_pallas_roll), 'mxu' = four-step
+    matmul NTT (ops/ntt_mxu)."""
     if use_pallas is True:
         return "pallas"
     if use_pallas in (False, None):
         return "xla"
-    assert use_pallas in ("xla", "pallas", "mxu"), use_pallas
+    assert use_pallas in ("xla", "pallas", "pallas-roll", "mxu"), use_pallas
     return use_pallas
 
 
@@ -100,7 +103,8 @@ class KeySwitch32:
 
     @property
     def use_pallas(self) -> bool:
-        return self.engine == "pallas"
+        # both Pallas engines share the VMEM inner-product kernel
+        return self.engine in ("pallas", "pallas-roll")
 
 
 def _conv_tables(t64, use_pallas):
@@ -108,6 +112,8 @@ def _conv_tables(t64, use_pallas):
     t32 = ntt32.tables32_from_tables64(t64)
     if engine == "pallas":
         return ntp.prepare_tables(t32)
+    if engine == "pallas-roll":
+        return ntr.prepare_roll_tables(t32)
     if engine == "mxu":
         return ntt_mxu.prepare_mxu_tables(t32)
     return t32
@@ -197,6 +203,10 @@ def _fwd(ks, x, tables, sub_from=None, epi_scale=None, epi_scale_shoup=None):
         return ntp.ntt_forward_pallas(
             x, tables, sub_from=sub_from, epi_scale=epi_scale,
             epi_scale_shoup=epi_scale_shoup)
+    if isinstance(tables, ntr.RollNTTTables):
+        return ntr.ntt_forward_roll(
+            x, tables, sub_from=sub_from, epi_scale=epi_scale,
+            epi_scale_shoup=epi_scale_shoup)
     if isinstance(tables, ntt_mxu.MXUNTTTables):
         return ntt_mxu.ntt_forward_mxu(
             x, tables, sub_from=sub_from, epi_scale=epi_scale,
@@ -214,6 +224,8 @@ def _fwd(ks, x, tables, sub_from=None, epi_scale=None, epi_scale_shoup=None):
 def _inv(ks, x, tables, **kw):
     if isinstance(tables, ntp.PallasNTTTables):
         return ntp.ntt_inverse_pallas(x, tables, **kw)
+    if isinstance(tables, ntr.RollNTTTables):
+        return ntr.ntt_inverse_roll(x, tables, **kw)
     if isinstance(tables, ntt_mxu.MXUNTTTables):
         return ntt_mxu.ntt_inverse_mxu(x, tables, **kw)
     return ntt32.ntt_inverse32(x, tables, **kw)

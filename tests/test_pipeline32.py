@@ -35,7 +35,7 @@ def setup():
     return ctx, rlk, ct1, ct2, ref
 
 
-@pytest.mark.parametrize("use_pallas", [False, True, "mxu"])
+@pytest.mark.parametrize("use_pallas", [False, True, "pallas-roll", "mxu"])
 def test_bit_match(setup, use_pallas):
     ctx, rlk, ct1, ct2, ref = setup
     p = pp.build_pipeline32(ctx, rlk, use_pallas=use_pallas)
