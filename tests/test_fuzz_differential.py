@@ -85,7 +85,7 @@ def _apply32(ev, op, a, b):
 
 
 @pytest.mark.parametrize("scheme", [Scheme.CKKS, Scheme.BFV, Scheme.BGV])
-@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("seed", [0])
 def test_random_sequences_bit_match(scheme, seed):
     ctx, rlk, glk, ev, ct1, ct2 = _setup(scheme)
     rg = np.random.default_rng(seed)
@@ -93,7 +93,7 @@ def test_random_sequences_bit_match(scheme, seed):
     a32, b32 = ev.from_ciphertext(ct1), ev.from_ciphertext(ct2)
     max_level = 2
     mults = 0
-    for step in range(6):
+    for step in range(8):
         ops = ["add", "sub", "neg", "rot"]
         if mults < max_level:
             ops += ["mul", "square"]
