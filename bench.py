@@ -258,7 +258,16 @@ def main():
 
     results = {}
     path_errors = []
-    for path in paths:
+    # wall-clock budget for multi-path auto mode: never let a slow compile
+    # on a later path starve the driver run of its one JSON line
+    budget = float(os.environ.get("PHANTOM_BENCH_BUDGET", "1200"))
+    t_start = time.time()
+    for i, path in enumerate(paths):
+        if results and time.time() - t_start > budget:
+            skipped = paths[i:]
+            print(f"# budget exhausted; skipping {skipped}", file=sys.stderr)
+            path_errors.append(f"budget: skipped {','.join(skipped)}")
+            break
         try:
             results[path] = bench_path(path)
         except Exception as e:
