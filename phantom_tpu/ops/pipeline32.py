@@ -423,8 +423,11 @@ def _tensor_2x2(mv: ModulusVec32, a, b):
     rh = mv.ratio_hi[:, None]
     rl = mv.ratio_lo[:, None]
     c0 = m32.mul_mod32(a[0], b[0], q, rh, rl)
-    c1 = m32.add_mod32(m32.mul_mod32(a[0], b[1], q, rh, rl),
-                       m32.mul_mod32(a[1], b[0], q, rh, rl), q)
+    # cross terms: one 64-bit lazy add, one Barrett (2*q^2 < q*2^32)
+    h1, l1 = m32.mul_wide32(a[0], b[1])
+    h2, l2 = m32.mul_wide32(a[1], b[0])
+    hs, ls = m32.add_wide32(h1, l1, h2, l2)
+    c1 = m32.barrett_reduce_u64_32(hs, ls, q, rh, rl)
     c2 = m32.mul_mod32(a[1], b[1], q, rh, rl)
     return c0, c1, c2
 
@@ -436,8 +439,10 @@ def _tensor_square_2x2(mv: ModulusVec32, a):
     rh = mv.ratio_hi[:, None]
     rl = mv.ratio_lo[:, None]
     c0 = m32.mul_mod32(a[0], a[0], q, rh, rl)
-    cross = m32.mul_mod32(a[0], a[1], q, rh, rl)
-    c1 = m32.add_mod32(cross, cross, q)
+    # doubled cross term reduced once: 2*q^2 < q*2^32
+    h, l = m32.mul_wide32(a[0], a[1])
+    hs, ls = m32.add_wide32(h, l, h, l)
+    c1 = m32.barrett_reduce_u64_32(hs, ls, q, rh, rl)
     c2 = m32.mul_mod32(a[1], a[1], q, rh, rl)
     return c0, c1, c2
 
