@@ -55,7 +55,12 @@ def tensor_prod_2x2(ct1, ct2, mv: ModulusVec):
     a0, a1 = ct1[0], ct1[1]
     b0, b1 = ct2[0], ct2[1]
     c0 = mul_rns(a0, b0, mv)
-    c1 = mm.add_mod(mul_rns(a0, b1, mv), mul_rns(a1, b0, mv), _col(mv.q))
+    # cross terms: one lazy 128-bit add, one Barrett (2q^2 < q*2^64)
+    h1, l1 = mm.mul_wide(a0, b1)
+    h2, l2 = mm.mul_wide(a1, b0)
+    hs, ls = mm.add_wide(h1, l1, h2, l2)
+    c1 = mm.barrett_reduce_u128(hs, ls, _col(mv.q), _col(mv.ratio_lo),
+                                _col(mv.ratio_hi))
     c2 = mul_rns(a1, b1, mv)
     return jnp.stack([c0, c1, c2])
 
@@ -67,8 +72,11 @@ def tensor_square_2x2(ct, mv: ModulusVec):
     """
     a0, a1 = ct[0], ct[1]
     c0 = mul_rns(a0, a0, mv)
-    cross = mul_rns(a0, a1, mv)
-    c1 = mm.add_mod(cross, cross, _col(mv.q))
+    # doubled cross term reduced once (2q^2 < q*2^64)
+    h, l = mm.mul_wide(a0, a1)
+    hs, ls = mm.add_wide(h, l, h, l)
+    c1 = mm.barrett_reduce_u128(hs, ls, _col(mv.q), _col(mv.ratio_lo),
+                                _col(mv.ratio_hi))
     c2 = mul_rns(a1, a1, mv)
     return jnp.stack([c0, c1, c2])
 
@@ -81,9 +89,15 @@ def tensor_prod_mxn(ct1, ct2, mv: ModulusVec):
     m, n = ct1.shape[0], ct2.shape[0]
     out = []
     for k in range(m + n - 1):
-        acc = None
+        # accumulate the <= min(m, n) wide products lazily, reduce once
+        # (t*q^2 < q*2^64 whenever t*q < 2^64)
+        hs = ls = None
         for i in range(max(0, k - n + 1), min(m, k + 1)):
-            term = mul_rns(ct1[i], ct2[k - i], mv)
-            acc = term if acc is None else mm.add_mod(acc, term, _col(mv.q))
-        out.append(acc)
+            h, l = mm.mul_wide(ct1[i], ct2[k - i])
+            if hs is None:
+                hs, ls = h, l
+            else:
+                hs, ls = mm.add_wide(hs, ls, h, l)
+        out.append(mm.barrett_reduce_u128(
+            hs, ls, _col(mv.q), _col(mv.ratio_lo), _col(mv.ratio_hi)))
     return jnp.stack(out)
