@@ -91,8 +91,11 @@ def _tensor_2x2_3(mv, a, b):
     rlo = _b3(mv.ratio_lo)
     rhi = _b3(mv.ratio_hi)
     c0 = mm.mul_mod(a[0], b[0], q, rlo, rhi)
-    c1 = mm.add_mod(mm.mul_mod(a[0], b[1], q, rlo, rhi),
-                    mm.mul_mod(a[1], b[0], q, rlo, rhi), q)
+    # cross terms: one lazy 128-bit add, one Barrett (2q^2 < q*2^64)
+    h1, l1 = mm.mul_wide(a[0], b[1])
+    h2, l2 = mm.mul_wide(a[1], b[0])
+    hs, ls = mm.add_wide(h1, l1, h2, l2)
+    c1 = mm.barrett_reduce_u128(hs, ls, q, rlo, rhi)
     c2 = mm.mul_mod(a[1], b[1], q, rlo, rhi)
     return c0, c1, c2
 
