@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--no-fold", action="store_true",
                     help="mxu: (carry,hi,lo) triple reduction instead of "
                          "the per-diagonal Shoup fold")
+    ap.add_argument("--all", action="store_true",
+                    help="compare every engine (u32, mxu, mxu-nofold, "
+                         "pallas, pallas-roll) at each dim/batch")
     args = ap.parse_args()
 
     import os
@@ -37,14 +40,15 @@ def main():
     from phantom_tpu.host.modulus import Modulus
     from phantom_tpu.host.ntt_tables import make_rns_ntt_tables
     from phantom_tpu.ops import ntt as ntt64
-    from phantom_tpu.ops import ntt32, ntt_mxu, ntt_pallas as ntp
+    from phantom_tpu.ops import (ntt32, ntt_mxu, ntt_pallas as ntp,
+                                 ntt_pallas_roll as ntr)
     if args.no_fold:
         ntt_mxu.FOLD_DIAGONALS = False
     from phantom_tpu.utils.timer import OpTimer, print_timer_banner
 
     print_timer_banner()
     rng = np.random.default_rng(0)
-    fast = args.u32 or args.pallas or args.mxu
+    fast = args.u32 or args.pallas or args.mxu or args.all
     for logn in args.dims:
         n = 1 << logn
         bits = 28 if fast else 50
@@ -52,27 +56,59 @@ def main():
         t64 = ntt64.tables_from_host(make_rns_ntt_tables(n, [Modulus(q)]))
         if fast:
             t32 = ntt32.tables32_from_tables64(t64)
-            tp = ntp.prepare_tables(t32) if args.pallas else None
-            tm = ntt_mxu.prepare_mxu_tables(t32) if args.mxu else None
+            tp = ntp.prepare_tables(t32) if (args.pallas or args.all) \
+                else None
+            tm = ntt_mxu.prepare_mxu_tables(t32) if (args.mxu or args.all) \
+                else None
+            tr = ntr.prepare_roll_tables(t32) if args.all else None
+
+        def engines():
+            if args.all:
+                yield "u32", jnp.uint32, \
+                    jax.jit(lambda v: ntt32.ntt_forward32(v, t32))
+                yield "mxu", jnp.uint32, \
+                    jax.jit(lambda v: ntt_mxu.ntt_forward_mxu(v, tm))
+
+                def mxu_nofold(v):
+                    ntt_mxu.FOLD_DIAGONALS = False
+                    try:
+                        return ntt_mxu.ntt_forward_mxu(v, tm)
+                    finally:
+                        ntt_mxu.FOLD_DIAGONALS = True
+                yield "mxu-nofold", jnp.uint32, jax.jit(mxu_nofold)
+                yield "pallas", jnp.uint32, \
+                    jax.jit(lambda v: ntp.ntt_forward_pallas(v, tp))
+                yield "pallas-roll", jnp.uint32, \
+                    jax.jit(lambda v: ntr.ntt_forward_roll(v, tr))
+            elif args.mxu:
+                yield "mxu", jnp.uint32, \
+                    jax.jit(lambda v: ntt_mxu.ntt_forward_mxu(v, tm))
+            elif args.pallas:
+                yield "pallas", jnp.uint32, \
+                    jax.jit(lambda v: ntp.ntt_forward_pallas(v, tp))
+            elif args.u32:
+                yield "u32", jnp.uint32, \
+                    jax.jit(lambda v: ntt32.ntt_forward32(v, t32))
+            else:
+                yield "u64", jnp.uint64, \
+                    jax.jit(lambda v: ntt64.ntt_forward(v, t64))
+
         for batch in args.batches:
             x = rng.integers(0, q, size=(batch, 1, n))
-            if args.mxu:
-                xd = jnp.asarray(x.astype(np.uint32))
-                fn = jax.jit(lambda v: ntt_mxu.ntt_forward_mxu(v, tm))
-            elif args.pallas:
-                xd = jnp.asarray(x.astype(np.uint32))
-                fn = jax.jit(lambda v: ntp.ntt_forward_pallas(v, tp))
-            elif args.u32:
-                xd = jnp.asarray(x.astype(np.uint32))
-                fn = jax.jit(lambda v: ntt32.ntt_forward32(v, t32))
-            else:
-                xd = jnp.asarray(x.astype(np.uint64))
-                fn = jax.jit(lambda v: ntt64.ntt_forward(v, t64))
-            t = OpTimer(f"fntt_n{n}_b{batch}", trials=args.trials)
-            t.run(fn, xd)
-            t.print_csv()
-            print(f"#   -> {batch / (t.median_us * 1e-6):.0f} NTT/s",
-                  file=sys.stderr)
+            for name, dt, fn in engines():
+                xd = jnp.asarray(x.astype(np.uint32 if dt == jnp.uint32
+                                          else np.uint64))
+                t = OpTimer(f"fntt_{name}_n{n}_b{batch}",
+                            trials=args.trials)
+                try:
+                    t.run(fn, xd)
+                except Exception as e:
+                    print(f"# {name} failed at n={n}: {e}"[:200],
+                          file=sys.stderr)
+                    continue
+                t.print_csv()
+                print(f"#   -> {batch / (t.median_us * 1e-6):.0f} NTT/s",
+                      file=sys.stderr)
 
 
 if __name__ == "__main__":
