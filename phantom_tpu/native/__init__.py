@@ -66,6 +66,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.pt_blake2b.restype = None
     lib.pt_blake2b.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
                                ctypes.c_char_p, ctypes.c_int]
+    lib.pt_salsa20_blocks.restype = None
+    lib.pt_salsa20_blocks.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_uint8)]
+    for name in ("pt_sample_uniform", "pt_sample_ternary",
+                 "pt_sample_error"):
+        fn = getattr(lib, name)
+        fn.restype = None
+        fn.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint64),
+                       ctypes.c_int, ctypes.c_uint64,
+                       ctypes.POINTER(ctypes.c_uint64)]
     _lib = lib
     return _lib
 
@@ -120,3 +131,41 @@ def blake2b(data: bytes, outlen: int = 64) -> Optional[bytes]:
     out = ctypes.create_string_buffer(outlen)
     lib.pt_blake2b(data, len(data), out, outlen)
     return out.raw
+
+
+def salsa20_blocks(seed: bytes, nonces) -> Optional[np.ndarray]:
+    """(M, 64) uint8 phantom-variant Salsa20 keystream blocks, one per
+    nonce; None without the native lib (numpy fallback in utils/salsa20)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    nonces = np.ascontiguousarray(nonces, dtype=np.uint64).ravel()
+    out = np.empty((nonces.shape[0], 64), dtype=np.uint8)
+    lib.pt_salsa20_blocks(
+        seed[:56], nonces.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        nonces.shape[0], out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out
+
+
+def _sample(name: str, seed: bytes, moduli, n: int) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    qs = np.asarray([int(q) for q in moduli], dtype=np.uint64)
+    out = np.empty((qs.shape[0], n), dtype=np.uint64)
+    getattr(lib, name)(
+        seed[:56], qs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        qs.shape[0], n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    return out
+
+
+def sample_uniform(seed: bytes, moduli, n: int) -> Optional[np.ndarray]:
+    return _sample("pt_sample_uniform", seed, moduli, n)
+
+
+def sample_ternary(seed: bytes, moduli, n: int) -> Optional[np.ndarray]:
+    return _sample("pt_sample_ternary", seed, moduli, n)
+
+
+def sample_error(seed: bytes, moduli, n: int) -> Optional[np.ndarray]:
+    return _sample("pt_sample_error", seed, moduli, n)

@@ -174,6 +174,156 @@ static void blake2b_compress(uint64_t h[8], const uint8_t block[128],
     for (int i = 0; i < 8; i++) h[i] ^= v[i] ^ v[i + 8];
 }
 
+// ---- Phantom-variant Salsa20 + reference samplers ------------------------
+// The reference generates all device randomness with a nonstandard Salsa20
+// core (src/prng.cu:17-133): key words at state positions 0-7/10-15 (56
+// bytes of the 64-byte seed), a per-element 64-bit nonce at words 8-9, no
+// sigma constants, no block counter.  This native path accelerates the
+// seed-compressed wire-format load (regenerating c1 needs one block per 8
+// coefficients per limb — utils/salsa20.py is the bit-exact numpy oracle).
+
+static inline uint32_t rotl32(uint32_t x, int c) {
+    return (x << c) | (x >> (32 - c));
+}
+
+static void phantom_salsa20_block(const uint32_t kw[14], uint64_t nonce,
+                                  uint32_t out[16]) {
+    uint32_t j[16], x[16];
+    for (int w = 0; w < 8; w++) j[w] = kw[w];
+    j[8] = (uint32_t)nonce;
+    j[9] = (uint32_t)(nonce >> 32);
+    for (int w = 8; w < 14; w++) j[w + 2] = kw[w];
+    memcpy(x, j, sizeof(j));
+    for (int r = 0; r < 10; r++) {
+        // column rounds (same quarter-round schedule as prng.cu:63-97)
+        x[4] ^= rotl32(x[0] + x[12], 7);
+        x[8] ^= rotl32(x[4] + x[0], 9);
+        x[12] ^= rotl32(x[8] + x[4], 13);
+        x[0] ^= rotl32(x[12] + x[8], 18);
+        x[9] ^= rotl32(x[5] + x[1], 7);
+        x[13] ^= rotl32(x[9] + x[5], 9);
+        x[1] ^= rotl32(x[13] + x[9], 13);
+        x[5] ^= rotl32(x[1] + x[13], 18);
+        x[14] ^= rotl32(x[10] + x[6], 7);
+        x[2] ^= rotl32(x[14] + x[10], 9);
+        x[6] ^= rotl32(x[2] + x[14], 13);
+        x[10] ^= rotl32(x[6] + x[2], 18);
+        x[3] ^= rotl32(x[15] + x[11], 7);
+        x[7] ^= rotl32(x[3] + x[15], 9);
+        x[11] ^= rotl32(x[7] + x[3], 13);
+        x[15] ^= rotl32(x[11] + x[7], 18);
+        // row rounds
+        x[1] ^= rotl32(x[0] + x[3], 7);
+        x[2] ^= rotl32(x[1] + x[0], 9);
+        x[3] ^= rotl32(x[2] + x[1], 13);
+        x[0] ^= rotl32(x[3] + x[2], 18);
+        x[6] ^= rotl32(x[5] + x[4], 7);
+        x[7] ^= rotl32(x[6] + x[5], 9);
+        x[4] ^= rotl32(x[7] + x[6], 13);
+        x[5] ^= rotl32(x[4] + x[7], 18);
+        x[11] ^= rotl32(x[10] + x[9], 7);
+        x[8] ^= rotl32(x[11] + x[10], 9);
+        x[9] ^= rotl32(x[8] + x[11], 13);
+        x[10] ^= rotl32(x[9] + x[8], 18);
+        x[12] ^= rotl32(x[15] + x[14], 7);
+        x[13] ^= rotl32(x[12] + x[15], 9);
+        x[14] ^= rotl32(x[13] + x[12], 13);
+        x[15] ^= rotl32(x[14] + x[13], 18);
+    }
+    for (int w = 0; w < 16; w++) out[w] = x[w] + j[w];
+}
+
+// One 64-byte keystream block per nonce; out is m*64 bytes (LE words).
+void pt_salsa20_blocks(const uint8_t *seed56, const uint64_t *nonces,
+                       uint64_t m, uint8_t *out) {
+    uint32_t kw[14];
+    memcpy(kw, seed56, 56);
+    for (uint64_t i = 0; i < m; i++) {
+        uint32_t blk[16];
+        phantom_salsa20_block(kw, nonces[i], blk);
+        memcpy(out + i * 64, blk, 64);
+    }
+}
+
+// Reference sample_uniform_poly (prng.cu:174-205): one block per 8
+// coefficients per limb, rejection sampling above the largest exact
+// multiple of q, retry nonce stride = n * num_l.  Bit-exact vs
+// utils/salsa20.py:sample_uniform_ref.  out is (num_l, n) uint64.
+void pt_sample_uniform(const uint8_t *seed56, const uint64_t *qs, int num_l,
+                       uint64_t n, uint64_t *out) {
+    uint32_t kw[14];
+    memcpy(kw, seed56, 56);
+    const uint64_t groups = n >> 3;
+    const uint64_t stride = n * (uint64_t)num_l;
+    const uint64_t max_random = ~0ULL;
+    for (int li = 0; li < num_l; li++) {
+        const uint64_t q = qs[li];
+        const uint64_t max_multiple = max_random - (max_random % q) - 1;
+        for (uint64_t g = 0; g < groups; g++) {
+            const uint64_t tid = (uint64_t)li * groups + g;
+            uint64_t vals[8];
+            uint32_t blk[16];
+            phantom_salsa20_block(kw, tid, blk);
+            memcpy(vals, blk, 64);
+            uint64_t tries = 1;
+            for (;;) {
+                int first_bad = -1;
+                for (int k = 0; k < 8; k++)
+                    if (vals[k] > max_multiple) { first_bad = k; break; }
+                if (first_bad < 0) break;
+                // a rejected lane regenerates the whole block at nonce
+                // tid + tries*stride; that lane and every later lane take
+                // the fresh block (prng.cu:194-199 semantics)
+                uint64_t nv[8];
+                phantom_salsa20_block(kw, tid + tries * stride, blk);
+                memcpy(nv, blk, 64);
+                for (int k = first_bad; k < 8; k++) vals[k] = nv[k];
+                tries++;
+            }
+            uint64_t *dst = out + (uint64_t)li * n + g * 8;
+            for (int k = 0; k < 8; k++) dst[k] = vals[k] % q;
+        }
+    }
+}
+
+// Reference sample_ternary_poly (prng.cu:142-163): one block per
+// coefficient, value = first keystream byte % 3 - 1, same ternary vector
+// across limbs, mapped into [0, q).  out is (num_l, n) uint64.
+void pt_sample_ternary(const uint8_t *seed56, const uint64_t *qs, int num_l,
+                       uint64_t n, uint64_t *out) {
+    uint32_t kw[14];
+    memcpy(kw, seed56, 56);
+    for (uint64_t i = 0; i < n; i++) {
+        uint32_t blk[16];
+        phantom_salsa20_block(kw, i, blk);
+        const int v = (int)((uint8_t)blk[0] % 3) - 1;
+        for (int li = 0; li < num_l; li++)
+            out[(uint64_t)li * n + i] = v < 0 ? qs[li] - 1 : (uint64_t)v;
+    }
+}
+
+// Reference sample_error_poly (prng.cu:212-244): centered binomial from
+// keystream-byte hamming weights (bytes 0,1 + low-5-bits of 2, minus
+// bytes 3,4 + low-5-bits of 5), same noise across limbs.
+void pt_sample_error(const uint8_t *seed56, const uint64_t *qs, int num_l,
+                     uint64_t n, uint64_t *out) {
+    uint32_t kw[14];
+    memcpy(kw, seed56, 56);
+    for (uint64_t i = 0; i < n; i++) {
+        uint32_t blk[16];
+        phantom_salsa20_block(kw, i, blk);
+        uint8_t b[8];
+        memcpy(b, blk, 8);
+        const int cbd = __builtin_popcount(b[0]) + __builtin_popcount(b[1]) +
+                        __builtin_popcount(b[2] & 0x1F) -
+                        __builtin_popcount(b[3]) - __builtin_popcount(b[4]) -
+                        __builtin_popcount(b[5] & 0x1F);
+        for (int li = 0; li < num_l; li++)
+            out[(uint64_t)li * n + i] =
+                cbd < 0 ? qs[li] - (uint64_t)(-cbd) : (uint64_t)cbd;
+    }
+}
+
 void pt_blake2b(const uint8_t *in, uint64_t inlen, uint8_t *out, int outlen) {
     uint64_t h[8];
     for (int i = 0; i < 8; i++) h[i] = blake2b_iv[i];

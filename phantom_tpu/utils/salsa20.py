@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .. import native as _native
+
 _M32 = np.uint32(0xFFFFFFFF)
 
 
@@ -106,19 +108,29 @@ def phantom_salsa20_block(seed: bytes, nonces) -> np.ndarray:
 # Reference sampler derivations (for wire-format load / oracle tests)
 # ---------------------------------------------------------------------------
 
-def sample_ternary_ref(seed: bytes, moduli, n: int) -> np.ndarray:
+def sample_ternary_ref(seed: bytes, moduli, n: int,
+                       use_native: bool = True) -> np.ndarray:
     """Reference sample_ternary_poly (prng.cu:142-163): one block per
     coefficient (nonce = tid % N so all limbs share the ternary vector),
     value = tmp[0] % 3 - 1 mapped into [0, q)."""
+    if use_native:
+        out = _native.sample_ternary(seed, moduli, n)
+        if out is not None:
+            return out
     blocks = phantom_salsa20_block(seed, np.arange(n, dtype=np.uint64))
     v = (blocks[:, 0] % 3).astype(np.int64) - 1  # (n,) in {-1,0,1}
     qs = np.asarray([int(q) for q in moduli], dtype=np.int64)
     return (v[None, :] % qs[:, None]).astype(np.uint64)  # -1 -> q-1
 
 
-def sample_error_ref(seed: bytes, moduli, n: int) -> np.ndarray:
+def sample_error_ref(seed: bytes, moduli, n: int,
+                     use_native: bool = True) -> np.ndarray:
     """Reference sample_error_poly (prng.cu:224-244): CBD from the hamming
     weights of 21+21 keystream bits, same noise across limbs."""
+    if use_native:
+        out = _native.sample_error(seed, moduli, n)
+        if out is not None:
+            return out
     blocks = phantom_salsa20_block(seed, np.arange(n, dtype=np.uint64))
     b = blocks.astype(np.uint8)
     pop = np.unpackbits(b[:, :6], axis=1).reshape(n, 6, 8).sum(axis=2)
@@ -131,11 +143,21 @@ def sample_error_ref(seed: bytes, moduli, n: int) -> np.ndarray:
     return (cbd[None, :] % qs[:, None]).astype(np.uint64)
 
 
-def sample_uniform_ref(seed: bytes, moduli, n: int) -> np.ndarray:
+def sample_uniform_ref(seed: bytes, moduli, n: int,
+                       use_native: bool = True) -> np.ndarray:
     """Reference sample_uniform_poly (prng.cu:174-205): one block per 8
     coefficients per limb (nonce = tid over the flattened (limb, n/8)
     grid), rejection sampling above the max uniform multiple, then Barrett
-    reduction mod q.  Returns (L, n) uint64."""
+    reduction mod q.  Returns (L, n) uint64.
+
+    The native C++ core (native/host_math.cpp:pt_sample_uniform) is tried
+    first — regenerating c1 of a seed-compressed ciphertext at N=65536
+    L=30 needs ~250k keystream blocks, where the per-group Python loop
+    below is ~100x slower; both paths are bit-identical (tested)."""
+    if use_native:
+        out = _native.sample_uniform(seed, moduli, n)
+        if out is not None:
+            return out
     qs = [int(q) for q in moduli]
     num_l = len(qs)
     groups = n >> 3

@@ -137,3 +137,26 @@ def test_hestd_budget_enforced():
     qs2 = numth.get_primes(2 * n, 30, 3)  # 90 bits
     EncryptionParameters.create(
         Scheme.CKKS, n, qs2, special_modulus_size=1, sec_level=128)
+
+
+def test_native_salsa20_samplers_match_numpy():
+    """The C++ phantom-variant Salsa20 core and the three reference
+    samplers (native/host_math.cpp) are bit-identical to the numpy oracle
+    (utils/salsa20.py), including the uniform sampler's block-regeneration
+    rejection path (prng.cu:194-199 semantics), which the first modulus
+    (2^64 mod q ~ q/2 -> ~50% lane rejection) exercises heavily."""
+    import numpy as np
+    import pytest
+    from phantom_tpu import native
+    from phantom_tpu.utils import salsa20 as s
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    seed = bytes(range(64))
+    nonces = np.arange(37, dtype=np.uint64) * 977
+    np.testing.assert_array_equal(native.salsa20_blocks(seed, nonces),
+                                  s.phantom_salsa20_block(seed, nonces))
+    mods = [2170000000000000001, 536813569, 1099511590913]
+    for fn in (s.sample_uniform_ref, s.sample_ternary_ref,
+               s.sample_error_ref):
+        np.testing.assert_array_equal(fn(seed, mods, 128, use_native=True),
+                                      fn(seed, mods, 128, use_native=False))
