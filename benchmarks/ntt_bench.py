@@ -107,8 +107,14 @@ def main():
                           file=sys.stderr)
                     continue
                 t.print_csv()
-                print(f"#   -> {batch / (t.median_us * 1e-6):.0f} NTT/s",
-                      file=sys.stderr)
+                # effective bandwidth under the minimum-traffic model
+                # (one read + one write of the transform data), the same
+                # figure nvbench's DRAM-throughput column reports for the
+                # reference kernels (ntt_bench.cu:83-86)
+                word = 4 if dt == jnp.uint32 else 8
+                gbs = 2 * batch * n * word / (t.median_us * 1e-6) / 1e9
+                print(f"#   -> {batch / (t.median_us * 1e-6):.0f} NTT/s, "
+                      f"{gbs:.1f} GB/s effective", file=sys.stderr)
 
 
 if __name__ == "__main__":
