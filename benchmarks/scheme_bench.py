@@ -77,6 +77,27 @@ def main():
         t.run(jax.jit(fn), *fargs)
         t.print_csv()
 
+    def bench_host(name, fn, *fargs):
+        # un-jitted: for ops with a host component (keygen precompute,
+        # encoder oracle paths) — matches the reference timing scope,
+        # which includes the host side of these verbs (ckks_bench.cu)
+        t = OpTimer(name, trials=max(3, args.trials // 2))
+        t.run(fn, *fargs)
+        t.print_csv()
+
+    bench_host("keygen_secret", lambda: keys.gen_secret_key(
+        ctx, jax.random.PRNGKey(11)).data)
+    bench_host("keygen_public", lambda: keys.gen_public_key(
+        ctx, sk, jax.random.PRNGKey(12)).data)
+    bench_host("keygen_relin", lambda: keys.gen_relin_key(
+        ctx, sk, jax.random.PRNGKey(13)).data)
+    if scheme == Scheme.CKKS:
+        bench_host("encode", lambda: enc.encode(z, 2.0 ** (bits - 6)).data)
+        bench_host("decode", lambda: enc.decode(pt))
+    else:
+        bench_host("encode", lambda: enc.encode(vals).data)
+        bench_host("decode", lambda: enc.decode(pt))
+
     bench("encrypt", lambda c, p, d: keys.encrypt_asymmetric(
         c, p, pt, jax.random.PRNGKey(3)).data, ctx, pk, pt.data)
     bench("decrypt", lambda c, s, d: keys.decrypt(
@@ -122,6 +143,12 @@ def main():
 
         bench("rotate", lambda k_, g_, a: pp.rotate32(
             k_, g_, a, 1, is_ntt_form=is_ntt), ks, g32, d1)
+
+        from phantom_tpu.fast32 import Fast32
+        ev32 = Fast32(ctx, use_pallas=use_pallas)
+        c32 = ev32.from_ciphertext(ct1)
+        bench_host("multiply_plain",
+                   lambda: ev32.multiply_plain(c32, pt).data)
 
         if scheme == Scheme.CKKS:
             cpipe = pp.build_pipeline32(ctx, rlk, 1, use_pallas)
