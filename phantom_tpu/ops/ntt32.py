@@ -58,53 +58,42 @@ def tables32_from_tables64(t) -> NTTTables32:
     )
 
 
-def _fwd_stage2(x, t, m, n, batch, num_l):
-    """One radix-2 CT stage at parameter m (Harvey lazy [0,4q))."""
-    half = n // (2 * m)
-    xr = x.reshape(*batch, num_l, m, 2, half)
-    w = t.root_powers[:, m:2 * m].reshape(num_l, m, 1)
-    ws = t.root_powers_shoup[:, m:2 * m].reshape(num_l, m, 1)
-    qb = t.q.reshape(num_l, 1, 1)
-    u = xr[..., 0, :]
-    v = xr[..., 1, :]
-    u = u - jnp.where(u >= qb * U32(2), qb * U32(2), U32(0))
-    wv = mul_mod_shoup_lazy32(v, w, ws, qb)
-    out = jnp.stack([u + wv, u - wv + qb * U32(2)], axis=-2)
-    return out.reshape(*batch, num_l, n)
+# stages fused per materialization: 3 = radix-8, the reference's register
+# blocking (fntt_2d.cu:9-99 / butterfly.cuh fntt8) re-expressed as one
+# XLA fusion — log2(N) HBM round trips become ceil(log2(N)/3)
+PASS_STAGES = 3
 
 
-def _fwd_stage4(x, t, m, n, batch, num_l):
-    """Stages (m, 2m) in one pass — same butterflies and lazy ranges as
-    two _fwd_stage2 calls (bit-identical), but one HBM round trip instead
-    of two.  The stage-exchange view is (m, 2, 2, n/4m): the first axis
-    pair is stage-m's split, the second stage-2m's."""
-    qtr = n // (4 * m)
-    xr = x.reshape(*batch, num_l, m, 2, 2, qtr)
-    qb = t.q.reshape(num_l, 1, 1, 1)
-    two_q = qb * U32(2)
-    wa = t.root_powers[:, m:2 * m].reshape(num_l, m, 1, 1)
-    was = t.root_powers_shoup[:, m:2 * m].reshape(num_l, m, 1, 1)
-    u = xr[..., 0, :, :]
-    v = xr[..., 1, :, :]
-    u = u - jnp.where(u >= two_q, two_q, U32(0))
-    wv = mul_mod_shoup_lazy32(v, wa, was, qb)
-    a = jnp.stack([u + wv, u - wv + two_q], axis=-3)  # (…, m, 2a, 2b, qtr)
-    wb = t.root_powers[:, 2 * m:4 * m].reshape(num_l, m, 2, 1)
-    wbs = t.root_powers_shoup[:, 2 * m:4 * m].reshape(num_l, m, 2, 1)
-    u2 = a[..., 0, :]
-    v2 = a[..., 1, :]
-    u2 = u2 - jnp.where(u2 >= two_q, two_q, U32(0))
-    wv2 = mul_mod_shoup_lazy32(v2, wb, wbs, qb)
-    out = jnp.stack([u2 + wv2, u2 - wv2 + two_q], axis=-2)
-    return out.reshape(*batch, num_l, n)
+def _fwd_pass(x, t, m, k, n, batch, num_l):
+    """k consecutive CT stages (m, 2m, …, 2^(k-1)·m) in one pass —
+    bit-identical butterflies and lazy ranges to k radix-2 stages, one
+    HBM round trip instead of k.  Mini-stage j pairs the j-th axis of
+    the (m, 2, …, 2, rest) view; its 2^j·m twiddles are indexed by
+    (block, already-split axes) row-major."""
+    rest = n // (m << k)
+    xr = x.reshape(*batch, num_l, m, *([2] * k), rest)
+    for j in range(k):
+        pre = 1 << j
+        post = 1 << (k - j - 1)
+        xr = xr.reshape(*batch, num_l, m, pre, 2, post, rest)
+        mj = m << j
+        w = t.root_powers[:, mj:2 * mj].reshape(num_l, m, pre, 1, 1)
+        ws = t.root_powers_shoup[:, mj:2 * mj].reshape(num_l, m, pre, 1, 1)
+        qb = t.q.reshape(num_l, 1, 1, 1, 1)
+        two_q = qb * U32(2)
+        u = xr[..., 0, :, :]
+        v = xr[..., 1, :, :]
+        u = u - jnp.where(u >= two_q, two_q, U32(0))
+        wv = mul_mod_shoup_lazy32(v, w, ws, qb)
+        xr = jnp.stack([u + wv, u - wv + two_q], axis=-3)
+    return xr.reshape(*batch, num_l, n)
 
 
 def ntt_forward32(x: jnp.ndarray, t: NTTTables32,
                   lazy_output: bool = False) -> jnp.ndarray:
     """Forward negacyclic NTT on uint32 residues (..., L, N).
 
-    Stages run as radix-4 passes (two butterfly stages per HBM round
-    trip; one leading radix-2 pass when log2(N) is odd) — the XLA-path
+    Stages run as radix-2^PASS_STAGES passes (_fwd_pass) — the XLA-path
     analogue of the reference's radix-8 register blocking
     (fntt_2d.cu:9-99): same arithmetic, fewer materializations."""
     n = x.shape[-1]
@@ -116,12 +105,12 @@ def ntt_forward32(x: jnp.ndarray, t: NTTTables32,
 
     logn = n.bit_length() - 1
     m = 1
-    if logn % 2 == 1:
-        x = _fwd_stage2(x, t, m, n, batch, num_l)
-        m = 2
-    while m < n:
-        x = _fwd_stage4(x, t, m, n, batch, num_l)
-        m <<= 2
+    done = 0
+    while done < logn:
+        k = min(PASS_STAGES, logn - done)
+        x = _fwd_pass(x, t, m, k, n, batch, num_l)
+        m <<= k
+        done += k
 
     if lazy_output:
         return x
@@ -137,44 +126,39 @@ def ntt_inverse32(x: jnp.ndarray, t: NTTTables32,
     q = t.q.reshape(num_l, 1)
     batch = x.shape[:-2]
 
-    m = n >> 1
-    while m >= 2:
-        # stages (m, m/2) in one pass (bit-identical to two radix-2 GS
-        # stages; see _fwd_stage4 for the rationale)
-        h1 = n // (2 * m)
-        xr = x.reshape(*batch, num_l, m // 2, 2, 2, h1)
-        qb = q.reshape(num_l, 1, 1, 1)
-        two_q_b = qb * U32(2)
-        w1 = t.inv_root_powers[:, m:2 * m].reshape(num_l, m // 2, 2, 1)
-        w1s = t.inv_root_powers_shoup[:, m:2 * m].reshape(
-            num_l, m // 2, 2, 1)
-        u = xr[..., 0, :]
-        v = xr[..., 1, :]
-        s1 = u + v
-        s1 = s1 - jnp.where(s1 >= two_q_b, two_q_b, U32(0))
-        d1 = mul_mod_shoup_lazy32(u - v + two_q_b, w1, w1s, qb)
-        y = jnp.stack([s1, d1], axis=-2)  # (…, m/2, 2a, 2b, h1)
-        w2 = t.inv_root_powers[:, m // 2:m].reshape(num_l, m // 2, 1, 1)
-        w2s = t.inv_root_powers_shoup[:, m // 2:m].reshape(
-            num_l, m // 2, 1, 1)
-        u2 = y[..., 0, :, :]
-        v2 = y[..., 1, :, :]
-        s2 = u2 + v2
-        s2 = s2 - jnp.where(s2 >= two_q_b, two_q_b, U32(0))
-        d2 = mul_mod_shoup_lazy32(u2 - v2 + two_q_b, w2, w2s, qb)
-        x = jnp.stack([s2, d2], axis=-3).reshape(*batch, num_l, n)
-        m >>= 2
-    if m == 1:
-        xr = x.reshape(*batch, num_l, 1, 2, n >> 1)
-        w = t.inv_root_powers[:, 1:2].reshape(num_l, 1, 1)
-        ws = t.inv_root_powers_shoup[:, 1:2].reshape(num_l, 1, 1)
-        qb = q.reshape(num_l, 1, 1)
-        u = xr[..., 0, :]
-        v = xr[..., 1, :]
-        s = u + v
-        s = s - jnp.where(s >= qb * U32(2), qb * U32(2), U32(0))
-        d = mul_mod_shoup_lazy32(u - v + qb * U32(2), w, ws, qb)
-        x = jnp.stack([s, d], axis=-2).reshape(*batch, num_l, n)
+    # GS stages fused PASS_STAGES at a time, mirroring _fwd_pass: a pass
+    # covers stages (m_top, m_top/2, …); mini-stage j pairs the
+    # (k-1-j)-th axis (innermost first), bit-identical to k radix-2
+    # stages in one materialization
+    logn = n.bit_length() - 1
+    m_top = n >> 1
+    done = 0
+    while done < logn:
+        k = min(PASS_STAGES, logn - done)
+        m_low = m_top >> (k - 1)
+        h = n // (2 * m_top)
+        xr = x.reshape(*batch, num_l, m_low, *([2] * k), h)
+        for j in range(k):
+            p = k - 1 - j
+            pre = 1 << p
+            post = 1 << (k - p - 1)
+            xr = xr.reshape(*batch, num_l, m_low, pre, 2, post, h)
+            mj = m_top >> j
+            w = t.inv_root_powers[:, mj:2 * mj].reshape(
+                num_l, m_low, pre, 1, 1)
+            ws = t.inv_root_powers_shoup[:, mj:2 * mj].reshape(
+                num_l, m_low, pre, 1, 1)
+            qb = q.reshape(num_l, 1, 1, 1, 1)
+            two_q_b = qb * U32(2)
+            u = xr[..., 0, :, :]
+            v = xr[..., 1, :, :]
+            s = u + v
+            s = s - jnp.where(s >= two_q_b, two_q_b, U32(0))
+            d = mul_mod_shoup_lazy32(u - v + two_q_b, w, ws, qb)
+            xr = jnp.stack([s, d], axis=-3)
+        x = xr.reshape(*batch, num_l, n)
+        m_top >>= k
+        done += k
 
     if scale is None:
         scale = t.inv_degree
