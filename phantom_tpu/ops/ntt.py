@@ -114,50 +114,34 @@ def ntt_forward(x: jnp.ndarray, tables: NTTTablesDevice,
     two_q = q * U64(2)
     batch = x.shape[:-2]
 
-    def stage2(x, m):
-        half = n // (2 * m)
-        xr = x.reshape(*batch, num_l, m, 2, half)
-        w = t.root_powers[:, m:2 * m].reshape(num_l, m, 1)
-        ws = t.root_powers_shoup[:, m:2 * m].reshape(num_l, m, 1)
-        qb = q.reshape(num_l, 1, 1)
-        u = xr[..., 0, :]
-        v = xr[..., 1, :]
-        u = u - jnp.where(u >= qb * U64(2), qb * U64(2), U64(0))
-        wv = mul_mod_shoup_lazy(v, w, ws, qb)
-        out = jnp.stack([u + wv, u - wv + qb * U64(2)], axis=-2)
-        return out.reshape(*batch, num_l, n)
-
-    def stage4(x, m):
-        # stages (m, 2m) in one materialization; bit-identical to two
-        # stage2 calls (same butterflies/ranges — see ntt32._fwd_stage4)
-        qtr = n // (4 * m)
-        xr = x.reshape(*batch, num_l, m, 2, 2, qtr)
-        qb = q.reshape(num_l, 1, 1, 1)
-        tq = qb * U64(2)
-        wa = t.root_powers[:, m:2 * m].reshape(num_l, m, 1, 1)
-        was = t.root_powers_shoup[:, m:2 * m].reshape(num_l, m, 1, 1)
-        u = xr[..., 0, :, :]
-        v = xr[..., 1, :, :]
-        u = u - jnp.where(u >= tq, tq, U64(0))
-        wv = mul_mod_shoup_lazy(v, wa, was, qb)
-        a = jnp.stack([u + wv, u - wv + tq], axis=-3)
-        wb = t.root_powers[:, 2 * m:4 * m].reshape(num_l, m, 2, 1)
-        wbs = t.root_powers_shoup[:, 2 * m:4 * m].reshape(num_l, m, 2, 1)
-        u2 = a[..., 0, :]
-        v2 = a[..., 1, :]
-        u2 = u2 - jnp.where(u2 >= tq, tq, U64(0))
-        wv2 = mul_mod_shoup_lazy(v2, wb, wbs, qb)
-        out = jnp.stack([u2 + wv2, u2 - wv2 + tq], axis=-2)
-        return out.reshape(*batch, num_l, n)
-
+    # k-stage passes (k <= ntt32.PASS_STAGES): one materialization per
+    # radix-2^k block — see ops/ntt32.py:_fwd_pass for the axis scheme
+    from .ntt32 import PASS_STAGES
     logn = n.bit_length() - 1
     m = 1
-    if logn % 2 == 1:
-        x = stage2(x, m)
-        m = 2
-    while m < n:
-        x = stage4(x, m)
-        m <<= 2
+    done = 0
+    while done < logn:
+        k = min(PASS_STAGES, logn - done)
+        rest = n // (m << k)
+        xr = x.reshape(*batch, num_l, m, *([2] * k), rest)
+        for j in range(k):
+            pre = 1 << j
+            post = 1 << (k - j - 1)
+            xr = xr.reshape(*batch, num_l, m, pre, 2, post, rest)
+            mj = m << j
+            w = t.root_powers[:, mj:2 * mj].reshape(num_l, m, pre, 1, 1)
+            ws = t.root_powers_shoup[:, mj:2 * mj].reshape(
+                num_l, m, pre, 1, 1)
+            qb = q.reshape(num_l, 1, 1, 1, 1)
+            tq = qb * U64(2)
+            u = xr[..., 0, :, :]
+            v = xr[..., 1, :, :]
+            u = u - jnp.where(u >= tq, tq, U64(0))
+            wv = mul_mod_shoup_lazy(v, w, ws, qb)
+            xr = jnp.stack([u + wv, u - wv + tq], axis=-3)
+        x = xr.reshape(*batch, num_l, n)
+        m <<= k
+        done += k
 
     if lazy_output:
         return x
@@ -183,43 +167,38 @@ def ntt_inverse(x: jnp.ndarray, tables: NTTTablesDevice,
     q = t.q.reshape(num_l, 1)
     batch = x.shape[:-2]
 
-    m = n >> 1
-    while m >= 2:
-        # stages (m, m/2) per materialization (see ntt32.ntt_inverse32)
-        h1 = n // (2 * m)
-        xr = x.reshape(*batch, num_l, m // 2, 2, 2, h1)
-        qb = q.reshape(num_l, 1, 1, 1)
-        tq = qb * U64(2)
-        w1 = t.inv_root_powers[:, m:2 * m].reshape(num_l, m // 2, 2, 1)
-        w1s = t.inv_root_powers_shoup[:, m:2 * m].reshape(
-            num_l, m // 2, 2, 1)
-        u = xr[..., 0, :]
-        v = xr[..., 1, :]
-        s1 = u + v
-        s1 = s1 - jnp.where(s1 >= tq, tq, U64(0))
-        d1 = mul_mod_shoup_lazy(u - v + tq, w1, w1s, qb)
-        y = jnp.stack([s1, d1], axis=-2)
-        w2 = t.inv_root_powers[:, m // 2:m].reshape(num_l, m // 2, 1, 1)
-        w2s = t.inv_root_powers_shoup[:, m // 2:m].reshape(
-            num_l, m // 2, 1, 1)
-        u2 = y[..., 0, :, :]
-        v2 = y[..., 1, :, :]
-        s2 = u2 + v2
-        s2 = s2 - jnp.where(s2 >= tq, tq, U64(0))
-        d2 = mul_mod_shoup_lazy(u2 - v2 + tq, w2, w2s, qb)
-        x = jnp.stack([s2, d2], axis=-3).reshape(*batch, num_l, n)
-        m >>= 2
-    if m == 1:
-        xr = x.reshape(*batch, num_l, 1, 2, n >> 1)
-        w = t.inv_root_powers[:, 1:2].reshape(num_l, 1, 1)
-        ws = t.inv_root_powers_shoup[:, 1:2].reshape(num_l, 1, 1)
-        qb = q.reshape(num_l, 1, 1)
-        u = xr[..., 0, :]
-        v = xr[..., 1, :]
-        s = u + v
-        s = s - jnp.where(s >= qb * U64(2), qb * U64(2), U64(0))
-        d = mul_mod_shoup_lazy(u - v + qb * U64(2), w, ws, qb)
-        x = jnp.stack([s, d], axis=-2).reshape(*batch, num_l, n)
+    # k-stage GS passes, innermost pair axis first — mirror of
+    # ntt32.ntt_inverse32's fused loop
+    from .ntt32 import PASS_STAGES
+    logn = n.bit_length() - 1
+    m_top = n >> 1
+    done = 0
+    while done < logn:
+        k = min(PASS_STAGES, logn - done)
+        m_low = m_top >> (k - 1)
+        h = n // (2 * m_top)
+        xr = x.reshape(*batch, num_l, m_low, *([2] * k), h)
+        for j in range(k):
+            p = k - 1 - j
+            pre = 1 << p
+            post = 1 << (k - p - 1)
+            xr = xr.reshape(*batch, num_l, m_low, pre, 2, post, h)
+            mj = m_top >> j
+            w = t.inv_root_powers[:, mj:2 * mj].reshape(
+                num_l, m_low, pre, 1, 1)
+            ws = t.inv_root_powers_shoup[:, mj:2 * mj].reshape(
+                num_l, m_low, pre, 1, 1)
+            qb = q.reshape(num_l, 1, 1, 1, 1)
+            tq = qb * U64(2)
+            u = xr[..., 0, :, :]
+            v = xr[..., 1, :, :]
+            s = u + v
+            s = s - jnp.where(s >= tq, tq, U64(0))
+            d = mul_mod_shoup_lazy(u - v + tq, w, ws, qb)
+            xr = jnp.stack([s, d], axis=-3)
+        x = xr.reshape(*batch, num_l, n)
+        m_top >>= k
+        done += k
 
     if scale is None:
         scale = t.inv_degree
