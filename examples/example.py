@@ -8,7 +8,7 @@ import importlib
 
 MODULES = ["1_bfv", "2_bgv", "3_ckks", "4_serialization", "5_kernel_fusing",
            "6_encrypted_matmul", "7_fast_path", "8_poly_eval",
-           "9_hiprec_ckks", "10_logistic_inference"]
+           "9_hiprec_ckks", "10_logistic_inference", "11_mlp_inference"]
 
 if __name__ == "__main__":
     for name in (sys.argv[1:] or MODULES):
@@ -16,7 +16,7 @@ if __name__ == "__main__":
         print(f"=== {name} ===")
         for attr in ("bfv_demo", "bgv_demo", "ckks_demo", "demo",
                      "fast_path_demo", "poly_eval_demo", "hiprec_demo",
-                     "logistic_demo"):
+                     "logistic_demo", "mlp_demo", "bootstrap_demo"):
             if hasattr(mod, attr):
                 getattr(mod, attr)(1024)
                 break

@@ -16,7 +16,8 @@ __version__ = "0.1.0"
 
 # umbrella API (reference: include/phantom.h)
 from .schemes import (BatchEncoder, CKKSEncoder, Ciphertext,  # noqa: F401,E402
-                      Context, EncryptionParameters, MulTech, Plaintext,
-                      Scheme, evaluate, keys, make_context)
+                      Context, EncryptionParameters, LinearTransform,
+                      MulTech, Plaintext, Scheme, evaluate, keys,
+                      make_context)
 from .host.modulus import CoeffModulus, Modulus, PlainModulus  # noqa: F401,E402
 from .fast32 import Fast32, Ct32  # noqa: F401,E402  (u32 fast evaluator)

@@ -409,7 +409,10 @@ def build_pipeline32(ctx, rlk, chain_index: int = 1,
     ks = build_keyswitch32(ctx, chain_index, use_pallas)
     return CKKSPipeline32(
         ks=ks,
-        evk=convert_key32(ctx, rlk.data, chain_index),
+        # rlk is optional: rescale/add/rotate/matvec workloads never touch
+        # the relin evk, so a None key only disables multiply+relin
+        evk=None if rlk is None else convert_key32(ctx, rlk.data,
+                                                   chain_index),
         t_ql_next=_conv_tables(ctx.tables_q(cd.size_ql - 1), use_pallas),
         qlast_inv=_u32(rc.qlast_inv),
         qlast_inv_shoup=_shoup32_from64(np.asarray(rc.qlast_inv_shoup)),
@@ -469,6 +472,9 @@ def mult_relin_rescale32(p: CKKSPipeline32, d1: jnp.ndarray,
 
     Bit-identical to evaluate.multiply_and_relin + rescale_to_next on the
     u64 path."""
+    if p.evk is None:
+        raise ValueError("multiply+relin needs a relin key (Fast32 was "
+                         "built with rlk=None)")
     ks = p.ks
     q = ks.mv_ql.q[:, None]
     debug.check_range(d1, q, "mult_relin_rescale32: d1 not canonical")
@@ -567,18 +573,22 @@ def rotate32(ks: KeySwitch32, g: Galois32, d: jnp.ndarray,
 
 
 def hoisted_linear_combo32(ks: KeySwitch32, g: Galois32, d: jnp.ndarray,
-                           steps, pts_qlp32) -> jnp.ndarray:
+                           steps, pts_qlp32, t_up=None) -> jnp.ndarray:
     """sum_s pt_s * rotate(d, s) with ONE modup and ONE moddown — the
     Halevi-Shoup matvec inner loop on the u32 fast path (mirror of
     evaluate.hoisted_linear_combo; reference building blocks: hoisting,
     evaluate.cu:1670 + multiply_plain).
 
     pts_qlp32: per-step (size_qlp, N) u32 NTT-form weights (from
-    ckks_encoder.encode_extended, cast), aligned with `steps`."""
+    ckks_encoder.encode_extended, cast), aligned with `steps`.
+
+    t_up: optional precomputed modup of c1 so BSGS callers
+    (schemes.linear) can share ONE modup across baby-step groups."""
     from ..schemes import galois as gal
     k = ks.size_ql
     c0, c1 = d[0], d[1]
-    t_up = modup_from_ntt32(ks, c1)
+    if t_up is None:
+        t_up = modup_from_ntt32(ks, c1)
     q = ks.mv_ql.q[:, None]
     rh = ks.mv_ql.ratio_hi[:, None]
     rl = ks.mv_ql.ratio_lo[:, None]

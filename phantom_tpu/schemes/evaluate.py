@@ -33,12 +33,15 @@ def _cd(ctx: Context, ct: Ciphertext) -> ContextData:
     return ctx.get_context_data(ct.chain_index)
 
 
-def _check_compatible(ct1: Ciphertext, ct2: Ciphertext):
+def _check_compatible(ct1: Ciphertext, ct2: Ciphertext,
+                      check_scale: bool = True):
     if ct1.chain_index != ct2.chain_index:
         raise ValueError("ciphertexts are at different levels")
     if ct1.is_ntt_form != ct2.is_ntt_form:
         raise ValueError("NTT form mismatch")
-    if abs(ct1.scale - ct2.scale) > 1e-6 * ct1.scale:
+    # scale equality matters for add/sub only; CKKS multiplication takes
+    # operands at any scales (the product scale is their product)
+    if check_scale and abs(ct1.scale - ct2.scale) > 1e-6 * ct1.scale:
         raise ValueError("scale mismatch")
 
 
@@ -210,7 +213,7 @@ def bfv_square_hps(ctx: Context, ct: Ciphertext) -> Ciphertext:
 
 def multiply(ctx: Context, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
     """Scheme dispatch (reference: multiply_inplace, evaluate.cu:1029)."""
-    _check_compatible(ct1, ct2)
+    _check_compatible(ct1, ct2, check_scale=False)
     scheme = ctx.params.scheme
     if scheme == Scheme.BFV:
         from .params import MulTech
@@ -780,7 +783,8 @@ def add_many(ctx: Context, cts) -> Ciphertext:
 
 
 def hoisted_linear_combo(ctx: Context, ct: Ciphertext, glk, steps,
-                         pts_qlp, pts_scale: float) -> Ciphertext:
+                         pts_qlp, pts_scale: float,
+                         t_modup=None) -> Ciphertext:
     """sum_s pt_s * rotate(ct, s) with ONE modup and ONE moddown.
 
     The hoisted-rotation PPML primitive (Halevi-Shoup matvec inner loop):
@@ -790,7 +794,11 @@ def hoisted_linear_combo(ctx: Context, ct: Ciphertext, glk, steps,
     evaluate.cu:1670 + multiply_plain).
 
     pts_qlp: list of (size_qlp, N) NTT-form weights from
-    ckks_encoder.encode_extended, aligned with `steps`."""
+    ckks_encoder.encode_extended, aligned with `steps`.
+
+    t_modup: optional precomputed base extension of c1 (from
+    keyswitch.modup_from_ntt) so BSGS callers (schemes.linear) can share
+    ONE modup across all baby-step groups."""
     from . import galois as gal
     from .keyswitch import (evk_rows, inner_product_evk, modup_from_ntt,
                             moddown_ntt)
@@ -807,7 +815,8 @@ def hoisted_linear_combo(ctx: Context, ct: Ciphertext, glk, steps,
     qlp_rhi = cd.ks.qlp.ratio_hi[:, None]
 
     c0, c1 = ct.data[0], ct.data[1]
-    t_modup = modup_from_ntt(ctx, cd, c1)
+    if t_modup is None:
+        t_modup = modup_from_ntt(ctx, cd, c1)
 
     acc_c0 = None      # weighted permuted c0 terms (mod Ql)
     acc_c1 = None      # identity steps contribute pt*c1 directly (mod Ql)
