@@ -296,7 +296,7 @@ def accumulate_fold32(y: jnp.ndarray, mat: jnp.ndarray, obase: ModulusVec32,
     mb = planes_of(mat)
     q = obase.q[:, None]
     two_q = q * U32(2)
-    acc = None
+    partials = []
     for s_idx in range(2 * nplanes - 1):
         p_ = None
         for a in range(max(0, s_idx - nplanes + 1), min(nplanes, s_idx + 1)):
@@ -305,9 +305,24 @@ def accumulate_fold32(y: jnp.ndarray, mat: jnp.ndarray, obase: ModulusVec32,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
             p_ = term if p_ is None else p_ + term
+        partials.append(p_)
+    # pair adjacent diagonals into one u32 word when provably overflow-free
+    # (mirror of ntt_mxu._fold_diagonals): halves the Shoup fold count
+    max_partial = ((1 << bits) - 1) ** 2 * y.shape[0] * nplanes
+    if max_partial * ((1 << bits) + 1) <= 0xFFFFFFFF:
+        words = []
+        for j in range(0, len(partials), 2):
+            w = partials[j].astype(jnp.uint32)
+            if j + 1 < len(partials):
+                w = w + (partials[j + 1].astype(jnp.uint32) << U32(bits))
+            words.append((w, j))
+    else:
+        words = [(p_.astype(jnp.uint32), j) for j, p_ in enumerate(partials)]
+    acc = None
+    for w, j in words:
         folded = m32.mul_mod_shoup_lazy32(
-            p_.astype(jnp.uint32), pow2[:, bits * s_idx][:, None],
-            pow2_shoup[:, bits * s_idx][:, None], q)
+            w, pow2[:, bits * j][:, None],
+            pow2_shoup[:, bits * j][:, None], q)
         acc = folded if acc is None else m32.csub32(acc + folded, two_q)
     return m32.csub32(acc, q)
 

@@ -100,6 +100,9 @@ class MXUNTTTables:
     # max bit length over the base's moduli: strictly-reduced values and
     # table entries decompose into ceil(q_bits / plane_bits) planes
     q_bits: int = flax.struct.field(pytree_node=False, default=32)
+    # True: transforms run through the fused Pallas kernel
+    # (ops/ntt_mxu_pallas.py) instead of the XLA einsum formulation
+    fused_kernel: bool = flax.struct.field(pytree_node=False, default=False)
 
     @property
     def q(self):
@@ -117,7 +120,7 @@ class MXUNTTTables:
             pow_diag=self.pow_diag[ia],
             pow_diag_shoup=self.pow_diag_shoup[ia],
             n1=self.n1, n2=self.n2, plane_bits=self.plane_bits,
-            q_bits=self.q_bits)
+            q_bits=self.q_bits, fused_kernel=self.fused_kernel)
 
 
 def _split_n(n: int):
@@ -149,7 +152,8 @@ def _psi_power_table(psi: np.ndarray, q: np.ndarray, two_n: int) -> np.ndarray:
     return p[:, :two_n]
 
 
-def prepare_mxu_tables(t32: NTTTables32) -> MXUNTTTables:
+def prepare_mxu_tables(t32: NTTTables32,
+                       fused_kernel: bool = False) -> MXUNTTTables:
     n = t32.n
     n1, n2 = _split_n(n)
     two_n = 2 * n
@@ -212,7 +216,8 @@ def prepare_mxu_tables(t32: NTTTables32) -> MXUNTTTables:
         di_shoup=jnp.asarray(shoup(di)), wai=planes(wai),
         inv_degree=t32.inv_degree, inv_degree_shoup=t32.inv_degree_shoup,
         pow_diag=u32c(pd), pow_diag_shoup=u32c(pd_shoup),
-        n1=n1, n2=n2, plane_bits=bits, q_bits=q_bits)
+        n1=n1, n2=n2, plane_bits=bits, q_bits=q_bits,
+        fused_kernel=fused_kernel)
 
 
 # ---------------------------------------------------------------------------
@@ -255,6 +260,13 @@ def _combine_triple(partials, bits: int, shape):
     return c, hi, lo
 
 
+def _max_partial(bits: int, contract_len: int, n_a: int, n_b: int) -> int:
+    """Largest value any diagonal accumulator can reach: per-dot max
+    (2^bits - 1)^2 * contract_len, times the deepest diagonal (the number
+    of (a, b) plane pairs with a + b = d is at most min(n_a, n_b))."""
+    return ((1 << bits) - 1) ** 2 * contract_len * min(n_a, n_b)
+
+
 def _diag_dots(aps, xps, contract):
     """All plane-pair dots grouped by digit diagonal a+b (plane counts may
     differ between the two operands)."""
@@ -268,20 +280,36 @@ def _diag_dots(aps, xps, contract):
     return partials
 
 
-def _fold_diagonals(partials, pow_diag, pow_diag_shoup, mv: ModulusVec32):
+def _fold_diagonals(partials, pow_diag, pow_diag_shoup, mv: ModulusVec32,
+                    bits: int = 0, max_partial: int = 0):
     """sum_d partials[d] * 2^(bits*d) mod q via per-diagonal Shoup folds.
 
     Each partial is an int32 accumulator (< 2^31, any u32 is valid Shoup
     input); each fold lands in [0, 2q) and the running sum is csub'd back
     below 2q, so everything stays in native u32 — no 96-bit triple, no
-    Barrett-u64.  Consts broadcast over (L, m, n)."""
+    Barrett-u64.  Consts broadcast over (L, m, n).
+
+    When the caller certifies max_partial (the largest any diagonal
+    accumulator can be), adjacent diagonals whose combined word
+    p_{2j} + (p_{2j+1} << bits) provably fits u32 are merged first, so
+    the number of Shoup folds (the dominant VPU cost of the whole MXU
+    engine, PERF_MODEL.md §2) drops from 2P-1 to ~P."""
     q3 = mv.q[:, None, None]
     two_q = q3 * np.uint32(2)
+    if max_partial and max_partial * ((1 << bits) + 1) <= 0xFFFFFFFF:
+        words = []
+        for j in range(0, len(partials), 2):
+            w = partials[j].astype(jnp.uint32)
+            if j + 1 < len(partials):
+                w = w + (partials[j + 1].astype(jnp.uint32) << U32(bits))
+            words.append((w, j))
+    else:
+        words = [(p_.astype(jnp.uint32), j) for j, p_ in enumerate(partials)]
     acc = None
-    for d_idx, p_ in enumerate(partials):
+    for w, j in words:
         term = m32.mul_mod_shoup_lazy32(
-            p_.astype(jnp.uint32), pow_diag[:, d_idx][:, None, None],
-            pow_diag_shoup[:, d_idx][:, None, None], q3)
+            w, pow_diag[:, j][:, None, None],
+            pow_diag_shoup[:, j][:, None, None], q3)
         acc = term if acc is None else m32.csub32(acc + term, two_q)
     return m32.csub32(acc, q3)
 
@@ -317,7 +345,8 @@ def mm_left_mod(table_planes: jnp.ndarray, x: jnp.ndarray,
 
     partials = _diag_dots(tps, xps, contract)
     if diag is not None:
-        return _fold_diagonals(partials, diag[0], diag[1], mv)
+        mp = _max_partial(bits, x.shape[-2], len(tps), len(xps))
+        return _fold_diagonals(partials, diag[0], diag[1], mv, bits, mp)
     shape = x.shape[:-2] + (table_planes.shape[-2], x.shape[-1])
     c, hi, lo = _combine_triple(partials, bits, shape)
     return _reduce_triple(c, hi, lo, mv)
@@ -336,7 +365,8 @@ def mm_right_mod(x: jnp.ndarray, table_planes: jnp.ndarray,
 
     partials = _diag_dots(xps, tps, contract)
     if diag is not None:
-        return _fold_diagonals(partials, diag[0], diag[1], mv)
+        mp = _max_partial(bits, x.shape[-1], len(tps), len(xps))
+        return _fold_diagonals(partials, diag[0], diag[1], mv, bits, mp)
     shape = x.shape[:-1] + (table_planes.shape[-1],)
     c, hi, lo = _combine_triple(partials, bits, shape)
     return _reduce_triple(c, hi, lo, mv)

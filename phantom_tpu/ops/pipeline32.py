@@ -280,12 +280,20 @@ def _compl_tables(ks: KeySwitch32, lo: int, hi: int):
     return ks.t_qlp.limb_slice(idx)
 
 
+# The Pallas inner-product kernel's (beta, 1, n) blocks are rejected by
+# Mosaic's block-shape rule (second-minor dim must be a multiple of 8 or
+# span the array; found on hardware).  The XLA triple path below measures
+# at the HBM roofline for this op (~190us per half at L=28 N=65536, evk
+# stream bound), so it stays the default on every engine.
+USE_PALLAS_INNER_PRODUCT = False
+
+
 def inner_product32(ks: KeySwitch32, t_modup: jnp.ndarray,
                     evk: jnp.ndarray):
     """sum_d t_d * evk[d, j]: per-digit u32xu32 products accumulated in a
     (carry, hi, lo) u32 triple, one reduction at the end (reference:
     key_switch_inner_prod_c2_and_evk, eval_key_switch.cu:14-69)."""
-    if ks.use_pallas:
+    if ks.use_pallas and USE_PALLAS_INNER_PRODUCT:
         out = ntp.keyswitch_inner_product_pallas(t_modup, evk, ks.mv_qlp)
         return out[0], out[1]
     beta = t_modup.shape[0]
