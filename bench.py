@@ -75,13 +75,16 @@ def main():
                     help="ciphertext pairs per step (vmapped); ops/s "
                          "scales accordingly")
     ap.add_argument("--path", choices=["auto", "u32", "pallas", "pallas-roll",
-                                       "mxu", "mxu-nofold", "u64"],
+                                       "mxu", "mxu-nofold", "mxu-pallas",
+                                       "u64"],
                     default="auto",
                     help="u32: 28-bit primes + uint32 butterfly pipeline; "
-                         "mxu: four-step matmul NTT engine; pallas: fused "
-                         "VMEM NTT kernels; u64: generic evaluator; auto "
-                         "(default): measure u32 and mxu on an accelerator "
-                         "and report the faster (u32 only on CPU fallback)")
+                         "mxu: four-step matmul NTT engine; mxu-pallas: the "
+                         "same fused into one Pallas program per limb row; "
+                         "pallas: fused VMEM NTT kernels; u64: generic "
+                         "evaluator; auto (default): measure the candidate "
+                         "engines on an accelerator and report the fastest "
+                         "(u32 only on CPU fallback)")
     ap.add_argument("--scheme", choices=["ckks", "bfv", "bgv"],
                     default="ckks",
                     help="headline step: ckks = mult+relin+rescale, "
@@ -169,9 +172,12 @@ def main():
 
     def make_run(path):
         """Build the jitted step for one engine path; returns a thunk."""
-        if path in ("u32", "pallas", "pallas-roll", "mxu", "mxu-nofold"):
-            use_pallas = "mxu" if path.startswith("mxu") else (
-                path if path != "u32" else False)
+        if path in ("u32", "pallas", "pallas-roll", "mxu", "mxu-nofold",
+                    "mxu-pallas"):
+            use_pallas = {"u32": False, "pallas": True,
+                          "pallas-roll": "pallas-roll", "mxu": "mxu",
+                          "mxu-nofold": "mxu",
+                          "mxu-pallas": "mxu-pallas"}[path]
             if scheme == Scheme.CKKS:
                 from phantom_tpu.ops import pipeline32 as pp
                 pipe = pp.build_pipeline32(ctx, rlk, use_pallas=use_pallas)
@@ -252,7 +258,8 @@ def main():
 
     on_accel = jax.devices()[0].platform != "cpu"
     if args.path == "auto":
-        paths = ["mxu", "mxu-nofold", "u32"] if on_accel else ["u32"]
+        paths = (["mxu-pallas", "mxu", "mxu-nofold", "u32"] if on_accel
+                 else ["u32"])
     else:
         paths = [args.path]
 

@@ -47,12 +47,14 @@ def normalize_engine(use_pallas) -> str:
     """Engine selector: False/'xla' = u32 butterfly stages, True/'pallas' =
     fused-VMEM Pallas kernels, 'pallas-roll' = the reshape-free
     roll/select Pallas kernels (ops/ntt_pallas_roll), 'mxu' = four-step
-    matmul NTT (ops/ntt_mxu)."""
+    matmul NTT (ops/ntt_mxu), 'mxu-pallas' = the same four-step NTT fused
+    into one Pallas program per limb row (ops/ntt_mxu_pallas)."""
     if use_pallas is True:
         return "pallas"
     if use_pallas in (False, None):
         return "xla"
-    assert use_pallas in ("xla", "pallas", "pallas-roll", "mxu"), use_pallas
+    assert use_pallas in ("xla", "pallas", "pallas-roll", "mxu",
+                          "mxu-pallas"), use_pallas
     return use_pallas
 
 
@@ -116,6 +118,8 @@ def _conv_tables(t64, use_pallas):
         return ntr.prepare_roll_tables(t32)
     if engine == "mxu":
         return ntt_mxu.prepare_mxu_tables(t32)
+    if engine == "mxu-pallas":
+        return ntt_mxu.prepare_mxu_tables(t32, fused_kernel=True)
     return t32
 
 
@@ -208,6 +212,11 @@ def _fwd(ks, x, tables, sub_from=None, epi_scale=None, epi_scale_shoup=None):
             x, tables, sub_from=sub_from, epi_scale=epi_scale,
             epi_scale_shoup=epi_scale_shoup)
     if isinstance(tables, ntt_mxu.MXUNTTTables):
+        if tables.fused_kernel:
+            from . import ntt_mxu_pallas as nmp
+            return nmp.ntt_forward_mxu_pallas(
+                x, tables, sub_from=sub_from, epi_scale=epi_scale,
+                epi_scale_shoup=epi_scale_shoup)
         return ntt_mxu.ntt_forward_mxu(
             x, tables, sub_from=sub_from, epi_scale=epi_scale,
             epi_scale_shoup=epi_scale_shoup)
@@ -227,6 +236,9 @@ def _inv(ks, x, tables, **kw):
     if isinstance(tables, ntr.RollNTTTables):
         return ntr.ntt_inverse_roll(x, tables, **kw)
     if isinstance(tables, ntt_mxu.MXUNTTTables):
+        if tables.fused_kernel:
+            from . import ntt_mxu_pallas as nmp
+            return nmp.ntt_inverse_mxu_pallas(x, tables, **kw)
         return ntt_mxu.ntt_inverse_mxu(x, tables, **kw)
     return ntt32.ntt_inverse32(x, tables, **kw)
 
@@ -252,9 +264,16 @@ def modup32(ks: KeySwitch32, c2_coeff: jnp.ndarray) -> jnp.ndarray:
 
 def modup_from_ntt32(ks: KeySwitch32, c2_ntt: jnp.ndarray) -> jnp.ndarray:
     """Fused modup for NTT-form input: one iNTT with the x QhatInv scale
-    folded in, own digit rows reused in NTT form, only complement rows
+    folded in, own digit rows reused in NTT form, complement rows
     forward-transformed (reference: ntt_modup.cu).  Bit-identical to
-    ntt_inverse + modup32."""
+    ntt_inverse + modup32.
+
+    All beta digits transform in ONE batched (beta, size_qlp, N) NTT call
+    (digit rows ride along as zeros and are replaced by the original
+    NTT-form rows afterward): ~alpha/size_qlp wasted rows buys one big
+    well-shaped dispatch instead of beta narrow ones — on the MXU engines
+    the batched einsum is the difference between full and fractional
+    systolic-array utilization."""
     k = ks.size_ql
     alpha = ks.size_p
     beta = len(ks.digit_convs)
@@ -262,22 +281,21 @@ def modup_from_ntt32(ks: KeySwitch32, c2_ntt: jnp.ndarray) -> jnp.ndarray:
         return modup32(ks, _inv(ks, c2_ntt, ks.t_ql))
     y = _inv(ks, c2_ntt, ks.t_ql, scale=ks.modup_scale,
              scale_shoup=ks.modup_scale_shoup)
-    out = []
+    n = y.shape[-1]
+    zeros = jnp.zeros((alpha, n), dtype=jnp.uint32)
+    assembled = []
     for d in range(beta):
         lo, hi = d * alpha, min((d + 1) * alpha, k)
         compl = bc32.matmul_reduce32(y[lo:hi], ks.digit_convs[d])
-        # complement rows inside QlP: Ql rows minus the digit, then P rows
-        t_compl = _compl_tables(ks, lo, hi)
-        compl_ntt = _fwd(ks, compl, t_compl)
+        assembled.append(jnp.concatenate(
+            [compl[:lo], zeros[:hi - lo], compl[lo:]], axis=0))
+    t_all = _fwd(ks, jnp.stack(assembled), ks.t_qlp)
+    out = []
+    for d in range(beta):
+        lo, hi = d * alpha, min((d + 1) * alpha, k)
         out.append(jnp.concatenate(
-            [compl_ntt[:lo], c2_ntt[lo:hi], compl_ntt[lo:]], axis=0))
+            [t_all[d, :lo], c2_ntt[lo:hi], t_all[d, hi:]], axis=0))
     return jnp.stack(out)
-
-
-def _compl_tables(ks: KeySwitch32, lo: int, hi: int):
-    """QlP tables minus rows [lo, hi) (a digit's complement)."""
-    idx = list(range(lo)) + list(range(hi, ks.size_ql + ks.size_p))
-    return ks.t_qlp.limb_slice(idx)
 
 
 # The Pallas inner-product kernel's (beta, 1, n) blocks are rejected by

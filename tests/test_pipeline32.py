@@ -35,7 +35,8 @@ def setup():
     return ctx, rlk, ct1, ct2, ref
 
 
-@pytest.mark.parametrize("use_pallas", [False, True, "pallas-roll", "mxu"])
+@pytest.mark.parametrize("use_pallas", [False, True, "pallas-roll", "mxu",
+                                        "mxu-pallas"])
 def test_bit_match(setup, use_pallas):
     ctx, rlk, ct1, ct2, ref = setup
     p = pp.build_pipeline32(ctx, rlk, use_pallas=use_pallas)

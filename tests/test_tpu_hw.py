@@ -73,7 +73,8 @@ def setup():
     return _build_setup()
 
 
-@pytest.mark.parametrize("engine", [False, True, "pallas-roll", "mxu"])
+@pytest.mark.parametrize("engine", [False, True, "pallas-roll", "mxu",
+                                    "mxu-pallas"])
 def test_mult_relin_rescale_on_hw(setup, engine):
     from phantom_tpu.ops import pipeline32 as pp
     ctx, rlk, _, ct1, ct2, ref, _ = setup
