@@ -284,8 +284,7 @@ class Fast32:
             evk = self.evk_at(ci)
             q = ks.mv_ql.q[:, None]
             t0, t1, t2 = pp._tensor_2x2(ks.mv_ql, c1.data, c2.data)
-            t_up = pp.modup_from_ntt32(ks, t2)
-            s0, s1 = pp.inner_product32(ks, t_up, evk)
+            s0, s1 = pp.modup_ip32(ks, t2, evk)
             out = jnp.stack([m32.add_mod32(t0, pp.moddown32(ks, s0), q),
                              m32.add_mod32(t1, pp.moddown32(ks, s1), q)])
             return c1.replace(data=out, scale=c1.scale * c2.scale)
@@ -365,8 +364,7 @@ class Fast32:
             evk = self.evk_at(ci)
             q = ks.mv_ql.q[:, None]
             t0, t1, t2 = pp._tensor_square_2x2(ks.mv_ql, c.data)
-            t_up = pp.modup_from_ntt32(ks, t2)
-            s0, s1 = pp.inner_product32(ks, t_up, evk)
+            s0, s1 = pp.modup_ip32(ks, t2, evk)
             out = jnp.stack([m32.add_mod32(t0, pp.moddown32(ks, s0), q),
                              m32.add_mod32(t1, pp.moddown32(ks, s1), q)])
             return c.replace(data=out, scale=c.scale * c.scale)

@@ -38,6 +38,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import modmath32 as m32
 from .modmath32 import U32, csub32, mul_mod_shoup_lazy32
 from .ntt_mxu import MXUNTTTables, _max_partial
 
@@ -100,6 +101,20 @@ def _mm_fold(aps, bps, q, pd_ref, pds_ref, bits, contract_len):
     return csub32(acc, q)
 
 
+def _ntt_core(x, wa_ref, d_ref, ds_ref, wb_ref, q, pd_ref, pds_ref,
+              bits, q_bits):
+    """Four-step forward NTT of one strictly-reduced (n1, n2) block, all
+    in VMEM; returns the NTT-form block in [0, q)."""
+    n1, n2 = x.shape
+    xps = _plane_list(x, bits, q_bits)
+    waps = [wa_ref[p, 0] for p in range(wa_ref.shape[0])]
+    z = _mm_fold(waps, xps, q, pd_ref, pds_ref, bits, n1)
+    v = csub32(mul_mod_shoup_lazy32(z, d_ref[0], ds_ref[0], q), q)
+    vps = _plane_list(v, bits, q_bits)
+    wbps = [wb_ref[p, 0] for p in range(wb_ref.shape[0])]
+    return _mm_fold(vps, wbps, q, pd_ref, pds_ref, bits, n2)
+
+
 def _fwd_kernel(bits, q_bits, fused, x_ref, wa_ref, d_ref, ds_ref, wb_ref,
                 q_ref, pd_ref, pds_ref, *rest):
     if fused:
@@ -107,16 +122,9 @@ def _fwd_kernel(bits, q_bits, fused, x_ref, wa_ref, d_ref, ds_ref, wb_ref,
     else:
         (o_ref,) = rest
     q = q_ref[0, 0]
-    n1 = x_ref.shape[1]
-    n2 = x_ref.shape[2]
     x = csub32(x_ref[0], q)                      # tolerate lazy [0, 2q)
-    xps = _plane_list(x, bits, q_bits)
-    waps = [wa_ref[p, 0] for p in range(wa_ref.shape[0])]
-    z = _mm_fold(waps, xps, q, pd_ref, pds_ref, bits, n1)
-    v = csub32(mul_mod_shoup_lazy32(z, d_ref[0], ds_ref[0], q), q)
-    vps = _plane_list(v, bits, q_bits)
-    wbps = [wb_ref[p, 0] for p in range(wb_ref.shape[0])]
-    out = _mm_fold(vps, wbps, q, pd_ref, pds_ref, bits, n2)
+    out = _ntt_core(x, wa_ref, d_ref, ds_ref, wb_ref, q, pd_ref, pds_ref,
+                    bits, q_bits)
     if fused:
         diff = s_ref[0] - out + q                # sub_from in [0, q)
         out = csub32(mul_mod_shoup_lazy32(diff, sc_ref[0, 0],
@@ -230,3 +238,311 @@ def ntt_inverse_mxu_pallas(x: jnp.ndarray, t: MXUNTTTables,
       jnp.asarray(scale, jnp.uint32).reshape(-1, 1),
       jnp.asarray(scale_shoup, jnp.uint32).reshape(-1, 1))
     return out.reshape(*lead, n1 * n2)
+
+
+# ---------------------------------------------------------------------------
+# base-conversion prologue fused into the forward NTT
+# ---------------------------------------------------------------------------
+
+def _bconv_fwd_kernel(bits, q_bits, alpha, has_v, has_post, has_self, fused,
+                      y_ref, mat_ref, wa_ref, d_ref, ds_ref, wb_ref,
+                      q_ref, rh_ref, rl_ref, p32_ref, p64_ref,
+                      pd_ref, pds_ref, *rest):
+    rest = list(rest)
+    v_ref = vm_ref = post_ref = self_ref = s_ref = sc_ref = scs_ref = None
+    if has_v:
+        v_ref = rest.pop(0)
+        vm_ref = rest.pop(0)
+    if has_post:
+        post_ref = rest.pop(0)
+    if has_self:
+        self_ref = rest.pop(0)
+    if fused:
+        s_ref, sc_ref, scs_ref = rest.pop(0), rest.pop(0), rest.pop(0)
+    (o_ref,) = rest
+    q = q_ref[0, 0]
+    rh = rh_ref[0, 0]
+    rl = rl_ref[0, 0]
+    shape = y_ref.shape[1:]
+    # exact base-conversion row: sum_i y[i] * mat[j, i] accumulated as a
+    # (carry, hi, lo) u32 triple (mirror of bconv32.accumulate_matmul_96;
+    # exact for <= 63 input limbs), reduced mod q_j
+    c = jnp.zeros(shape, dtype=jnp.uint32)
+    hi = jnp.zeros(shape, dtype=jnp.uint32)
+    lo = jnp.zeros(shape, dtype=jnp.uint32)
+    for i in range(alpha):
+        h, l = m32.mul_wide32(y_ref[i], mat_ref[0, i])
+        lo, cr = m32.add_u32_carry(lo, l)
+        hi2, cr2 = m32.add_u32_carry(hi, h + cr)  # h < 2^28: no overflow
+        hi = hi2
+        c = c + cr2
+    t_c = m32.mul_mod32(m32.barrett_reduce_u32(c, q, rh), p64_ref[0, 0],
+                        q, rh, rl)
+    t_h = m32.mul_mod32(m32.barrett_reduce_u32(hi, q, rh), p32_ref[0, 0],
+                        q, rh, rl)
+    t_l = m32.barrett_reduce_u32(lo, q, rh)
+    x = m32.add_mod32(m32.add_mod32(t_c, t_h, q), t_l, q)
+    if has_v:
+        # exact-bconv correction: x -= v * (q_in mod q_j)
+        x = m32.sub_mod32(x, m32.mul_mod32(v_ref[0], vm_ref[0, 0],
+                                           q, rh, rl), q)
+    if has_post:
+        x = m32.sub_mod32(x, post_ref[0, 0], q)
+    out = _ntt_core(x, wa_ref, d_ref, ds_ref, wb_ref, q, pd_ref, pds_ref,
+                    bits, q_bits)
+    if has_self:
+        # modup digit-own rows: the input is already the NTT form of this
+        # row — pass it through instead of the (zero) converted transform
+        gid = pl.program_id(0)
+        jid = pl.program_id(1)
+        in_digit = (jid >= gid * alpha) & (jid < (gid + 1) * alpha)
+        out = jnp.where(in_digit, self_ref[0], out)
+    if fused:
+        diff = s_ref[0] - out + q                # sub_from in [0, q)
+        out = csub32(mul_mod_shoup_lazy32(diff, sc_ref[0, 0],
+                                          scs_ref[0, 0], q), q)
+    o_ref[0] = out
+
+
+def bconv_ntt_forward_mxu_pallas(y: jnp.ndarray, mat: jnp.ndarray,
+                                 t: MXUNTTTables,
+                                 v=None, vmul=None, post_sub=None,
+                                 self_rows=None,
+                                 sub_from=None, epi_scale=None,
+                                 epi_scale_shoup=None,
+                                 interpret=None) -> jnp.ndarray:
+    """Base conversion + forward NTT in ONE Pallas program per output row.
+
+    y: (G, alpha, N) u32 input rows in [0, q_in), q_in < 2^30;
+    mat: (G, k_out, alpha) u32 conversion matrix (entries < 2^30).
+    For group g, output limb j (tables/consts indexed by j over t's L=k_out
+    limbs):
+
+        x     = (sum_i y[g,i] * mat[g,j,i]) mod q_j     (exact 96-bit triple)
+                [- v[g] * vmul[j] mod q_j]   (exact-bconv floor correction)
+                [- post_sub[j]]              (rescale half correction)
+        out[g,j] = NTT_j(x)  [fused epilogue (sub_from[g,j]-out)*epi_scale_j]
+
+    self_rows (G*alpha, N): modup digit-own passthrough — output rows
+    g*alpha <= j < (g+1)*alpha take self_rows[j] verbatim (they are already
+    NTT-form), so the caller needs no scatter/concat afterwards.
+
+    One HBM read of y per group, zero intermediate materialization — the
+    fused form of modup's complement transform (reference ntt_modup.cu),
+    moddown's delta+fNTT (ntt_moddown.cu:222) and the rescale correction
+    path.  Bit-identical to the composed bconv32 + ntt ops
+    (tests/test_ntt_mxu_pallas.py)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n1, n2 = t.n1, t.n2
+    G, alpha, n = y.shape
+    k_out = mat.shape[1]
+    assert mat.shape == (G, k_out, alpha) and n == n1 * n2
+    assert alpha <= 63, "96-bit triple exactness bound"
+    ym = y.reshape(G * alpha, n1, n2)
+    matm = jnp.asarray(mat, jnp.uint32).reshape(G * k_out, alpha)
+    mv = t.mv
+    nplanes = t.wa.shape[0]
+    n_diag = t.pow_diag.shape[1]
+    has_v = v is not None
+    has_post = post_sub is not None
+    has_self = self_rows is not None
+    fused = sub_from is not None
+
+    y_spec = pl.BlockSpec((alpha, n1, n2), lambda g, j: (g, 0, 0),
+                          memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((1, alpha), lambda g, j: (g * k_out + j, 0),
+                            memory_space=pltpu.SMEM)
+    left = pl.BlockSpec((nplanes, 1, n1, n1), lambda g, j: (0, j, 0, 0),
+                        memory_space=pltpu.VMEM)
+    right = pl.BlockSpec((nplanes, 1, n2, n2), lambda g, j: (0, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    tw = pl.BlockSpec((1, n1, n2), lambda g, j: (j, 0, 0),
+                      memory_space=pltpu.VMEM)
+    scalar = pl.BlockSpec((1, 1), lambda g, j: (j, 0),
+                          memory_space=pltpu.SMEM)
+    diag = pl.BlockSpec((1, n_diag), lambda g, j: (j, 0),
+                        memory_space=pltpu.SMEM)
+    gdata = pl.BlockSpec((1, n1, n2), lambda g, j: (g * k_out + j, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    col = lambda a: jnp.asarray(a, jnp.uint32).reshape(-1, 1)
+    args = [ym, matm, t.wa, t.d.reshape(-1, n1, n2),
+            t.d_shoup.reshape(-1, n1, n2), t.wb,
+            col(mv.q), col(mv.ratio_hi), col(mv.ratio_lo),
+            col(mv.pow32), col(mv.pow64), t.pow_diag, t.pow_diag_shoup]
+    specs = [y_spec, mat_spec, left, tw, tw, right,
+             scalar, scalar, scalar, scalar, scalar, diag, diag]
+    if has_v:
+        args += [jnp.asarray(v, jnp.uint32).reshape(G, n1, n2), col(vmul)]
+        specs += [pl.BlockSpec((1, n1, n2), lambda g, j: (g, 0, 0),
+                               memory_space=pltpu.VMEM), scalar]
+    if has_post:
+        args += [col(post_sub)]
+        specs += [scalar]
+    if has_self:
+        k_in_total = G * alpha
+        args += [jnp.asarray(self_rows, jnp.uint32
+                             ).reshape(k_in_total, n1, n2)]
+        specs += [pl.BlockSpec((1, n1, n2),
+                               lambda g, j: (j % k_in_total, 0, 0),
+                               memory_space=pltpu.VMEM)]
+    if fused:
+        args += [jnp.asarray(sub_from, jnp.uint32).reshape(G * k_out, n1, n2),
+                 col(epi_scale), col(epi_scale_shoup)]
+        specs += [gdata, scalar, scalar]
+
+    kern = functools.partial(_bconv_fwd_kernel, t.plane_bits, t.q_bits,
+                             alpha, has_v, has_post, has_self, fused)
+    out = pl.pallas_call(
+        kern,
+        grid=(G, k_out),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((1, n1, n2), lambda g, j: (g * k_out + j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G * k_out, n1, n2), jnp.uint32),
+        interpret=interpret,
+    )(*args)
+    return out.reshape(G, k_out, n)
+
+
+# ---------------------------------------------------------------------------
+# modup + evaluation-key inner product in one program
+# ---------------------------------------------------------------------------
+
+def _modup_ip_kernel(bits, q_bits, alpha, beta,
+                     y_ref, mat_ref, c2_ref, evk_ref,
+                     wa_ref, d_ref, ds_ref, wb_ref,
+                     q_ref, rh_ref, rl_ref, p32_ref, p64_ref,
+                     pd_ref, pds_ref, o_ref, acc_ref):
+    jid = pl.program_id(0)
+    did = pl.program_id(1)
+    q = q_ref[0, 0]
+    rh = rh_ref[0, 0]
+    rl = rl_ref[0, 0]
+    shape = y_ref.shape[1:]
+
+    @pl.when(did == 0)
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # digit `did`'s contribution to QlP row j: bconv + NTT (or the
+    # passthrough NTT-form row when j lies inside the digit)
+    c = jnp.zeros(shape, dtype=jnp.uint32)
+    hi = jnp.zeros(shape, dtype=jnp.uint32)
+    lo = jnp.zeros(shape, dtype=jnp.uint32)
+    for i in range(alpha):
+        row = y_ref[pl.ds(did * alpha + i, 1)][0]
+        h, l = m32.mul_wide32(row, mat_ref[0, i])
+        lo, cr = m32.add_u32_carry(lo, l)
+        hi2, cr2 = m32.add_u32_carry(hi, h + cr)
+        hi = hi2
+        c = c + cr2
+    t_c = m32.mul_mod32(m32.barrett_reduce_u32(c, q, rh), p64_ref[0, 0],
+                        q, rh, rl)
+    t_h = m32.mul_mod32(m32.barrett_reduce_u32(hi, q, rh), p32_ref[0, 0],
+                        q, rh, rl)
+    t_l = m32.barrett_reduce_u32(lo, q, rh)
+    x = m32.add_mod32(m32.add_mod32(t_c, t_h, q), t_l, q)
+    out = _ntt_core(x, wa_ref, d_ref, ds_ref, wb_ref, q, pd_ref, pds_ref,
+                    bits, q_bits)
+    in_digit = (jid >= did * alpha) & (jid < (did + 1) * alpha)
+    t_dj = jnp.where(in_digit, c2_ref[0], out)
+
+    # accumulate t_dj * evk[did, half, j] into the two 96-bit triples
+    for half in range(2):
+        h, l = m32.mul_wide32(t_dj, evk_ref[0, half, 0])
+        lo_a, cr = m32.add_u32_carry(acc_ref[3 * half + 2], l)
+        hi_a, cr2 = m32.add_u32_carry(acc_ref[3 * half + 1], h + cr)
+        acc_ref[3 * half] = acc_ref[3 * half] + cr2
+        acc_ref[3 * half + 1] = hi_a
+        acc_ref[3 * half + 2] = lo_a
+
+    @pl.when(did == beta - 1)
+    def _emit():
+        for half in range(2):
+            cc = acc_ref[3 * half]
+            hh = acc_ref[3 * half + 1]
+            ll = acc_ref[3 * half + 2]
+            t_c2 = m32.mul_mod32(m32.barrett_reduce_u32(cc, q, rh),
+                                 p64_ref[0, 0], q, rh, rl)
+            t_h2 = m32.mul_mod32(m32.barrett_reduce_u32(hh, q, rh),
+                                 p32_ref[0, 0], q, rh, rl)
+            t_l2 = m32.barrett_reduce_u32(ll, q, rh)
+            o_ref[half, 0] = m32.add_mod32(
+                m32.add_mod32(t_c2, t_h2, q), t_l2, q)
+
+
+# fall back to the split modup + XLA inner product when the resident
+# y buffer would crowd VMEM (~16 MB/core; tables + evk blocks + scratch
+# need the rest)
+MODUP_IP_MAX_Y_BYTES = 8 << 20
+
+
+def modup_ip_mxu_pallas(y: jnp.ndarray, mats: jnp.ndarray,
+                        c2_ntt: jnp.ndarray, evk: jnp.ndarray,
+                        t: MXUNTTTables, interpret=None):
+    """Fused modup + hybrid-keyswitch inner product: for each QlP row j,
+    every digit's contribution (bconv + NTT, or the NTT-form passthrough
+    inside the digit) is multiplied by evk[d, half, j] and accumulated in
+    a VMEM-resident 96-bit triple across the digit grid axis — the modup
+    tensor t (beta, size_qlp, N) never exists in HBM.
+
+    y: (beta*alpha, N) pre-scaled iNTT rows; mats: (beta, k_out, alpha);
+    c2_ntt: (beta*alpha, N); evk: (beta, 2, k_out, N).
+    Returns (s0, s1), each (k_out, N) in [0, q) — bit-identical to
+    inner_product32(modup_from_ntt32(...)) (reference pipeline:
+    ntt_modup.cu + key_switch_inner_prod_c2_and_evk)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n1, n2 = t.n1, t.n2
+    k, n = y.shape
+    beta, k_out, alpha = mats.shape
+    assert k == beta * alpha and n == n1 * n2
+    mv = t.mv
+    nplanes = t.wa.shape[0]
+    n_diag = t.pow_diag.shape[1]
+
+    ym = y.reshape(k, n1, n2)
+    matm = jnp.asarray(mats, jnp.uint32).reshape(beta * k_out, alpha)
+    c2m = c2_ntt.reshape(k, n1, n2)
+    evkm = evk.reshape(beta, 2, k_out, n1, n2)
+
+    y_spec = pl.BlockSpec((k, n1, n2), lambda j, d: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((1, alpha), lambda j, d: (d * k_out + j, 0),
+                            memory_space=pltpu.SMEM)
+    c2_spec = pl.BlockSpec((1, n1, n2), lambda j, d: (j % k, 0, 0),
+                           memory_space=pltpu.VMEM)
+    evk_spec = pl.BlockSpec((1, 2, 1, n1, n2), lambda j, d: (d, 0, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+    left = pl.BlockSpec((nplanes, 1, n1, n1), lambda j, d: (0, j, 0, 0),
+                        memory_space=pltpu.VMEM)
+    right = pl.BlockSpec((nplanes, 1, n2, n2), lambda j, d: (0, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    tw = pl.BlockSpec((1, n1, n2), lambda j, d: (j, 0, 0),
+                      memory_space=pltpu.VMEM)
+    scalar = pl.BlockSpec((1, 1), lambda j, d: (j, 0),
+                          memory_space=pltpu.SMEM)
+    diag = pl.BlockSpec((1, n_diag), lambda j, d: (j, 0),
+                        memory_space=pltpu.SMEM)
+
+    col = lambda a: jnp.asarray(a, jnp.uint32).reshape(-1, 1)
+    kern = functools.partial(_modup_ip_kernel, t.plane_bits, t.q_bits,
+                             alpha, beta)
+    out = pl.pallas_call(
+        kern,
+        grid=(k_out, beta),
+        in_specs=[y_spec, mat_spec, c2_spec, evk_spec, left, tw, tw, right,
+                  scalar, scalar, scalar, scalar, scalar, diag, diag],
+        out_specs=pl.BlockSpec((2, 1, n1, n2), lambda j, d: (0, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, k_out, n1, n2), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((6, n1, n2), jnp.uint32)],
+        interpret=interpret,
+    )(ym, matm, c2m, evkm, t.wa, t.d.reshape(-1, n1, n2),
+      t.d_shoup.reshape(-1, n1, n2), t.wb,
+      col(mv.q), col(mv.ratio_hi), col(mv.ratio_lo),
+      col(mv.pow32), col(mv.pow64), t.pow_diag, t.pow_diag_shoup)
+    out = out.reshape(2, k_out, n)
+    return out[0], out[1]

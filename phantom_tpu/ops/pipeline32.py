@@ -94,6 +94,14 @@ class KeySwitch32:
     # fused NTT-form modup: iNTT scale = n^-1 * QhatInv per Ql row
     modup_scale: Optional[jnp.ndarray] = None
     modup_scale_shoup: Optional[jnp.ndarray] = None
+    # mxu-pallas engine: bconv prologue fused into the forward-NTT kernel
+    # (ops/ntt_mxu_pallas.bconv_ntt_forward_mxu_pallas).  modup_mats is the
+    # (beta, size_qlp, alpha) digit->QlP matrix with zeroed self rows;
+    # moddown_scale folds n^-1 * PhatInv into the P-rows iNTT so the
+    # kernel's matmul operand is the pre-scaled moddown input.
+    modup_mats: Optional[jnp.ndarray] = None
+    moddown_scale: Optional[jnp.ndarray] = None
+    moddown_scale_shoup: Optional[jnp.ndarray] = None
     # BGV-only t-corrected moddown (reference: bgv_moddown_kernel)
     p_to_t: Optional[BaseConvConsts32] = None
     phalf_mod_p: Optional[jnp.ndarray] = None
@@ -167,6 +175,32 @@ def build_keyswitch32(ctx, chain_index: int = 1,
         )
 
     fused = ks.modup_scale is not None and k % alpha == 0
+
+    engine = normalize_engine(use_pallas)
+    modup_mats = None
+    moddown_scale = moddown_scale_shoup = None
+    if engine == "mxu-pallas":
+        if fused:
+            size_qlp = k + alpha
+            mats = np.zeros((beta, size_qlp, alpha), dtype=np.uint32)
+            for d in range(beta):
+                lo, hi = d * alpha, (d + 1) * alpha
+                qh = np.zeros((size_qlp - alpha, alpha), dtype=np.uint32)
+                src = np.asarray(digit_convs[d].qhat_mod_p)
+                qh[:, :src.shape[1]] = src
+                mats[d, :lo] = qh[:lo]
+                mats[d, hi:] = qh[lo:]
+            modup_mats = jnp.asarray(mats)
+        # (x - delta) * P^{-1} moddown: fold n^-1 * PhatInv into the P-rows
+        # iNTT (canonical values match scale_by_qhat_inv32 after a plain
+        # iNTT, so results stay bit-identical)
+        conv_p = BaseConverter(RNSBase(special), RNSBase(data_moduli))
+        md = [(int(v) * pow(ctx.params.n, -1, int(p_))) % int(p_)
+              for v, p_ in zip(conv_p.ibase.qhat_inv_mod_qi, special)]
+        moddown_scale = _u32(md)
+        moddown_scale_shoup = _u32([(s << 32) // int(p_)
+                                    for s, p_ in zip(md, special)])
+
     return KeySwitch32(
         n=ctx.params.n,
         size_ql=k,
@@ -184,6 +218,9 @@ def build_keyswitch32(ctx, chain_index: int = 1,
         modup_scale=_u32(ks.modup_scale) if fused else None,
         modup_scale_shoup=(_shoup32_from64(np.asarray(ks.modup_scale_shoup))
                            if fused else None),
+        modup_mats=modup_mats,
+        moddown_scale=moddown_scale,
+        moddown_scale_shoup=moddown_scale_shoup,
         **bgv_extra,
     )
 
@@ -282,6 +319,15 @@ def modup_from_ntt32(ks: KeySwitch32, c2_ntt: jnp.ndarray) -> jnp.ndarray:
     y = _inv(ks, c2_ntt, ks.t_ql, scale=ks.modup_scale,
              scale_shoup=ks.modup_scale_shoup)
     n = y.shape[-1]
+    if ks.modup_mats is not None:
+        # mxu-pallas: bconv + forward NTT of every complement row in ONE
+        # Pallas program per row — no assembled (beta, size_qlp, N)
+        # intermediate, y read from HBM once per digit, digit-own rows
+        # passed through in-kernel (no scatter/concat afterwards)
+        from . import ntt_mxu_pallas as nmp
+        return nmp.bconv_ntt_forward_mxu_pallas(
+            y.reshape(beta, alpha, n), ks.modup_mats, ks.t_qlp,
+            self_rows=c2_ntt)
     zeros = jnp.zeros((alpha, n), dtype=jnp.uint32)
     assembled = []
     for d in range(beta):
@@ -315,19 +361,40 @@ def inner_product32(ks: KeySwitch32, t_modup: jnp.ndarray,
         out = ntp.keyswitch_inner_product_pallas(t_modup, evk, ks.mv_qlp)
         return out[0], out[1]
     beta = t_modup.shape[0]
-    halves = []
-    for j in range(2):
-        c = jnp.zeros(t_modup.shape[1:], dtype=jnp.uint32)
-        hi = jnp.zeros(t_modup.shape[1:], dtype=jnp.uint32)
-        lo = jnp.zeros(t_modup.shape[1:], dtype=jnp.uint32)
-        for d in range(beta):
-            h, l = m32.mul_wide32(t_modup[d], evk[d, j])
+    # both halves in ONE sweep over the digits so each t_modup[d] row is
+    # read from HBM once (the evk stream is the roofline term; t_modup is
+    # the next-largest and this halves its traffic)
+    acc = [[jnp.zeros(t_modup.shape[1:], dtype=jnp.uint32)
+            for _ in range(3)] for _ in range(2)]
+    for d in range(beta):
+        t_d = t_modup[d]
+        for j in range(2):
+            c, hi, lo = acc[j]
+            h, l = m32.mul_wide32(t_d, evk[d, j])
             lo, cr = m32.add_u32_carry(lo, l)
             hi2, cr2 = m32.add_u32_carry(hi, h + cr)
-            hi = hi2
-            c = c + cr2
-        halves.append(bc32.reduce_u96_any32(c, hi, lo, ks.mv_qlp))
-    return halves
+            acc[j] = [c + cr2, hi2, lo]
+    return [bc32.reduce_u96_any32(c, hi, lo, ks.mv_qlp)
+            for c, hi, lo in acc]
+
+
+def modup_ip32(ks: KeySwitch32, c2_ntt: jnp.ndarray,
+               evk: jnp.ndarray):
+    """modup + evk inner product; on the mxu-pallas engine both run in ONE
+    Pallas program per (QlP row, digit) — the (beta, size_qlp, N) modup
+    tensor never exists in HBM (see ntt_mxu_pallas.modup_ip_mxu_pallas).
+    Returns (s0, s1) bit-identical to
+    inner_product32(ks, modup_from_ntt32(ks, c2_ntt), evk)."""
+    from . import ntt_mxu_pallas as nmp
+    n = c2_ntt.shape[-1]
+    if (ks.modup_mats is not None and c2_ntt.ndim == 2
+            and ks.size_ql * n * 4 <= nmp.MODUP_IP_MAX_Y_BYTES):
+        y = _inv(ks, c2_ntt, ks.t_ql, scale=ks.modup_scale,
+                 scale_shoup=ks.modup_scale_shoup)
+        return nmp.modup_ip_mxu_pallas(y, ks.modup_mats, c2_ntt, evk,
+                                       ks.t_qlp)
+    t_up = modup_from_ntt32(ks, c2_ntt)
+    return inner_product32(ks, t_up, evk)
 
 
 def _moddown_delta32(ks: KeySwitch32, x_p: jnp.ndarray) -> jnp.ndarray:
@@ -358,6 +425,20 @@ def moddown32(ks: KeySwitch32, x: jnp.ndarray) -> jnp.ndarray:
     the (x - delta) * P^{-1} epilogue fused, ntt_moddown.cu:222)."""
     k = ks.size_ql
     x_q = x[:k]
+    if ks.moddown_scale is not None and ks.p_to_t is None:
+        # mxu-pallas: iNTT folds n^-1 * PhatInv, then ONE Pallas program
+        # per Ql row does the exact bconv (incl. the v floor correction),
+        # the forward NTT and the (x_q - .) * P^{-1} epilogue in VMEM
+        from . import ntt_mxu_pallas as nmp
+        y = _inv(ks, x[k:], ks.t_p, scale=ks.moddown_scale,
+                 scale_shoup=ks.moddown_scale_shoup)
+        v = bc32.floor_sum_div32(y, ks.p_to_q)
+        out = nmp.bconv_ntt_forward_mxu_pallas(
+            y[None], ks.p_to_q.qhat_mod_p[None], ks.t_ql,
+            v=v[None], vmul=ks.p_to_q.q_mod_p,
+            sub_from=x_q[None], epi_scale=ks.pinv,
+            epi_scale_shoup=ks.pinv_shoup)
+        return out[0]
     x_p = _inv(ks, x[k:], ks.t_p)
     delta = _moddown_delta32(ks, x_p)
     # (x_q - fNTT(delta)) * P^{-1} with the epilogue fused into the engine
@@ -388,8 +469,7 @@ def keyswitch32(ks: KeySwitch32, c2_coeff: jnp.ndarray,
 def keyswitch_from_ntt32(ks: KeySwitch32, c2_ntt: jnp.ndarray,
                          evk: jnp.ndarray) -> jnp.ndarray:
     """Hybrid keyswitch, NTT-form input (fused modup)."""
-    t_up = modup_from_ntt32(ks, c2_ntt)
-    s0, s1 = inner_product32(ks, t_up, evk)
+    s0, s1 = modup_ip32(ks, c2_ntt, evk)
     return jnp.stack([moddown32(ks, s0), moddown32(ks, s1)])
 
 
@@ -484,6 +564,20 @@ def _rescale(p: CKKSPipeline32, x):
     xl = _inv(ks, x[..., k - 1:k, :], t_last)
     qlast = ks.mv_ql.q[k - 1]
     xl = m32.add_mod32(xl, p.half, qlast)
+    if (isinstance(p.t_ql_next, ntt_mxu.MXUNTTTables)
+            and p.t_ql_next.fused_kernel):
+        # mxu-pallas: reduce-mod-q_j (alpha=1 bconv), half correction,
+        # forward NTT and the (x - .) * qlast^{-1} epilogue in one program
+        from . import ntt_mxu_pallas as nmp
+        lead = x.shape[:-2]
+        n = x.shape[-1]
+        g = int(np.prod(lead)) if lead else 1
+        out = nmp.bconv_ntt_forward_mxu_pallas(
+            xl.reshape(g, 1, n), jnp.ones((g, k - 1, 1), jnp.uint32),
+            p.t_ql_next, post_sub=p.half_mod_q,
+            sub_from=x[..., :k - 1, :].reshape(g, k - 1, n),
+            epi_scale=p.qlast_inv, epi_scale_shoup=p.qlast_inv_shoup)
+        return out.reshape(*lead, k - 1, n)
     rest_q = ks.mv_ql.q[:k - 1][:, None]
     rest_rh = ks.mv_ql.ratio_hi[:k - 1][:, None]
     red = m32.barrett_reduce_u32(xl, rest_q, rest_rh)
@@ -506,10 +600,7 @@ def mult_relin_rescale32(p: CKKSPipeline32, d1: jnp.ndarray,
     debug.check_range(d1, q, "mult_relin_rescale32: d1 not canonical")
     debug.check_range(d2, q, "mult_relin_rescale32: d2 not canonical")
     c0, c1, c2 = _tensor_2x2(ks.mv_ql, d1, d2)
-    t_up = modup_from_ntt32(ks, c2)
-    debug.check_range(t_up, ks.mv_qlp.q[:, None],
-                      "modup digits not canonical over QlP")
-    s0, s1 = inner_product32(ks, t_up, p.evk)
+    s0, s1 = modup_ip32(ks, c2, p.evk)
     out0 = m32.add_mod32(c0, moddown32(ks, s0), q)
     out1 = m32.add_mod32(c1, moddown32(ks, s1), q)
     out = jnp.stack([out0, out1])

@@ -46,7 +46,7 @@ def bfv_setup():
     return ctx, rlk, ct1, ct2
 
 
-@pytest.mark.parametrize("use_pallas", [False, True, "mxu"])
+@pytest.mark.parametrize("use_pallas", [False, True, "mxu", "mxu-pallas"])
 def test_bfv_mult_relin_bit_match(bfv_setup, use_pallas):
     ctx, rlk, ct1, ct2 = bfv_setup
     ref = np.asarray(evaluate.multiply_and_relin(ctx, ct1, ct2, rlk).data)
@@ -183,7 +183,7 @@ def bgv_setup():
     return ctx, rlk, ct1, ct2
 
 
-@pytest.mark.parametrize("use_pallas", [False, True, "mxu"])
+@pytest.mark.parametrize("use_pallas", [False, True, "mxu", "mxu-pallas"])
 def test_bgv_mult_relin_modswitch_bit_match(bgv_setup, use_pallas):
     ctx, rlk, ct1, ct2 = bgv_setup
     ref_ct = evaluate.mod_switch_to_next(
@@ -237,7 +237,7 @@ def test_bfv_rotate_coeff_bit_match(bfv_setup):
     np.testing.assert_array_equal(out, ref.astype(np.uint32))
 
 
-@pytest.mark.parametrize("use_pallas", [False, True, "mxu"])
+@pytest.mark.parametrize("use_pallas", [False, True, "mxu", "mxu-pallas"])
 def test_rotate_bit_match(ckks_setup, use_pallas):
     ctx, glk, ct = ckks_setup
     ref = np.asarray(evaluate.rotate_vector(ctx, ct, 1, glk).data)
@@ -247,7 +247,7 @@ def test_rotate_bit_match(ckks_setup, use_pallas):
     np.testing.assert_array_equal(out, ref.astype(np.uint32))
 
 
-@pytest.mark.parametrize("use_pallas", [False, True, "mxu"])
+@pytest.mark.parametrize("use_pallas", [False, True, "mxu", "mxu-pallas"])
 def test_hoisting_bit_match(ckks_setup, use_pallas):
     ctx, glk, ct = ckks_setup
     steps = [1, -1, 2]
