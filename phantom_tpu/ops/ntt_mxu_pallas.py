@@ -410,11 +410,13 @@ def bconv_ntt_forward_mxu_pallas(y: jnp.ndarray, mat: jnp.ndarray,
 # modup + evaluation-key inner product in one program
 # ---------------------------------------------------------------------------
 
-def _modup_ip_kernel(bits, q_bits, alpha, beta,
-                     y_ref, mat_ref, c2_ref, evk_ref,
-                     wa_ref, d_ref, ds_ref, wb_ref,
-                     q_ref, rh_ref, rl_ref, p32_ref, p64_ref,
-                     pd_ref, pds_ref, o_ref, acc_ref):
+def _modup_ip_kernel(bits, q_bits, alpha, beta, has_self,
+                     y_ref, mat_ref, *rest):
+    rest = list(rest)
+    c2_ref = rest.pop(0) if has_self else None
+    (evk_ref, wa_ref, d_ref, ds_ref, wb_ref,
+     q_ref, rh_ref, rl_ref, p32_ref, p64_ref,
+     pd_ref, pds_ref, o_ref, acc_ref) = rest
     jid = pl.program_id(0)
     did = pl.program_id(1)
     q = q_ref[0, 0]
@@ -444,10 +446,11 @@ def _modup_ip_kernel(bits, q_bits, alpha, beta,
                         q, rh, rl)
     t_l = m32.barrett_reduce_u32(lo, q, rh)
     x = m32.add_mod32(m32.add_mod32(t_c, t_h, q), t_l, q)
-    out = _ntt_core(x, wa_ref, d_ref, ds_ref, wb_ref, q, pd_ref, pds_ref,
-                    bits, q_bits)
-    in_digit = (jid >= did * alpha) & (jid < (did + 1) * alpha)
-    t_dj = jnp.where(in_digit, c2_ref[0], out)
+    t_dj = _ntt_core(x, wa_ref, d_ref, ds_ref, wb_ref, q, pd_ref, pds_ref,
+                     bits, q_bits)
+    if has_self:
+        in_digit = (jid >= did * alpha) & (jid < (did + 1) * alpha)
+        t_dj = jnp.where(in_digit, c2_ref[0], t_dj)
 
     # accumulate t_dj * evk[did, half, j] into the two 96-bit triples
     for half in range(2):
@@ -492,7 +495,12 @@ def modup_ip_mxu_pallas(y: jnp.ndarray, mats: jnp.ndarray,
     c2_ntt: (beta*alpha, N); evk: (beta, 2, k_out, N).
     Returns (s0, s1), each (k_out, N) in [0, q) — bit-identical to
     inner_product32(modup_from_ntt32(...)) (reference pipeline:
-    ntt_modup.cu + key_switch_inner_prod_c2_and_evk)."""
+    ntt_modup.cu + key_switch_inner_prod_c2_and_evk).
+
+    c2_ntt=None is the coefficient-form variant: no passthrough rows —
+    the caller's mats carry the digit qhat diagonal so the kernel's
+    matmul recovers x_j = y_j * qhat_j for self rows (then transforms
+    them like every other row)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n1, n2 = t.n1, t.n2
@@ -505,7 +513,7 @@ def modup_ip_mxu_pallas(y: jnp.ndarray, mats: jnp.ndarray,
 
     ym = y.reshape(k, n1, n2)
     matm = jnp.asarray(mats, jnp.uint32).reshape(beta * k_out, alpha)
-    c2m = c2_ntt.reshape(k, n1, n2)
+    has_self = c2_ntt is not None
     evkm = evk.reshape(beta, 2, k_out, n1, n2)
 
     y_spec = pl.BlockSpec((k, n1, n2), lambda j, d: (0, 0, 0),
@@ -529,20 +537,27 @@ def modup_ip_mxu_pallas(y: jnp.ndarray, mats: jnp.ndarray,
 
     col = lambda a: jnp.asarray(a, jnp.uint32).reshape(-1, 1)
     kern = functools.partial(_modup_ip_kernel, t.plane_bits, t.q_bits,
-                             alpha, beta)
+                             alpha, beta, has_self)
+    args = [ym, matm]
+    specs = [y_spec, mat_spec]
+    if has_self:
+        args += [c2_ntt.reshape(k, n1, n2)]
+        specs += [c2_spec]
+    args += [evkm, t.wa, t.d.reshape(-1, n1, n2),
+             t.d_shoup.reshape(-1, n1, n2), t.wb,
+             col(mv.q), col(mv.ratio_hi), col(mv.ratio_lo),
+             col(mv.pow32), col(mv.pow64), t.pow_diag, t.pow_diag_shoup]
+    specs += [evk_spec, left, tw, tw, right,
+              scalar, scalar, scalar, scalar, scalar, diag, diag]
     out = pl.pallas_call(
         kern,
         grid=(k_out, beta),
-        in_specs=[y_spec, mat_spec, c2_spec, evk_spec, left, tw, tw, right,
-                  scalar, scalar, scalar, scalar, scalar, diag, diag],
+        in_specs=specs,
         out_specs=pl.BlockSpec((2, 1, n1, n2), lambda j, d: (0, j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, k_out, n1, n2), jnp.uint32),
         scratch_shapes=[pltpu.VMEM((6, n1, n2), jnp.uint32)],
         interpret=interpret,
-    )(ym, matm, c2m, evkm, t.wa, t.d.reshape(-1, n1, n2),
-      t.d_shoup.reshape(-1, n1, n2), t.wb,
-      col(mv.q), col(mv.ratio_hi), col(mv.ratio_lo),
-      col(mv.pow32), col(mv.pow64), t.pow_diag, t.pow_diag_shoup)
+    )(*args)
     out = out.reshape(2, k_out, n)
     return out[0], out[1]

@@ -102,6 +102,12 @@ class KeySwitch32:
     modup_mats: Optional[jnp.ndarray] = None
     moddown_scale: Optional[jnp.ndarray] = None
     moddown_scale_shoup: Optional[jnp.ndarray] = None
+    # coefficient-form modup: mats with the digit qhat diagonal on the
+    # self rows (the kernel recovers x_j = y_j * qhat_j), plus the per-row
+    # QhatInv pre-scale over all Ql rows
+    modup_mats_coeff: Optional[jnp.ndarray] = None
+    modup_qhat_inv: Optional[jnp.ndarray] = None
+    modup_qhat_inv_shoup: Optional[jnp.ndarray] = None
     # BGV-only t-corrected moddown (reference: bgv_moddown_kernel)
     p_to_t: Optional[BaseConvConsts32] = None
     phalf_mod_p: Optional[jnp.ndarray] = None
@@ -177,7 +183,8 @@ def build_keyswitch32(ctx, chain_index: int = 1,
     fused = ks.modup_scale is not None and k % alpha == 0
 
     engine = normalize_engine(use_pallas)
-    modup_mats = None
+    modup_mats = modup_mats_coeff = None
+    modup_qhat_inv = modup_qhat_inv_shoup = None
     moddown_scale = moddown_scale_shoup = None
     if engine == "mxu-pallas":
         if fused:
@@ -191,6 +198,20 @@ def build_keyswitch32(ctx, chain_index: int = 1,
                 mats[d, :lo] = qh[:lo]
                 mats[d, hi:] = qh[lo:]
             modup_mats = jnp.asarray(mats)
+            # coefficient-form variant: self rows get the digit qhat
+            # diagonal so the kernel reconstructs x_j from the pre-scaled
+            # y_j = x_j * qhat_inv_j
+            mats_c = mats.copy()
+            for d in range(beta):
+                lo = d * alpha
+                db = RNSBase(data_moduli[lo:lo + alpha])
+                for i in range(alpha):
+                    mats_c[d, lo + i, i] = db.qhat_mod_qi[i]
+            modup_mats_coeff = jnp.asarray(mats_c)
+            modup_qhat_inv = jnp.concatenate(
+                [c.qhat_inv for c in digit_convs])
+            modup_qhat_inv_shoup = jnp.concatenate(
+                [c.qhat_inv_shoup for c in digit_convs])
         # (x - delta) * P^{-1} moddown: fold n^-1 * PhatInv into the P-rows
         # iNTT (canonical values match scale_by_qhat_inv32 after a plain
         # iNTT, so results stay bit-identical)
@@ -221,6 +242,9 @@ def build_keyswitch32(ctx, chain_index: int = 1,
         modup_mats=modup_mats,
         moddown_scale=moddown_scale,
         moddown_scale_shoup=moddown_scale_shoup,
+        modup_mats_coeff=modup_mats_coeff,
+        modup_qhat_inv=modup_qhat_inv,
+        modup_qhat_inv_shoup=modup_qhat_inv_shoup,
         **bgv_extra,
     )
 
@@ -284,12 +308,26 @@ def slice_tables32(use_pallas, tables, lo, hi):
     return tables.limb_slice(np.arange(lo, hi))
 
 
+def _modup_coeff_prescale(ks: KeySwitch32, c2_coeff: jnp.ndarray):
+    return m32.mul_mod_shoup32(
+        c2_coeff, ks.modup_qhat_inv[:, None],
+        ks.modup_qhat_inv_shoup[:, None], ks.mv_ql.q[:, None])
+
+
 def modup32(ks: KeySwitch32, c2_coeff: jnp.ndarray) -> jnp.ndarray:
     """(size_ql, N) coeff form -> (beta, size_qlp, N) NTT form.
     Reference: DRNSTool::modup (rns_bconv.cu:530-628)."""
     k = ks.size_ql
     alpha = ks.size_p
     beta = len(ks.digit_convs)
+    if ks.modup_mats_coeff is not None:
+        # mxu-pallas: one QhatInv pre-scale pass, then bconv + NTT of
+        # every QlP row (self rows recovered via the qhat diagonal) in
+        # one Pallas program per row
+        from . import ntt_mxu_pallas as nmp
+        y = _modup_coeff_prescale(ks, c2_coeff)
+        return nmp.bconv_ntt_forward_mxu_pallas(
+            y.reshape(beta, alpha, -1), ks.modup_mats_coeff, ks.t_qlp)
     assembled = []
     for d in range(beta):
         lo, hi = d * alpha, min((d + 1) * alpha, k)
@@ -461,8 +499,16 @@ def moddown_coeff32(ks: KeySwitch32, x: jnp.ndarray) -> jnp.ndarray:
 def keyswitch32(ks: KeySwitch32, c2_coeff: jnp.ndarray,
                 evk: jnp.ndarray) -> jnp.ndarray:
     """Full hybrid keyswitch, coeff-form input -> (2, size_ql, N) NTT."""
-    t_up = modup32(ks, c2_coeff)
-    s0, s1 = inner_product32(ks, t_up, evk)
+    from . import ntt_mxu_pallas as nmp
+    n = c2_coeff.shape[-1]
+    if (ks.modup_mats_coeff is not None and c2_coeff.ndim == 2
+            and ks.size_ql * n * 4 <= nmp.MODUP_IP_MAX_Y_BYTES):
+        y = _modup_coeff_prescale(ks, c2_coeff)
+        s0, s1 = nmp.modup_ip_mxu_pallas(y, ks.modup_mats_coeff, None,
+                                         evk, ks.t_qlp)
+    else:
+        t_up = modup32(ks, c2_coeff)
+        s0, s1 = inner_product32(ks, t_up, evk)
     return jnp.stack([moddown32(ks, s0), moddown32(ks, s1)])
 
 

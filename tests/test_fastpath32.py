@@ -222,7 +222,8 @@ def ckks_setup():
     return ctx, glk, ct
 
 
-def test_bfv_rotate_coeff_bit_match(bfv_setup):
+@pytest.mark.parametrize("use_pallas", [False, "mxu-pallas"])
+def test_bfv_rotate_coeff_bit_match(bfv_setup, use_pallas):
     ctx, rlk, ct1, ct2 = bfv_setup
     # bit-match comparison only: u32 and u64 run the same galois key over
     # the same data, so any key works
@@ -230,7 +231,7 @@ def test_bfv_rotate_coeff_bit_match(bfv_setup):
     glk = keys.create_galois_keys(ctx, sk_g, jax.random.PRNGKey(31),
                                   steps=[2])
     ref = np.asarray(evaluate.rotate_rows(ctx, ct1, 2, glk).data)
-    ks = pp.build_keyswitch32(ctx)
+    ks = pp.build_keyswitch32(ctx, use_pallas=use_pallas)
     g = pp.build_galois32(ctx, glk)
     out = np.asarray(pp.rotate32(ks, g, _u32(ct1.data), 2,
                                  is_ntt_form=False))
