@@ -331,6 +331,13 @@ def _accumulate_reduce32(y, mat, obase: ModulusVec32, pow2=None,
                          pow2_shoup=None) -> jnp.ndarray:
     """sum_i y[i,:] * mat[:,i] mod p over obase, via whichever accumulate
     path is active."""
+    if pow2 is not None and y.ndim == 2:
+        from . import bconv_pallas as bp
+        n_ = y.shape[-1]
+        if bp._enabled() and n_ % 128 == 0 and (n_ <= bp.BLOCK_N
+                                                or n_ % bp.BLOCK_N == 0):
+            return bp.fold_matmul_pallas(y, mat, obase, pow2, pow2_shoup,
+                                         _mxu_plane_bits())
     if _use_mxu() and FOLD_DIAGONALS32 and pow2 is not None:
         return accumulate_fold32(y, mat, obase, pow2, pow2_shoup)
     cc, hh, ll = _accumulate32(y, mat)
