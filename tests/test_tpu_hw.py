@@ -86,11 +86,36 @@ def test_mult_relin_rescale_on_hw(setup, engine):
     np.testing.assert_array_equal(out, ref.astype(np.uint32))
 
 
-def test_fast32_rotate_on_hw(setup):
+@pytest.mark.parametrize("engine", [False, "mxu-pallas"])
+def test_fast32_rotate_on_hw(setup, engine):
     ctx, rlk, glk, ct1, ct2, _, ref_rot = setup
-    ev = Fast32(ctx, rlk=rlk, glk=glk)
+    ev = Fast32(ctx, rlk=rlk, glk=glk, use_pallas=engine)
     c = ev.rescale_to_next(ev.multiply_and_relin(
         ev.from_ciphertext(ct1), ev.from_ciphertext(ct2)))
     c = ev.rotate(c, 1)
     np.testing.assert_array_equal(np.asarray(c.data),
                                   ref_rot.astype(np.uint32))
+
+
+def test_bconv_fold_matmul_on_hw():
+    """The standalone Pallas fold-matmul (base-conversion kernel) through
+    Mosaic, vs the exact triple computed on the CPU backend."""
+    from phantom_tpu.ops import bconv32 as bc32
+    from phantom_tpu.ops import bconv_pallas as bp
+    rng = np.random.default_rng(9)
+    cpu = jax.devices("cpu")[0]
+    ps = numth.get_primes(2 * 1024, 28, 6)
+    y = rng.integers(0, 1 << 29, (13, 2048)).astype(np.uint32)
+    mat = rng.integers(0, 1 << 29, (6, 13)).astype(np.uint32)
+    with jax.default_device(cpu):
+        obase_c = bc32.modulus_vec32(ps)
+        cc, hh, ll = bc32.accumulate_matmul_96(jnp.asarray(y),
+                                               jnp.asarray(mat))
+        ref = np.asarray(bc32.reduce_u96_any32(cc, hh, ll, obase_c))
+    obase = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), obase_c)
+    pow2, pow2_shoup = bc32.pow2_tables(ps)
+    for bits in (7, 8):
+        got = np.asarray(bp.fold_matmul_pallas(
+            jnp.asarray(y), jnp.asarray(mat), obase, pow2, pow2_shoup,
+            bits, interpret=False))
+        np.testing.assert_array_equal(ref, got, err_msg=f"{bits=}")
