@@ -60,8 +60,11 @@ def _kernel(bits, nplanes, pair, y_ref, matp_ref, q_ref, pd_ref, pds_ref,
 
 
 # None = auto: on for TPU backends, off elsewhere (interpret-mode Pallas on
-# CPU is far slower than the XLA triple path)
-USE_PALLAS_BCONV = None
+# CPU is far slower than the XLA triple path).  PHANTOM_PALLAS_BCONV=0
+# forces it off (hardware-day bisection knob).
+import os as _os
+USE_PALLAS_BCONV = (False if _os.environ.get("PHANTOM_PALLAS_BCONV") == "0"
+                    else None)
 
 # column block: large enough to keep the MXU busy, small enough that
 # double-buffered y/out blocks stay tiny next to the resident mat planes

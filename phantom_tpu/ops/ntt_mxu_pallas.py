@@ -44,7 +44,11 @@ from .ntt_mxu import MXUNTTTables, _max_partial
 
 # "int8": s8 dots with s32 accumulation (native MXU int8 mode).
 # "bf16": bf16 dots with f32 accumulation (fallback; exact below 2^24).
-DOT_MODE = "int8"
+# Env knobs for hardware-day bisection without code edits:
+#   PHANTOM_DOT_MODE=bf16      if Mosaic rejects integer matmuls
+#   PHANTOM_MODUP_IP=0         disable the modup+IP mega-kernel
+import os as _os
+DOT_MODE = _os.environ.get("PHANTOM_DOT_MODE", "int8")
 
 
 def _plane_list(x, bits: int, value_bits: int):
@@ -478,8 +482,9 @@ def _modup_ip_kernel(bits, q_bits, alpha, beta, has_self,
 
 # fall back to the split modup + XLA inner product when the resident
 # y buffer would crowd VMEM (~16 MB/core; tables + evk blocks + scratch
-# need the rest)
-MODUP_IP_MAX_Y_BYTES = 8 << 20
+# need the rest); PHANTOM_MODUP_IP=0 disables the mega-kernel entirely
+MODUP_IP_MAX_Y_BYTES = (0 if _os.environ.get("PHANTOM_MODUP_IP") == "0"
+                        else 8 << 20)
 
 
 def modup_ip_mxu_pallas(y: jnp.ndarray, mats: jnp.ndarray,
