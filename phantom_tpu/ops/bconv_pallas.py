@@ -27,11 +27,18 @@ from . import modmath32 as m32
 from .modmath32 import U32
 
 
-def _kernel(bits, nplanes, pair, y_ref, matp_ref, q_ref, pd_ref, pds_ref,
+def _kernel(bits, nplanes, pair, pdt, y_ref, matp_ref, q_ref, pd_ref, pds_ref,
             o_ref):
     mask = U32((1 << bits) - 1)
-    pdt = jnp.int8 if bits <= 7 else jnp.int32
-    yps = [((y_ref[...] >> U32(bits * b)) & mask).astype(pdt)
+    # Mosaic has no i32 MXU matmul; the radix-2^8 mode runs bf16 planes
+    # with f32 accumulation on hardware (exact: plane values <= 255 are
+    # bf16-exact integers, partial sums < 2^24 — asserted by the caller)
+    acc_t = jnp.float32 if pdt == jnp.bfloat16 else jnp.int32
+    # Mosaic can't lower uint32->bfloat16 directly; hop through int32
+    def to_plane(x):
+        return x.astype(jnp.int32).astype(pdt) if pdt == jnp.bfloat16 \
+            else x.astype(pdt)
+    yps = [to_plane((y_ref[...] >> U32(bits * b)) & mask)
            for b in range(nplanes)]
     mps = [matp_ref[a] for a in range(nplanes)]
     q = q_ref[...][:, :1]
@@ -43,16 +50,22 @@ def _kernel(bits, nplanes, pair, y_ref, matp_ref, q_ref, pd_ref, pds_ref,
         p_ = None
         for a in range(max(0, d - nplanes + 1), min(nplanes, d + 1)):
             t = jax.lax.dot_general(mps[a], yps[d - a], dimension_numbers=dn,
-                                    preferred_element_type=jnp.int32)
+                                    preferred_element_type=acc_t)
             p_ = t if p_ is None else p_ + t
         return p_
+
+    def to_u32(x):
+        # f32 -> uint32 is also unsupported in Mosaic; hop through int32
+        # (values are non-negative < 2^24 in the bf16 mode, < 2^31 else)
+        return x.astype(jnp.int32).astype(jnp.uint32) \
+            if x.dtype != jnp.int32 else x.astype(jnp.uint32)
 
     acc = None
     step = 2 if pair else 1
     for j in range(0, nd, step):
-        w = diag(j).astype(jnp.uint32)
+        w = to_u32(diag(j))
         if pair and j + 1 < nd:
-            w = w + (diag(j + 1).astype(jnp.uint32) << U32(bits))
+            w = w + (to_u32(diag(j + 1)) << U32(bits))
         term = m32.mul_mod_shoup_lazy32(
             w, pd_ref[...][:, j][:, None], pds_ref[...][:, j][:, None], q)
         acc = term if acc is None else m32.csub32(acc + term, two_q)
@@ -88,7 +101,15 @@ def fold_matmul_pallas(y: jnp.ndarray, mat: jnp.ndarray, obase,
     k_out = mat.shape[0]
     nplanes = -(-30 // bits)
     mask = np.uint32((1 << bits) - 1)
-    pdt = jnp.int8 if bits <= 7 else jnp.int32
+    if bits <= 7:
+        pdt = jnp.int8
+    elif interpret:
+        pdt = jnp.int32
+    else:
+        pdt = jnp.bfloat16  # hardware radix-2^8: f32-accumulated bf16 dots
+        if ((1 << bits) - 1) ** 2 * k_in * nplanes >= (1 << 24):
+            raise ValueError("radix-2^8 bf16 fold-matmul exactness bound "
+                             f"exceeded at k_in={k_in}; use bits=7 on TPU")
     matp = jnp.stack([((mat >> U32(bits * b)) & mask).astype(pdt)
                       for b in range(nplanes)])
     n_diag = 2 * nplanes - 1
@@ -99,23 +120,27 @@ def fold_matmul_pallas(y: jnp.ndarray, mat: jnp.ndarray, obase,
     pair = max_partial * ((1 << bits) + 1) <= 0xFFFFFFFF
     bn = min(BLOCK_N, n)
 
-    kern = functools.partial(_kernel, bits, nplanes, pair)
+    kern = functools.partial(_kernel, bits, nplanes, pair, pdt)
+    # index-map constants must be int32: under jax_enable_x64 a Python 0
+    # traces as i64 and Mosaic fails to legalize the mixed (i64, i32)
+    # index-map return (seen on hardware: "failed to legalize func.return")
+    Z = np.int32(0)
     return pl.pallas_call(
         kern,
         grid=(n // bn,),
         in_specs=[
-            pl.BlockSpec((k_in, bn), lambda c: (0, c),
+            pl.BlockSpec((k_in, bn), lambda c: (Z, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nplanes, k_out, k_in), lambda c: (0, 0, 0),
+            pl.BlockSpec((nplanes, k_out, k_in), lambda c: (Z, Z, Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_out, 1), lambda c: (0, 0),
+            pl.BlockSpec((k_out, 1), lambda c: (Z, Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_out, n_diag), lambda c: (0, 0),
+            pl.BlockSpec((k_out, n_diag), lambda c: (Z, Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_out, n_diag), lambda c: (0, 0),
+            pl.BlockSpec((k_out, n_diag), lambda c: (Z, Z),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((k_out, bn), lambda c: (0, c),
+        out_specs=pl.BlockSpec((k_out, bn), lambda c: (Z, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k_out, n), jnp.uint32),
         interpret=interpret,

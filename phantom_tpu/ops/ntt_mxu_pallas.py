@@ -48,6 +48,10 @@ from .ntt_mxu import MXUNTTTables, _max_partial
 #   PHANTOM_DOT_MODE=bf16      if Mosaic rejects integer matmuls
 #   PHANTOM_MODUP_IP=0         disable the modup+IP mega-kernel
 import os as _os
+
+# Mosaic requires i32 index-map returns; a Python 0 traces as weak i64 under
+# jax_enable_x64 and fails to legalize (seen on hardware 2026-08-19)
+_I0 = np.int32(0)
 DOT_MODE = _os.environ.get("PHANTOM_DOT_MODE", "int8")
 
 
@@ -156,17 +160,17 @@ def _specs(t: MXUNTTTables, num_l: int, fused: bool, inverse: bool):
     n1, n2 = t.n1, t.n2
     nplanes = t.wa.shape[0]
     n_diag = t.pow_diag.shape[1]
-    data = pl.BlockSpec((1, n1, n2), lambda l: (l, 0, 0),
+    data = pl.BlockSpec((1, n1, n2), lambda l: (l, _I0, _I0),
                         memory_space=pltpu.VMEM)
-    left = pl.BlockSpec((nplanes, 1, n1, n1), lambda l: (0, l % num_l, 0, 0),
+    left = pl.BlockSpec((nplanes, 1, n1, n1), lambda l: (_I0, l % num_l, _I0, _I0),
                         memory_space=pltpu.VMEM)
-    right = pl.BlockSpec((nplanes, 1, n2, n2), lambda l: (0, l % num_l, 0, 0),
+    right = pl.BlockSpec((nplanes, 1, n2, n2), lambda l: (_I0, l % num_l, _I0, _I0),
                          memory_space=pltpu.VMEM)
-    tw = pl.BlockSpec((1, n1, n2), lambda l: (l % num_l, 0, 0),
+    tw = pl.BlockSpec((1, n1, n2), lambda l: (l % num_l, _I0, _I0),
                       memory_space=pltpu.VMEM)
-    scalar = pl.BlockSpec((1, 1), lambda l: (l % num_l, 0),
+    scalar = pl.BlockSpec((1, 1), lambda l: (l % num_l, _I0),
                           memory_space=pltpu.SMEM)
-    diag = pl.BlockSpec((1, n_diag), lambda l: (l % num_l, 0),
+    diag = pl.BlockSpec((1, n_diag), lambda l: (l % num_l, _I0),
                         memory_space=pltpu.SMEM)
     if inverse:
         return [data, right, tw, tw, left, scalar, diag, diag, scalar,
@@ -204,7 +208,7 @@ def ntt_forward_mxu_pallas(x: jnp.ndarray, t: MXUNTTTables,
         kern,
         grid=(nrows,),
         in_specs=_specs(t, num_l, fused, inverse=False),
-        out_specs=pl.BlockSpec((1, n1, n2), lambda l: (l, 0, 0),
+        out_specs=pl.BlockSpec((1, n1, n2), lambda l: (l, _I0, _I0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nrows, n1, n2), jnp.uint32),
         interpret=interpret,
@@ -233,7 +237,7 @@ def ntt_inverse_mxu_pallas(x: jnp.ndarray, t: MXUNTTTables,
         kern,
         grid=(nrows,),
         in_specs=_specs(t, num_l, fused=False, inverse=True),
-        out_specs=pl.BlockSpec((1, n1, n2), lambda l: (l, 0, 0),
+        out_specs=pl.BlockSpec((1, n1, n2), lambda l: (l, _I0, _I0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nrows, n1, n2), jnp.uint32),
         interpret=interpret,
@@ -353,21 +357,21 @@ def bconv_ntt_forward_mxu_pallas(y: jnp.ndarray, mat: jnp.ndarray,
     has_self = self_rows is not None
     fused = sub_from is not None
 
-    y_spec = pl.BlockSpec((alpha, n1, n2), lambda g, j: (g, 0, 0),
+    y_spec = pl.BlockSpec((alpha, n1, n2), lambda g, j: (g, _I0, _I0),
                           memory_space=pltpu.VMEM)
-    mat_spec = pl.BlockSpec((1, alpha), lambda g, j: (g * k_out + j, 0),
+    mat_spec = pl.BlockSpec((1, alpha), lambda g, j: (g * k_out + j, _I0),
                             memory_space=pltpu.SMEM)
-    left = pl.BlockSpec((nplanes, 1, n1, n1), lambda g, j: (0, j, 0, 0),
+    left = pl.BlockSpec((nplanes, 1, n1, n1), lambda g, j: (_I0, j, _I0, _I0),
                         memory_space=pltpu.VMEM)
-    right = pl.BlockSpec((nplanes, 1, n2, n2), lambda g, j: (0, j, 0, 0),
+    right = pl.BlockSpec((nplanes, 1, n2, n2), lambda g, j: (_I0, j, _I0, _I0),
                          memory_space=pltpu.VMEM)
-    tw = pl.BlockSpec((1, n1, n2), lambda g, j: (j, 0, 0),
+    tw = pl.BlockSpec((1, n1, n2), lambda g, j: (j, _I0, _I0),
                       memory_space=pltpu.VMEM)
-    scalar = pl.BlockSpec((1, 1), lambda g, j: (j, 0),
+    scalar = pl.BlockSpec((1, 1), lambda g, j: (j, _I0),
                           memory_space=pltpu.SMEM)
-    diag = pl.BlockSpec((1, n_diag), lambda g, j: (j, 0),
+    diag = pl.BlockSpec((1, n_diag), lambda g, j: (j, _I0),
                         memory_space=pltpu.SMEM)
-    gdata = pl.BlockSpec((1, n1, n2), lambda g, j: (g * k_out + j, 0, 0),
+    gdata = pl.BlockSpec((1, n1, n2), lambda g, j: (g * k_out + j, _I0, _I0),
                          memory_space=pltpu.VMEM)
 
     col = lambda a: jnp.asarray(a, jnp.uint32).reshape(-1, 1)
@@ -379,7 +383,7 @@ def bconv_ntt_forward_mxu_pallas(y: jnp.ndarray, mat: jnp.ndarray,
              scalar, scalar, scalar, scalar, scalar, diag, diag]
     if has_v:
         args += [jnp.asarray(v, jnp.uint32).reshape(G, n1, n2), col(vmul)]
-        specs += [pl.BlockSpec((1, n1, n2), lambda g, j: (g, 0, 0),
+        specs += [pl.BlockSpec((1, n1, n2), lambda g, j: (g, _I0, _I0),
                                memory_space=pltpu.VMEM), scalar]
     if has_post:
         args += [col(post_sub)]
@@ -389,7 +393,7 @@ def bconv_ntt_forward_mxu_pallas(y: jnp.ndarray, mat: jnp.ndarray,
         args += [jnp.asarray(self_rows, jnp.uint32
                              ).reshape(k_in_total, n1, n2)]
         specs += [pl.BlockSpec((1, n1, n2),
-                               lambda g, j: (j % k_in_total, 0, 0),
+                               lambda g, j: (j % k_in_total, _I0, _I0),
                                memory_space=pltpu.VMEM)]
     if fused:
         args += [jnp.asarray(sub_from, jnp.uint32).reshape(G * k_out, n1, n2),
@@ -402,7 +406,7 @@ def bconv_ntt_forward_mxu_pallas(y: jnp.ndarray, mat: jnp.ndarray,
         kern,
         grid=(G, k_out),
         in_specs=specs,
-        out_specs=pl.BlockSpec((1, n1, n2), lambda g, j: (g * k_out + j, 0, 0),
+        out_specs=pl.BlockSpec((1, n1, n2), lambda g, j: (g * k_out + j, _I0, _I0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G * k_out, n1, n2), jnp.uint32),
         interpret=interpret,
@@ -521,23 +525,23 @@ def modup_ip_mxu_pallas(y: jnp.ndarray, mats: jnp.ndarray,
     has_self = c2_ntt is not None
     evkm = evk.reshape(beta, 2, k_out, n1, n2)
 
-    y_spec = pl.BlockSpec((k, n1, n2), lambda j, d: (0, 0, 0),
+    y_spec = pl.BlockSpec((k, n1, n2), lambda j, d: (_I0, _I0, _I0),
                           memory_space=pltpu.VMEM)
-    mat_spec = pl.BlockSpec((1, alpha), lambda j, d: (d * k_out + j, 0),
+    mat_spec = pl.BlockSpec((1, alpha), lambda j, d: (d * k_out + j, _I0),
                             memory_space=pltpu.SMEM)
-    c2_spec = pl.BlockSpec((1, n1, n2), lambda j, d: (j % k, 0, 0),
+    c2_spec = pl.BlockSpec((1, n1, n2), lambda j, d: (j % k, _I0, _I0),
                            memory_space=pltpu.VMEM)
-    evk_spec = pl.BlockSpec((1, 2, 1, n1, n2), lambda j, d: (d, 0, j, 0, 0),
+    evk_spec = pl.BlockSpec((1, 2, 1, n1, n2), lambda j, d: (d, _I0, j, _I0, _I0),
                             memory_space=pltpu.VMEM)
-    left = pl.BlockSpec((nplanes, 1, n1, n1), lambda j, d: (0, j, 0, 0),
+    left = pl.BlockSpec((nplanes, 1, n1, n1), lambda j, d: (_I0, j, _I0, _I0),
                         memory_space=pltpu.VMEM)
-    right = pl.BlockSpec((nplanes, 1, n2, n2), lambda j, d: (0, j, 0, 0),
+    right = pl.BlockSpec((nplanes, 1, n2, n2), lambda j, d: (_I0, j, _I0, _I0),
                          memory_space=pltpu.VMEM)
-    tw = pl.BlockSpec((1, n1, n2), lambda j, d: (j, 0, 0),
+    tw = pl.BlockSpec((1, n1, n2), lambda j, d: (j, _I0, _I0),
                       memory_space=pltpu.VMEM)
-    scalar = pl.BlockSpec((1, 1), lambda j, d: (j, 0),
+    scalar = pl.BlockSpec((1, 1), lambda j, d: (j, _I0),
                           memory_space=pltpu.SMEM)
-    diag = pl.BlockSpec((1, n_diag), lambda j, d: (j, 0),
+    diag = pl.BlockSpec((1, n_diag), lambda j, d: (j, _I0),
                         memory_space=pltpu.SMEM)
 
     col = lambda a: jnp.asarray(a, jnp.uint32).reshape(-1, 1)
@@ -558,7 +562,7 @@ def modup_ip_mxu_pallas(y: jnp.ndarray, mats: jnp.ndarray,
         kern,
         grid=(k_out, beta),
         in_specs=specs,
-        out_specs=pl.BlockSpec((2, 1, n1, n2), lambda j, d: (0, j, 0, 0),
+        out_specs=pl.BlockSpec((2, 1, n1, n2), lambda j, d: (_I0, j, _I0, _I0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, k_out, n1, n2), jnp.uint32),
         scratch_shapes=[pltpu.VMEM((6, n1, n2), jnp.uint32)],

@@ -32,6 +32,10 @@ from jax.experimental.pallas import tpu as pltpu
 from .modmath32 import U32, csub32, mul_mod_shoup_lazy32
 from .ntt32 import NTTTables32
 
+# Mosaic requires i32 index-map returns; a Python 0 traces as weak i64 under
+# jax_enable_x64 and fails to legalize (seen on hardware 2026-08-19)
+_I0 = np.int32(0)
+
 
 def _split_n(n: int):
     """n1 x n2 = N with n1 <= n2, both powers of two."""
@@ -234,11 +238,11 @@ def _row_call(kernel, nrows, num_l, n, extra_rows, interpret):
     reused across the leading batch via a modulo index map.  Per-limb
     scalars travel as (L, 1) arrays with (1, 1) SMEM blocks (Mosaic wants
     2D scalars)."""
-    data_spec = pl.BlockSpec((1, n), lambda l: (l, 0),
+    data_spec = pl.BlockSpec((1, n), lambda l: (l, _I0),
                              memory_space=pltpu.VMEM)
-    table_spec = pl.BlockSpec((1, n), lambda l: (l % num_l, 0),
+    table_spec = pl.BlockSpec((1, n), lambda l: (l % num_l, _I0),
                               memory_space=pltpu.VMEM)
-    scalar_spec = pl.BlockSpec((1, 1), lambda l: (l % num_l, 0),
+    scalar_spec = pl.BlockSpec((1, 1), lambda l: (l % num_l, _I0),
                                memory_space=pltpu.SMEM)
     in_specs = [data_spec, table_spec, table_spec, scalar_spec]
     in_specs += [scalar_spec] * extra_rows
@@ -275,11 +279,11 @@ def ntt_forward_pallas(x: jnp.ndarray, t: PallasNTTTables,
     sf = jnp.asarray(sub_from, dtype=jnp.uint32).reshape(nrows, n)
     sc = jnp.asarray(epi_scale, dtype=jnp.uint32).reshape(-1, 1)
     scs = jnp.asarray(epi_scale_shoup, dtype=jnp.uint32).reshape(-1, 1)
-    data_spec = pl.BlockSpec((1, n), lambda l: (l, 0),
+    data_spec = pl.BlockSpec((1, n), lambda l: (l, _I0),
                              memory_space=pltpu.VMEM)
-    table_spec = pl.BlockSpec((1, n), lambda l: (l % num_l, 0),
+    table_spec = pl.BlockSpec((1, n), lambda l: (l % num_l, _I0),
                               memory_space=pltpu.VMEM)
-    scalar_spec = pl.BlockSpec((1, 1), lambda l: (l % num_l, 0),
+    scalar_spec = pl.BlockSpec((1, 1), lambda l: (l % num_l, _I0),
                                memory_space=pltpu.SMEM)
     kern = functools.partial(_fwd_fused_kernel, t.n1, t.n2)
     out = pl.pallas_call(
@@ -353,13 +357,13 @@ def keyswitch_inner_product_pallas(t_modup: jnp.ndarray, evk: jnp.ndarray,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     beta, kk, n = t_modup.shape
-    t_spec = pl.BlockSpec((beta, 1, n), lambda j, k: (0, k, 0),
+    t_spec = pl.BlockSpec((beta, 1, n), lambda j, k: (_I0, k, _I0),
                           memory_space=pltpu.VMEM)
-    e_spec = pl.BlockSpec((beta, 1, 1, n), lambda j, k: (0, j, k, 0),
+    e_spec = pl.BlockSpec((beta, 1, 1, n), lambda j, k: (_I0, j, k, _I0),
                           memory_space=pltpu.VMEM)
-    s_spec = pl.BlockSpec((1, 1), lambda j, k: (k, 0),
+    s_spec = pl.BlockSpec((1, 1), lambda j, k: (k, _I0),
                           memory_space=pltpu.SMEM)
-    out_spec = pl.BlockSpec((1, 1, n), lambda j, k: (j, k, 0),
+    out_spec = pl.BlockSpec((1, 1, n), lambda j, k: (j, k, _I0),
                             memory_space=pltpu.VMEM)
     kern = functools.partial(_ip_kernel, beta)
     col = lambda a: a.reshape(-1, 1)

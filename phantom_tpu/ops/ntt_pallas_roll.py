@@ -43,6 +43,10 @@ from .modmath32 import U32, csub32, mul_mod_shoup_lazy32
 from .ntt32 import NTTTables32
 from .ntt_pallas import _split_n
 
+# Mosaic requires i32 index-map returns; a Python 0 traces as weak i64 under
+# jax_enable_x64 and fails to legalize (seen on hardware 2026-08-19)
+_I0 = np.int32(0)
+
 
 @flax.struct.dataclass
 class RollNTTTables:
@@ -237,15 +241,15 @@ def _inv_kernel(n1, n2, x_ref, ia_ref, ias_ref, ib_ref, ibs_ref, q_ref,
 
 def _call(kernel, t: RollNTTTables, nrows, num_l, extra, interpret):
     n1, n2 = t.n1, t.n2
-    data = pl.BlockSpec((1, n1, n2), lambda l: (l, 0, 0),
+    data = pl.BlockSpec((1, n1, n2), lambda l: (l, _I0, _I0),
                         memory_space=pltpu.VMEM)
     cols = pl.BlockSpec((1, n1, t.cols_a.shape[-1]),
-                        lambda l: (l % num_l, 0, 0),
+                        lambda l: (l % num_l, _I0, _I0),
                         memory_space=pltpu.VMEM)
     blk = pl.BlockSpec((1, n1, t.blk_b.shape[-1]),
-                       lambda l: (l % num_l, 0, 0),
+                       lambda l: (l % num_l, _I0, _I0),
                        memory_space=pltpu.VMEM)
-    scalar = pl.BlockSpec((1, 1), lambda l: (l % num_l, 0),
+    scalar = pl.BlockSpec((1, 1), lambda l: (l % num_l, _I0),
                           memory_space=pltpu.SMEM)
     in_specs = [data, cols, cols, blk, blk, scalar] + list(extra)
     return pl.pallas_call(
@@ -279,9 +283,9 @@ def ntt_forward_roll(x: jnp.ndarray, t: RollNTTTables,
         out = _call(kern, t, nrows, num_l, [], interpret)(
             xm, t.cols_a, t.cols_a_shoup, t.blk_b, t.blk_b_shoup, qcol)
         return out.reshape(*lead, n1 * n2)
-    data = pl.BlockSpec((1, n1, n2), lambda l: (l, 0, 0),
+    data = pl.BlockSpec((1, n1, n2), lambda l: (l, _I0, _I0),
                         memory_space=pltpu.VMEM)
-    scalar = pl.BlockSpec((1, 1), lambda l: (l % num_l, 0),
+    scalar = pl.BlockSpec((1, 1), lambda l: (l % num_l, _I0),
                           memory_space=pltpu.SMEM)
     kern = functools.partial(_fwd_fused_kernel, n1, n2)
     out = _call(kern, t, nrows, num_l, [data, scalar, scalar], interpret)(
@@ -307,7 +311,7 @@ def ntt_inverse_roll(x: jnp.ndarray, t: RollNTTTables,
     if scale is None:
         scale = t.inv_degree
         scale_shoup = t.inv_degree_shoup
-    scalar = pl.BlockSpec((1, 1), lambda l: (l % num_l, 0),
+    scalar = pl.BlockSpec((1, 1), lambda l: (l % num_l, _I0),
                           memory_space=pltpu.SMEM)
     kern = functools.partial(_inv_kernel, n1, n2)
     out = _call(kern, t, nrows, num_l, [scalar, scalar], interpret)(
