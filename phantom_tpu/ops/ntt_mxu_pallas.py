@@ -13,9 +13,12 @@ one read of the limb's tables, one write of the result.
 Mosaic-legality notes (hard-won, see ops/ntt_pallas.py which predates
 them): data blocks are rank-3 (1, n1, n2) so the trailing two dims span
 the array (the block-shape rule demands multiples of (8, 128) or full
-dims); int8 table blocks (P, 1, m, k) satisfy the (32, 128) int8 tile;
-per-limb fold constants ride SMEM rows (1, D); no in-kernel reshape,
-stack or transpose anywhere.
+dims — Mosaic applies it to SMEM blocks too, so scalar/fold-constant
+tables ride as FULL-array SMEM blocks indexed dynamically in-kernel by
+the limb id); int8 table blocks (P, 1, m, k) satisfy the (32, 128) int8
+tile; index maps use pure-i32 lax arithmetic (jnp's `%` emits an
+i64-promoted remainder jaxpr under x64 that fails legalization); no
+in-kernel reshape, stack or transpose anywhere.
 
 Plane dots run as s8 x s8 -> s32 `dot_general` on the MXU by default;
 set DOT_MODE = "bf16" if a Mosaic version rejects integer matmuls — the
@@ -54,6 +57,28 @@ import os as _os
 _I0 = np.int32(0)
 DOT_MODE = _os.environ.get("PHANTOM_DOT_MODE", "int8")
 
+# Mosaic's default scoped-vmem budget is 16 MiB; the mega-kernel's resident
+# y buffer + pipelined evk/table blocks need more at the headline config
+# (L=28, N=2^16 wants ~18 MiB; seen on hardware 2026-08-19).  A v5e core
+# has 128 MiB of VMEM — claim most of it for these single-kernel programs.
+VMEM_LIMIT = int(_os.environ.get("PHANTOM_VMEM_LIMIT", 100 * 1024 * 1024))
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
+
+
+def _i32(i):
+    return jax.lax.convert_element_type(i, jnp.int32)
+
+
+def _mod(i, m: int):
+    """i % m as pure-i32 lax.rem: jnp's `%` builds a remainder jaxpr with
+    i64 constants under jax_enable_x64, which Mosaic's index-map
+    legalization rejects (seen on hardware 2026-08-19)."""
+    return jax.lax.rem(_i32(i), np.int32(m))
+
+
+def _row(g, k: int, j):
+    return _i32(g) * np.int32(k) + _i32(j)
+
 
 def _plane_list(x, bits: int, value_bits: int):
     nplanes = -(-value_bits // bits)
@@ -77,12 +102,13 @@ def _dot(a, b, dn):
 _DN = (((1,), (0,)), ((), ()))  # plain (m, k) @ (k, c)
 
 
-def _mm_fold(aps, bps, q, pd_ref, pds_ref, bits, contract_len):
+def _mm_fold(aps, bps, q, pd_ref, pds_ref, lid, bits, contract_len):
     """sum over planes of aps[a] @ bps[b] * 2^(bits*(a+b)) mod q, all in
     VMEM.  Adjacent diagonals are computed in pairs and merged into one
     u32 word before the Shoup fold when provably overflow-free (mirror of
     ntt_mxu._fold_diagonals), so peak live partials stay at two i32
-    buffers and the fold count is ~halved."""
+    buffers and the fold count is ~halved.  pd_ref/pds_ref are full
+    (L, D) SMEM tables read at dynamic row `lid`."""
     nd = len(aps) + len(bps) - 1
     mp = _max_partial(bits, contract_len, len(aps), len(bps))
     pair = mp * ((1 << bits) + 1) <= 0xFFFFFFFF
@@ -104,56 +130,59 @@ def _mm_fold(aps, bps, q, pd_ref, pds_ref, bits, contract_len):
         w = diag(j).astype(jnp.uint32)
         if pair and j + 1 < nd:
             w = w + (diag(j + 1).astype(jnp.uint32) << U32(bits))
-        term = mul_mod_shoup_lazy32(w, pd_ref[0, j], pds_ref[0, j], q)
+        term = mul_mod_shoup_lazy32(w, pd_ref[lid, j], pds_ref[lid, j], q)
         acc = term if acc is None else csub32(acc + term, two_q)
     return csub32(acc, q)
 
 
-def _ntt_core(x, wa_ref, d_ref, ds_ref, wb_ref, q, pd_ref, pds_ref,
+def _ntt_core(x, wa_ref, d_ref, ds_ref, wb_ref, q, pd_ref, pds_ref, lid,
               bits, q_bits):
     """Four-step forward NTT of one strictly-reduced (n1, n2) block, all
     in VMEM; returns the NTT-form block in [0, q)."""
     n1, n2 = x.shape
     xps = _plane_list(x, bits, q_bits)
     waps = [wa_ref[p, 0] for p in range(wa_ref.shape[0])]
-    z = _mm_fold(waps, xps, q, pd_ref, pds_ref, bits, n1)
+    z = _mm_fold(waps, xps, q, pd_ref, pds_ref, lid, bits, n1)
     v = csub32(mul_mod_shoup_lazy32(z, d_ref[0], ds_ref[0], q), q)
     vps = _plane_list(v, bits, q_bits)
     wbps = [wb_ref[p, 0] for p in range(wb_ref.shape[0])]
-    return _mm_fold(vps, wbps, q, pd_ref, pds_ref, bits, n2)
+    return _mm_fold(vps, wbps, q, pd_ref, pds_ref, lid, bits, n2)
 
 
-def _fwd_kernel(bits, q_bits, fused, x_ref, wa_ref, d_ref, ds_ref, wb_ref,
-                q_ref, pd_ref, pds_ref, *rest):
+def _fwd_kernel(bits, q_bits, num_l, fused, x_ref, wa_ref, d_ref, ds_ref,
+                wb_ref, q_ref, pd_ref, pds_ref, *rest):
     if fused:
         s_ref, sc_ref, scs_ref, o_ref = rest
     else:
         (o_ref,) = rest
-    q = q_ref[0, 0]
+    lid = _mod(pl.program_id(0), num_l)
+    q = q_ref[lid, 0]
     x = csub32(x_ref[0], q)                      # tolerate lazy [0, 2q)
     out = _ntt_core(x, wa_ref, d_ref, ds_ref, wb_ref, q, pd_ref, pds_ref,
-                    bits, q_bits)
+                    lid, bits, q_bits)
     if fused:
         diff = s_ref[0] - out + q                # sub_from in [0, q)
-        out = csub32(mul_mod_shoup_lazy32(diff, sc_ref[0, 0],
-                                          scs_ref[0, 0], q), q)
+        out = csub32(mul_mod_shoup_lazy32(diff, sc_ref[lid, 0],
+                                          scs_ref[lid, 0], q), q)
     o_ref[0] = out
 
 
-def _inv_kernel(bits, q_bits, x_ref, wbi_ref, di_ref, dis_ref, wai_ref,
-                q_ref, pd_ref, pds_ref, sc_ref, scs_ref, o_ref):
-    q = q_ref[0, 0]
+def _inv_kernel(bits, q_bits, num_l, x_ref, wbi_ref, di_ref, dis_ref,
+                wai_ref, q_ref, pd_ref, pds_ref, sc_ref, scs_ref, o_ref):
+    lid = _mod(pl.program_id(0), num_l)
+    q = q_ref[lid, 0]
     n1 = x_ref.shape[1]
     n2 = x_ref.shape[2]
     x = csub32(x_ref[0], q)
     xps = _plane_list(x, bits, q_bits)
     wbips = [wbi_ref[p, 0] for p in range(wbi_ref.shape[0])]
-    s = _mm_fold(xps, wbips, q, pd_ref, pds_ref, bits, n2)
+    s = _mm_fold(xps, wbips, q, pd_ref, pds_ref, lid, bits, n2)
     v = mul_mod_shoup_lazy32(s, di_ref[0], dis_ref[0], q)
-    v = csub32(mul_mod_shoup_lazy32(v, sc_ref[0, 0], scs_ref[0, 0], q), q)
+    v = csub32(mul_mod_shoup_lazy32(v, sc_ref[lid, 0], scs_ref[lid, 0], q),
+               q)
     vps = _plane_list(v, bits, q_bits)
     waips = [wai_ref[p, 0] for p in range(wai_ref.shape[0])]
-    o_ref[0] = _mm_fold(waips, vps, q, pd_ref, pds_ref, bits, n1)
+    o_ref[0] = _mm_fold(waips, vps, q, pd_ref, pds_ref, lid, bits, n1)
 
 
 def _specs(t: MXUNTTTables, num_l: int, fused: bool, inverse: bool):
@@ -162,15 +191,20 @@ def _specs(t: MXUNTTTables, num_l: int, fused: bool, inverse: bool):
     n_diag = t.pow_diag.shape[1]
     data = pl.BlockSpec((1, n1, n2), lambda l: (l, _I0, _I0),
                         memory_space=pltpu.VMEM)
-    left = pl.BlockSpec((nplanes, 1, n1, n1), lambda l: (_I0, l % num_l, _I0, _I0),
+    left = pl.BlockSpec((nplanes, 1, n1, n1),
+                        lambda l: (_I0, _mod(l, num_l), _I0, _I0),
                         memory_space=pltpu.VMEM)
-    right = pl.BlockSpec((nplanes, 1, n2, n2), lambda l: (_I0, l % num_l, _I0, _I0),
+    right = pl.BlockSpec((nplanes, 1, n2, n2),
+                         lambda l: (_I0, _mod(l, num_l), _I0, _I0),
                          memory_space=pltpu.VMEM)
-    tw = pl.BlockSpec((1, n1, n2), lambda l: (l % num_l, _I0, _I0),
+    tw = pl.BlockSpec((1, n1, n2), lambda l: (_mod(l, num_l), _I0, _I0),
                       memory_space=pltpu.VMEM)
-    scalar = pl.BlockSpec((1, 1), lambda l: (l % num_l, _I0),
+    # scalars/fold constants: FULL-array SMEM blocks, indexed in-kernel
+    # (Mosaic's block-shape rule covers SMEM; (1, 1) blocks of an (L, 1)
+    # array fail lowering — seen on hardware 2026-08-19)
+    scalar = pl.BlockSpec((num_l, 1), lambda l: (_I0, _I0),
                           memory_space=pltpu.SMEM)
-    diag = pl.BlockSpec((1, n_diag), lambda l: (l % num_l, _I0),
+    diag = pl.BlockSpec((num_l, n_diag), lambda l: (_I0, _I0),
                         memory_space=pltpu.SMEM)
     if inverse:
         return [data, right, tw, tw, left, scalar, diag, diag, scalar,
@@ -195,8 +229,10 @@ def ntt_forward_mxu_pallas(x: jnp.ndarray, t: MXUNTTTables,
     num_l = x.shape[-2]
     nrows = int(np.prod(lead)) if lead else 1
     xm = x.reshape(nrows, n1, n2)
+    assert t.q.shape[0] == num_l, (t.q.shape, num_l)
     fused = sub_from is not None
-    kern = functools.partial(_fwd_kernel, t.plane_bits, t.q_bits, fused)
+    kern = functools.partial(_fwd_kernel, t.plane_bits, t.q_bits, num_l,
+                             fused)
     args = [xm, t.wa, t.d.reshape(-1, n1, n2),
             t.d_shoup.reshape(-1, n1, n2), t.wb, t.q.reshape(-1, 1),
             t.pow_diag, t.pow_diag_shoup]
@@ -212,6 +248,7 @@ def ntt_forward_mxu_pallas(x: jnp.ndarray, t: MXUNTTTables,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nrows, n1, n2), jnp.uint32),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(*args)
     return out.reshape(*lead, n1 * n2)
 
@@ -232,7 +269,8 @@ def ntt_inverse_mxu_pallas(x: jnp.ndarray, t: MXUNTTTables,
     if scale is None:
         scale = t.inv_degree
         scale_shoup = t.inv_degree_shoup
-    kern = functools.partial(_inv_kernel, t.plane_bits, t.q_bits)
+    assert t.q.shape[0] == num_l, (t.q.shape, num_l)
+    kern = functools.partial(_inv_kernel, t.plane_bits, t.q_bits, num_l)
     out = pl.pallas_call(
         kern,
         grid=(nrows,),
@@ -241,6 +279,7 @@ def ntt_inverse_mxu_pallas(x: jnp.ndarray, t: MXUNTTTables,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nrows, n1, n2), jnp.uint32),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(xm, t.wbi, t.di.reshape(-1, n1, n2), t.di_shoup.reshape(-1, n1, n2),
       t.wai, t.q.reshape(-1, 1), t.pow_diag, t.pow_diag_shoup,
       jnp.asarray(scale, jnp.uint32).reshape(-1, 1),
@@ -252,8 +291,8 @@ def ntt_inverse_mxu_pallas(x: jnp.ndarray, t: MXUNTTTables,
 # base-conversion prologue fused into the forward NTT
 # ---------------------------------------------------------------------------
 
-def _bconv_fwd_kernel(bits, q_bits, alpha, has_v, has_post, has_self, fused,
-                      y_ref, mat_ref, wa_ref, d_ref, ds_ref, wb_ref,
+def _bconv_fwd_kernel(bits, q_bits, alpha, k_out, has_v, has_post, has_self,
+                      fused, y_ref, mat_ref, wa_ref, d_ref, ds_ref, wb_ref,
                       q_ref, rh_ref, rl_ref, p32_ref, p64_ref,
                       pd_ref, pds_ref, *rest):
     rest = list(rest)
@@ -268,9 +307,12 @@ def _bconv_fwd_kernel(bits, q_bits, alpha, has_v, has_post, has_self, fused,
     if fused:
         s_ref, sc_ref, scs_ref = rest.pop(0), rest.pop(0), rest.pop(0)
     (o_ref,) = rest
-    q = q_ref[0, 0]
-    rh = rh_ref[0, 0]
-    rl = rl_ref[0, 0]
+    gid = _i32(pl.program_id(0))
+    jid = _i32(pl.program_id(1))
+    mrow = gid * np.int32(k_out) + jid           # mat/consts row
+    q = q_ref[jid, 0]
+    rh = rh_ref[jid, 0]
+    rl = rl_ref[jid, 0]
     shape = y_ref.shape[1:]
     # exact base-conversion row: sum_i y[i] * mat[j, i] accumulated as a
     # (carry, hi, lo) u32 triple (mirror of bconv32.accumulate_matmul_96;
@@ -279,36 +321,35 @@ def _bconv_fwd_kernel(bits, q_bits, alpha, has_v, has_post, has_self, fused,
     hi = jnp.zeros(shape, dtype=jnp.uint32)
     lo = jnp.zeros(shape, dtype=jnp.uint32)
     for i in range(alpha):
-        h, l = m32.mul_wide32(y_ref[i], mat_ref[0, i])
+        h, l = m32.mul_wide32(y_ref[i], mat_ref[mrow, i])
         lo, cr = m32.add_u32_carry(lo, l)
         hi2, cr2 = m32.add_u32_carry(hi, h + cr)  # h < 2^28: no overflow
         hi = hi2
         c = c + cr2
-    t_c = m32.mul_mod32(m32.barrett_reduce_u32(c, q, rh), p64_ref[0, 0],
+    t_c = m32.mul_mod32(m32.barrett_reduce_u32(c, q, rh), p64_ref[jid, 0],
                         q, rh, rl)
-    t_h = m32.mul_mod32(m32.barrett_reduce_u32(hi, q, rh), p32_ref[0, 0],
+    t_h = m32.mul_mod32(m32.barrett_reduce_u32(hi, q, rh), p32_ref[jid, 0],
                         q, rh, rl)
     t_l = m32.barrett_reduce_u32(lo, q, rh)
     x = m32.add_mod32(m32.add_mod32(t_c, t_h, q), t_l, q)
     if has_v:
         # exact-bconv correction: x -= v * (q_in mod q_j)
-        x = m32.sub_mod32(x, m32.mul_mod32(v_ref[0], vm_ref[0, 0],
+        x = m32.sub_mod32(x, m32.mul_mod32(v_ref[0], vm_ref[jid, 0],
                                            q, rh, rl), q)
     if has_post:
-        x = m32.sub_mod32(x, post_ref[0, 0], q)
+        x = m32.sub_mod32(x, post_ref[jid, 0], q)
     out = _ntt_core(x, wa_ref, d_ref, ds_ref, wb_ref, q, pd_ref, pds_ref,
-                    bits, q_bits)
+                    jid, bits, q_bits)
     if has_self:
         # modup digit-own rows: the input is already the NTT form of this
         # row — pass it through instead of the (zero) converted transform
-        gid = pl.program_id(0)
-        jid = pl.program_id(1)
-        in_digit = (jid >= gid * alpha) & (jid < (gid + 1) * alpha)
+        in_digit = ((jid >= gid * np.int32(alpha))
+                    & (jid < (gid + np.int32(1)) * np.int32(alpha)))
         out = jnp.where(in_digit, self_ref[0], out)
     if fused:
         diff = s_ref[0] - out + q                # sub_from in [0, q)
-        out = csub32(mul_mod_shoup_lazy32(diff, sc_ref[0, 0],
-                                          scs_ref[0, 0], q), q)
+        out = csub32(mul_mod_shoup_lazy32(diff, sc_ref[jid, 0],
+                                          scs_ref[jid, 0], q), q)
     o_ref[0] = out
 
 
@@ -347,6 +388,7 @@ def bconv_ntt_forward_mxu_pallas(y: jnp.ndarray, mat: jnp.ndarray,
     k_out = mat.shape[1]
     assert mat.shape == (G, k_out, alpha) and n == n1 * n2
     assert alpha <= 63, "96-bit triple exactness bound"
+    assert t.q.shape[0] == k_out, (t.q.shape, k_out)
     ym = y.reshape(G * alpha, n1, n2)
     matm = jnp.asarray(mat, jnp.uint32).reshape(G * k_out, alpha)
     mv = t.mv
@@ -359,7 +401,8 @@ def bconv_ntt_forward_mxu_pallas(y: jnp.ndarray, mat: jnp.ndarray,
 
     y_spec = pl.BlockSpec((alpha, n1, n2), lambda g, j: (g, _I0, _I0),
                           memory_space=pltpu.VMEM)
-    mat_spec = pl.BlockSpec((1, alpha), lambda g, j: (g * k_out + j, _I0),
+    # mat + per-limb consts: full-array SMEM blocks, indexed in-kernel
+    mat_spec = pl.BlockSpec((G * k_out, alpha), lambda g, j: (_I0, _I0),
                             memory_space=pltpu.SMEM)
     left = pl.BlockSpec((nplanes, 1, n1, n1), lambda g, j: (_I0, j, _I0, _I0),
                         memory_space=pltpu.VMEM)
@@ -367,11 +410,12 @@ def bconv_ntt_forward_mxu_pallas(y: jnp.ndarray, mat: jnp.ndarray,
                          memory_space=pltpu.VMEM)
     tw = pl.BlockSpec((1, n1, n2), lambda g, j: (j, _I0, _I0),
                       memory_space=pltpu.VMEM)
-    scalar = pl.BlockSpec((1, 1), lambda g, j: (j, _I0),
+    scalar = pl.BlockSpec((k_out, 1), lambda g, j: (_I0, _I0),
                           memory_space=pltpu.SMEM)
-    diag = pl.BlockSpec((1, n_diag), lambda g, j: (j, _I0),
+    diag = pl.BlockSpec((k_out, n_diag), lambda g, j: (_I0, _I0),
                         memory_space=pltpu.SMEM)
-    gdata = pl.BlockSpec((1, n1, n2), lambda g, j: (g * k_out + j, _I0, _I0),
+    gdata = pl.BlockSpec((1, n1, n2),
+                         lambda g, j: (_row(g, k_out, j), _I0, _I0),
                          memory_space=pltpu.VMEM)
 
     col = lambda a: jnp.asarray(a, jnp.uint32).reshape(-1, 1)
@@ -393,7 +437,7 @@ def bconv_ntt_forward_mxu_pallas(y: jnp.ndarray, mat: jnp.ndarray,
         args += [jnp.asarray(self_rows, jnp.uint32
                              ).reshape(k_in_total, n1, n2)]
         specs += [pl.BlockSpec((1, n1, n2),
-                               lambda g, j: (j % k_in_total, _I0, _I0),
+                               lambda g, j: (_mod(j, k_in_total), _I0, _I0),
                                memory_space=pltpu.VMEM)]
     if fused:
         args += [jnp.asarray(sub_from, jnp.uint32).reshape(G * k_out, n1, n2),
@@ -401,15 +445,17 @@ def bconv_ntt_forward_mxu_pallas(y: jnp.ndarray, mat: jnp.ndarray,
         specs += [gdata, scalar, scalar]
 
     kern = functools.partial(_bconv_fwd_kernel, t.plane_bits, t.q_bits,
-                             alpha, has_v, has_post, has_self, fused)
+                             alpha, k_out, has_v, has_post, has_self, fused)
     out = pl.pallas_call(
         kern,
         grid=(G, k_out),
         in_specs=specs,
-        out_specs=pl.BlockSpec((1, n1, n2), lambda g, j: (g * k_out + j, _I0, _I0),
+        out_specs=pl.BlockSpec((1, n1, n2),
+                               lambda g, j: (_row(g, k_out, j), _I0, _I0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G * k_out, n1, n2), jnp.uint32),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(*args)
     return out.reshape(G, k_out, n)
 
@@ -418,18 +464,19 @@ def bconv_ntt_forward_mxu_pallas(y: jnp.ndarray, mat: jnp.ndarray,
 # modup + evaluation-key inner product in one program
 # ---------------------------------------------------------------------------
 
-def _modup_ip_kernel(bits, q_bits, alpha, beta, has_self,
+def _modup_ip_kernel(bits, q_bits, alpha, beta, k_out, has_self,
                      y_ref, mat_ref, *rest):
     rest = list(rest)
     c2_ref = rest.pop(0) if has_self else None
     (evk_ref, wa_ref, d_ref, ds_ref, wb_ref,
      q_ref, rh_ref, rl_ref, p32_ref, p64_ref,
      pd_ref, pds_ref, o_ref, acc_ref) = rest
-    jid = pl.program_id(0)
-    did = pl.program_id(1)
-    q = q_ref[0, 0]
-    rh = rh_ref[0, 0]
-    rl = rl_ref[0, 0]
+    jid = _i32(pl.program_id(0))
+    did = _i32(pl.program_id(1))
+    mrow = did * np.int32(k_out) + jid           # mat row
+    q = q_ref[jid, 0]
+    rh = rh_ref[jid, 0]
+    rl = rl_ref[jid, 0]
     shape = y_ref.shape[1:]
 
     @pl.when(did == 0)
@@ -442,22 +489,23 @@ def _modup_ip_kernel(bits, q_bits, alpha, beta, has_self,
     hi = jnp.zeros(shape, dtype=jnp.uint32)
     lo = jnp.zeros(shape, dtype=jnp.uint32)
     for i in range(alpha):
-        row = y_ref[pl.ds(did * alpha + i, 1)][0]
-        h, l = m32.mul_wide32(row, mat_ref[0, i])
+        row = y_ref[pl.ds(did * np.int32(alpha) + np.int32(i), 1)][0]
+        h, l = m32.mul_wide32(row, mat_ref[mrow, i])
         lo, cr = m32.add_u32_carry(lo, l)
         hi2, cr2 = m32.add_u32_carry(hi, h + cr)
         hi = hi2
         c = c + cr2
-    t_c = m32.mul_mod32(m32.barrett_reduce_u32(c, q, rh), p64_ref[0, 0],
+    t_c = m32.mul_mod32(m32.barrett_reduce_u32(c, q, rh), p64_ref[jid, 0],
                         q, rh, rl)
-    t_h = m32.mul_mod32(m32.barrett_reduce_u32(hi, q, rh), p32_ref[0, 0],
+    t_h = m32.mul_mod32(m32.barrett_reduce_u32(hi, q, rh), p32_ref[jid, 0],
                         q, rh, rl)
     t_l = m32.barrett_reduce_u32(lo, q, rh)
     x = m32.add_mod32(m32.add_mod32(t_c, t_h, q), t_l, q)
     t_dj = _ntt_core(x, wa_ref, d_ref, ds_ref, wb_ref, q, pd_ref, pds_ref,
-                     bits, q_bits)
+                     jid, bits, q_bits)
     if has_self:
-        in_digit = (jid >= did * alpha) & (jid < (did + 1) * alpha)
+        in_digit = ((jid >= did * np.int32(alpha))
+                    & (jid < (did + np.int32(1)) * np.int32(alpha)))
         t_dj = jnp.where(in_digit, c2_ref[0], t_dj)
 
     # accumulate t_dj * evk[did, half, j] into the two 96-bit triples
@@ -476,9 +524,9 @@ def _modup_ip_kernel(bits, q_bits, alpha, beta, has_self,
             hh = acc_ref[3 * half + 1]
             ll = acc_ref[3 * half + 2]
             t_c2 = m32.mul_mod32(m32.barrett_reduce_u32(cc, q, rh),
-                                 p64_ref[0, 0], q, rh, rl)
+                                 p64_ref[jid, 0], q, rh, rl)
             t_h2 = m32.mul_mod32(m32.barrett_reduce_u32(hh, q, rh),
-                                 p32_ref[0, 0], q, rh, rl)
+                                 p32_ref[jid, 0], q, rh, rl)
             t_l2 = m32.barrett_reduce_u32(ll, q, rh)
             o_ref[half, 0] = m32.add_mod32(
                 m32.add_mod32(t_c2, t_h2, q), t_l2, q)
@@ -516,6 +564,7 @@ def modup_ip_mxu_pallas(y: jnp.ndarray, mats: jnp.ndarray,
     k, n = y.shape
     beta, k_out, alpha = mats.shape
     assert k == beta * alpha and n == n1 * n2
+    assert t.q.shape[0] == k_out, (t.q.shape, k_out)
     mv = t.mv
     nplanes = t.wa.shape[0]
     n_diag = t.pow_diag.shape[1]
@@ -527,9 +576,9 @@ def modup_ip_mxu_pallas(y: jnp.ndarray, mats: jnp.ndarray,
 
     y_spec = pl.BlockSpec((k, n1, n2), lambda j, d: (_I0, _I0, _I0),
                           memory_space=pltpu.VMEM)
-    mat_spec = pl.BlockSpec((1, alpha), lambda j, d: (d * k_out + j, _I0),
+    mat_spec = pl.BlockSpec((beta * k_out, alpha), lambda j, d: (_I0, _I0),
                             memory_space=pltpu.SMEM)
-    c2_spec = pl.BlockSpec((1, n1, n2), lambda j, d: (j % k, _I0, _I0),
+    c2_spec = pl.BlockSpec((1, n1, n2), lambda j, d: (_mod(j, k), _I0, _I0),
                            memory_space=pltpu.VMEM)
     evk_spec = pl.BlockSpec((1, 2, 1, n1, n2), lambda j, d: (d, _I0, j, _I0, _I0),
                             memory_space=pltpu.VMEM)
@@ -539,14 +588,14 @@ def modup_ip_mxu_pallas(y: jnp.ndarray, mats: jnp.ndarray,
                          memory_space=pltpu.VMEM)
     tw = pl.BlockSpec((1, n1, n2), lambda j, d: (j, _I0, _I0),
                       memory_space=pltpu.VMEM)
-    scalar = pl.BlockSpec((1, 1), lambda j, d: (j, _I0),
+    scalar = pl.BlockSpec((k_out, 1), lambda j, d: (_I0, _I0),
                           memory_space=pltpu.SMEM)
-    diag = pl.BlockSpec((1, n_diag), lambda j, d: (j, _I0),
+    diag = pl.BlockSpec((k_out, n_diag), lambda j, d: (_I0, _I0),
                         memory_space=pltpu.SMEM)
 
     col = lambda a: jnp.asarray(a, jnp.uint32).reshape(-1, 1)
     kern = functools.partial(_modup_ip_kernel, t.plane_bits, t.q_bits,
-                             alpha, beta, has_self)
+                             alpha, beta, k_out, has_self)
     args = [ym, matm]
     specs = [y_spec, mat_spec]
     if has_self:
@@ -567,6 +616,7 @@ def modup_ip_mxu_pallas(y: jnp.ndarray, mats: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((2, k_out, n1, n2), jnp.uint32),
         scratch_shapes=[pltpu.VMEM((6, n1, n2), jnp.uint32)],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(*args)
     out = out.reshape(2, k_out, n)
     return out[0], out[1]
