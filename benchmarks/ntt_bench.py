@@ -80,6 +80,10 @@ def main():
                     jax.jit(lambda v: ntp.ntt_forward_pallas(v, tp))
                 yield "pallas-roll", jnp.uint32, \
                     jax.jit(lambda v: ntr.ntt_forward_roll(v, tr))
+                from phantom_tpu.ops import ntt_mxu_pallas as nmp
+                tfk = ntt_mxu.prepare_mxu_tables(t32, fused_kernel=True)
+                yield "mxu-pallas", jnp.uint32, \
+                    jax.jit(lambda v: nmp.ntt_forward_mxu_pallas(v, tfk))
             elif args.mxu:
                 yield "mxu", jnp.uint32, \
                     jax.jit(lambda v: ntt_mxu.ntt_forward_mxu(v, tm))

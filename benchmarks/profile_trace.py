@@ -31,7 +31,8 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--path", choices=["u32", "mxu", "mxu-nofold", "pallas",
-                                       "pallas-roll"], default="mxu")
+                                       "pallas-roll", "mxu-pallas"],
+                    default="mxu")
     ap.add_argument("--logdir", default="/tmp/phantom_trace")
     args = ap.parse_args()
 
@@ -85,7 +86,8 @@ def main():
         lambda x: np.asarray(x) if hasattr(x, "shape") else x, t)
     ctx = np_tree(ctx)
     engine = {"u32": False, "mxu": "mxu", "mxu-nofold": "mxu",
-              "pallas": True, "pallas-roll": "pallas-roll"}[args.path]
+              "pallas": True, "pallas-roll": "pallas-roll",
+              "mxu-pallas": "mxu-pallas"}[args.path]
     if args.path == "mxu-nofold":
         from phantom_tpu.ops import bconv32, ntt_mxu
         ntt_mxu.FOLD_DIAGONALS = False

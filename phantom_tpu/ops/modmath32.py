@@ -75,6 +75,18 @@ def csub32(x, q):
     return x - jnp.where(x >= q, q, U32(0))
 
 
+def csub32_i31(x, q):
+    """csub32 for x < 2^31 (signed-range values): the compare+select runs
+    on int32, which the v5e VPU executes ~1.6x faster than the unsigned
+    form (unsigned vector compares lower to multi-op sequences; measured
+    2026-08-19: 2.75 vs 1.67 T elem/s).  Bit-identical to csub32 whenever
+    x < 2^31 — the caller must guarantee the range (q_bits <= 29 keeps
+    every lazy [0, 4q) intermediate below 2^31)."""
+    xs = u32(x).astype(jnp.int32)
+    qs = u32(q).astype(jnp.int32)
+    return (xs - jnp.where(xs >= qs, qs, np.int32(0))).astype(jnp.uint32)
+
+
 def add_mod32(a, b, q):
     return csub32(a + b, q)
 

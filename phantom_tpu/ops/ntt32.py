@@ -83,7 +83,7 @@ def _fwd_pass(x, t, m, k, n, batch, num_l):
         two_q = qb * U32(2)
         u = xr[..., 0, :, :]
         v = xr[..., 1, :, :]
-        u = u - jnp.where(u >= two_q, two_q, U32(0))
+        u = csub32(u, two_q)
         wv = mul_mod_shoup_lazy32(v, w, ws, qb)
         xr = jnp.stack([u + wv, u - wv + two_q], axis=-3)
     return xr.reshape(*batch, num_l, n)
@@ -153,7 +153,7 @@ def ntt_inverse32(x: jnp.ndarray, t: NTTTables32,
             u = xr[..., 0, :, :]
             v = xr[..., 1, :, :]
             s = u + v
-            s = s - jnp.where(s >= two_q_b, two_q_b, U32(0))
+            s = csub32(s, two_q_b)
             d = mul_mod_shoup_lazy32(u - v + two_q_b, w, ws, qb)
             xr = jnp.stack([s, d], axis=-3)
         x = xr.reshape(*batch, num_l, n)

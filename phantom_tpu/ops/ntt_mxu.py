@@ -110,11 +110,13 @@ class MXUNTTTables:
 
     def limb_slice(self, idx) -> "MXUNTTTables":
         ia = np.asarray(idx)
+        tab = (lambda a: a[ia]) if self.wa.ndim == 3 else \
+            (lambda a: a[:, ia])      # packed u32 (L,m,k) vs planes (P,L,m,k)
         return MXUNTTTables(
             mv=ModulusVec32(*(a[ia] for a in self.mv)),
-            wa=self.wa[:, ia], d=self.d[ia], d_shoup=self.d_shoup[ia],
-            wb=self.wb[:, ia], wbi=self.wbi[:, ia], di=self.di[ia],
-            di_shoup=self.di_shoup[ia], wai=self.wai[:, ia],
+            wa=tab(self.wa), d=self.d[ia], d_shoup=self.d_shoup[ia],
+            wb=tab(self.wb), wbi=tab(self.wbi), di=self.di[ia],
+            di_shoup=self.di_shoup[ia], wai=tab(self.wai),
             inv_degree=self.inv_degree[ia],
             inv_degree_shoup=self.inv_degree_shoup[ia],
             pow_diag=self.pow_diag[ia],
@@ -209,11 +211,18 @@ def prepare_mxu_tables(t32: NTTTables32,
                 ).astype(np.uint64)
 
     u32c = lambda v: jnp.asarray(v.astype(np.uint32))
+    # fused (Pallas) tables stay PACKED u32 (L, m, k); the kernel extracts
+    # digit planes in VMEM.  Pre-decomposed int8/int32 plane stacks would
+    # force a full-array layout conversion at the XLA->Mosaic custom-call
+    # boundary on EVERY launch (~1.4 ms for a 7 MB table at L=28, N=2^16 —
+    # measured on v5e 2026-08-19, the dominant fixed cost of every kernel
+    # launch).  The XLA einsum engine keeps the plane stacks.
+    mat = u32c if fused_kernel else planes
     return MXUNTTTables(
         mv=modulus_vec32([int(x) for x in q]),
-        wa=planes(wa), d=u32c(d), d_shoup=jnp.asarray(shoup(d)),
-        wb=planes(wb), wbi=planes(wbi), di=u32c(di),
-        di_shoup=jnp.asarray(shoup(di)), wai=planes(wai),
+        wa=mat(wa), d=u32c(d), d_shoup=jnp.asarray(shoup(d)),
+        wb=mat(wb), wbi=mat(wbi), di=u32c(di),
+        di_shoup=jnp.asarray(shoup(di)), wai=mat(wai),
         inv_degree=t32.inv_degree, inv_degree_shoup=t32.inv_degree_shoup,
         pow_diag=u32c(pd), pow_diag_shoup=u32c(pd_shoup),
         n1=n1, n2=n2, plane_bits=bits, q_bits=q_bits,

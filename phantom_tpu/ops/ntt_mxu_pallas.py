@@ -42,7 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import modmath32 as m32
-from .modmath32 import U32, csub32, mul_mod_shoup_lazy32
+from .modmath32 import U32, csub32, csub32_i31, mul_mod_shoup_lazy32
 from .ntt_mxu import MXUNTTTables, _max_partial
 
 # "int8": s8 dots with s32 accumulation (native MXU int8 mode).
@@ -69,6 +69,12 @@ def _i32(i):
     return jax.lax.convert_element_type(i, jnp.int32)
 
 
+def _csub_for(q_bits: int):
+    """Signed-compare csub when every lazy [0, 4q) intermediate provably
+    stays below 2^31 (q_bits <= 29) — ~1.6x faster on the v5e VPU."""
+    return csub32_i31 if q_bits <= 29 else csub32
+
+
 def _mod(i, m: int):
     """i % m as pure-i32 lax.rem: jnp's `%` builds a remainder jaxpr with
     i64 constants under jax_enable_x64, which Mosaic's index-map
@@ -84,9 +90,12 @@ def _plane_list(x, bits: int, value_bits: int):
     nplanes = -(-value_bits // bits)
     mask = U32((1 << bits) - 1)
     if DOT_MODE == "bf16":
-        dt = jnp.bfloat16
-    else:
-        dt = jnp.int8 if bits <= 7 else jnp.int32  # 2^8-1 overflows s8
+        # Mosaic has no u32->bf16 cast; hop through i32 (exact: planes
+        # are < 2^8 <= bf16's 2^8 mantissa range)
+        return [((x >> U32(bits * p)) & mask).astype(jnp.int32
+                                                     ).astype(jnp.bfloat16)
+                for p in range(nplanes)]
+    dt = jnp.int8 if bits <= 7 else jnp.int32  # 2^8-1 overflows s8
     return [((x >> U32(bits * p)) & mask).astype(dt) for p in range(nplanes)]
 
 
@@ -94,7 +103,13 @@ def _dot(a, b, dn):
     if DOT_MODE == "int8":
         return jax.lax.dot_general(a, b, dimension_numbers=dn,
                                    preferred_element_type=jnp.int32)
-    return jax.lax.dot_general(a, b, dimension_numbers=dn,
+
+    def cast(v):
+        if v.dtype == jnp.bfloat16:
+            return v
+        # table planes are stored int8/int32; exact for values < 2^8
+        return v.astype(jnp.int32).astype(jnp.bfloat16)
+    return jax.lax.dot_general(cast(a), cast(b), dimension_numbers=dn,
                                preferred_element_type=jnp.float32
                                ).astype(jnp.int32)
 
@@ -102,7 +117,7 @@ def _dot(a, b, dn):
 _DN = (((1,), (0,)), ((), ()))  # plain (m, k) @ (k, c)
 
 
-def _mm_fold(aps, bps, q, pd_ref, pds_ref, lid, bits, contract_len):
+def _mm_fold(aps, bps, q, pd_ref, pds_ref, lid, bits, contract_len, cs):
     """sum over planes of aps[a] @ bps[b] * 2^(bits*(a+b)) mod q, all in
     VMEM.  Adjacent diagonals are computed in pairs and merged into one
     u32 word before the Shoup fold when provably overflow-free (mirror of
@@ -111,7 +126,12 @@ def _mm_fold(aps, bps, q, pd_ref, pds_ref, lid, bits, contract_len):
     (L, D) SMEM tables read at dynamic row `lid`."""
     nd = len(aps) + len(bps) - 1
     mp = _max_partial(bits, contract_len, len(aps), len(bps))
-    pair = mp * ((1 << bits) + 1) <= 0xFFFFFFFF
+    # pair-merging halves the fold count for a shift+add per element; the
+    # honest interleaved A/B on v5e (2026-08-19, post-D2H mode — see
+    # CLAUDE.md on axon timing) favored it ~3%.  PHANTOM_PAIR_FOLD=0
+    # disables for bisection.
+    pair = (_os.environ.get("PHANTOM_PAIR_FOLD") != "0"
+            and mp * ((1 << bits) + 1) <= 0xFFFFFFFF)
     if DOT_MODE == "bf16":
         assert ((1 << bits) - 1) ** 2 * contract_len < (1 << 24), \
             "bf16 dot mode inexact at this plane radix / tile size"
@@ -131,8 +151,8 @@ def _mm_fold(aps, bps, q, pd_ref, pds_ref, lid, bits, contract_len):
         if pair and j + 1 < nd:
             w = w + (diag(j + 1).astype(jnp.uint32) << U32(bits))
         term = mul_mod_shoup_lazy32(w, pd_ref[lid, j], pds_ref[lid, j], q)
-        acc = term if acc is None else csub32(acc + term, two_q)
-    return csub32(acc, q)
+        acc = term if acc is None else cs(acc + term, two_q)
+    return cs(acc, q)
 
 
 def _ntt_core(x, wa_ref, d_ref, ds_ref, wb_ref, q, pd_ref, pds_ref, lid,
@@ -140,13 +160,14 @@ def _ntt_core(x, wa_ref, d_ref, ds_ref, wb_ref, q, pd_ref, pds_ref, lid,
     """Four-step forward NTT of one strictly-reduced (n1, n2) block, all
     in VMEM; returns the NTT-form block in [0, q)."""
     n1, n2 = x.shape
+    cs = _csub_for(q_bits)
     xps = _plane_list(x, bits, q_bits)
-    waps = [wa_ref[p, 0] for p in range(wa_ref.shape[0])]
-    z = _mm_fold(waps, xps, q, pd_ref, pds_ref, lid, bits, n1)
-    v = csub32(mul_mod_shoup_lazy32(z, d_ref[0], ds_ref[0], q), q)
+    waps = _plane_list(wa_ref[0], bits, q_bits)
+    z = _mm_fold(waps, xps, q, pd_ref, pds_ref, lid, bits, n1, cs)
+    v = cs(mul_mod_shoup_lazy32(z, d_ref[0], ds_ref[0], q), q)
     vps = _plane_list(v, bits, q_bits)
-    wbps = [wb_ref[p, 0] for p in range(wb_ref.shape[0])]
-    return _mm_fold(vps, wbps, q, pd_ref, pds_ref, lid, bits, n2)
+    wbps = _plane_list(wb_ref[0], bits, q_bits)
+    return _mm_fold(vps, wbps, q, pd_ref, pds_ref, lid, bits, n2, cs)
 
 
 def _fwd_kernel(bits, q_bits, num_l, fused, x_ref, wa_ref, d_ref, ds_ref,
@@ -156,46 +177,47 @@ def _fwd_kernel(bits, q_bits, num_l, fused, x_ref, wa_ref, d_ref, ds_ref,
     else:
         (o_ref,) = rest
     lid = _mod(pl.program_id(0), num_l)
+    cs = _csub_for(q_bits)
     q = q_ref[lid, 0]
-    x = csub32(x_ref[0], q)                      # tolerate lazy [0, 2q)
+    x = cs(x_ref[0], q)                          # tolerate lazy [0, 2q)
     out = _ntt_core(x, wa_ref, d_ref, ds_ref, wb_ref, q, pd_ref, pds_ref,
                     lid, bits, q_bits)
     if fused:
         diff = s_ref[0] - out + q                # sub_from in [0, q)
-        out = csub32(mul_mod_shoup_lazy32(diff, sc_ref[lid, 0],
-                                          scs_ref[lid, 0], q), q)
+        out = cs(mul_mod_shoup_lazy32(diff, sc_ref[lid, 0],
+                                      scs_ref[lid, 0], q), q)
     o_ref[0] = out
 
 
 def _inv_kernel(bits, q_bits, num_l, x_ref, wbi_ref, di_ref, dis_ref,
                 wai_ref, q_ref, pd_ref, pds_ref, sc_ref, scs_ref, o_ref):
     lid = _mod(pl.program_id(0), num_l)
+    cs = _csub_for(q_bits)
     q = q_ref[lid, 0]
     n1 = x_ref.shape[1]
     n2 = x_ref.shape[2]
-    x = csub32(x_ref[0], q)
+    x = cs(x_ref[0], q)
     xps = _plane_list(x, bits, q_bits)
-    wbips = [wbi_ref[p, 0] for p in range(wbi_ref.shape[0])]
-    s = _mm_fold(xps, wbips, q, pd_ref, pds_ref, lid, bits, n2)
+    wbips = _plane_list(wbi_ref[0], bits, q_bits)
+    s = _mm_fold(xps, wbips, q, pd_ref, pds_ref, lid, bits, n2, cs)
     v = mul_mod_shoup_lazy32(s, di_ref[0], dis_ref[0], q)
-    v = csub32(mul_mod_shoup_lazy32(v, sc_ref[lid, 0], scs_ref[lid, 0], q),
-               q)
+    v = cs(mul_mod_shoup_lazy32(v, sc_ref[lid, 0], scs_ref[lid, 0], q), q)
     vps = _plane_list(v, bits, q_bits)
-    waips = [wai_ref[p, 0] for p in range(wai_ref.shape[0])]
-    o_ref[0] = _mm_fold(waips, vps, q, pd_ref, pds_ref, lid, bits, n1)
+    waips = _plane_list(wai_ref[0], bits, q_bits)
+    o_ref[0] = _mm_fold(waips, vps, q, pd_ref, pds_ref, lid, bits, n1, cs)
 
 
 def _specs(t: MXUNTTTables, num_l: int, fused: bool, inverse: bool):
     n1, n2 = t.n1, t.n2
-    nplanes = t.wa.shape[0]
     n_diag = t.pow_diag.shape[1]
     data = pl.BlockSpec((1, n1, n2), lambda l: (l, _I0, _I0),
                         memory_space=pltpu.VMEM)
-    left = pl.BlockSpec((nplanes, 1, n1, n1),
-                        lambda l: (_I0, _mod(l, num_l), _I0, _I0),
+    # packed-u32 table blocks (planes extracted in-kernel; int8 stacks
+    # would pay a full-array relayout at the custom-call boundary on
+    # every launch)
+    left = pl.BlockSpec((1, n1, n1), lambda l: (_mod(l, num_l), _I0, _I0),
                         memory_space=pltpu.VMEM)
-    right = pl.BlockSpec((nplanes, 1, n2, n2),
-                         lambda l: (_I0, _mod(l, num_l), _I0, _I0),
+    right = pl.BlockSpec((1, n2, n2), lambda l: (_mod(l, num_l), _I0, _I0),
                          memory_space=pltpu.VMEM)
     tw = pl.BlockSpec((1, n1, n2), lambda l: (_mod(l, num_l), _I0, _I0),
                       memory_space=pltpu.VMEM)
@@ -348,8 +370,8 @@ def _bconv_fwd_kernel(bits, q_bits, alpha, k_out, has_v, has_post, has_self,
         out = jnp.where(in_digit, self_ref[0], out)
     if fused:
         diff = s_ref[0] - out + q                # sub_from in [0, q)
-        out = csub32(mul_mod_shoup_lazy32(diff, sc_ref[jid, 0],
-                                          scs_ref[jid, 0], q), q)
+        out = _csub_for(q_bits)(mul_mod_shoup_lazy32(
+            diff, sc_ref[jid, 0], scs_ref[jid, 0], q), q)
     o_ref[0] = out
 
 
@@ -392,7 +414,6 @@ def bconv_ntt_forward_mxu_pallas(y: jnp.ndarray, mat: jnp.ndarray,
     ym = y.reshape(G * alpha, n1, n2)
     matm = jnp.asarray(mat, jnp.uint32).reshape(G * k_out, alpha)
     mv = t.mv
-    nplanes = t.wa.shape[0]
     n_diag = t.pow_diag.shape[1]
     has_v = v is not None
     has_post = post_sub is not None
@@ -404,9 +425,9 @@ def bconv_ntt_forward_mxu_pallas(y: jnp.ndarray, mat: jnp.ndarray,
     # mat + per-limb consts: full-array SMEM blocks, indexed in-kernel
     mat_spec = pl.BlockSpec((G * k_out, alpha), lambda g, j: (_I0, _I0),
                             memory_space=pltpu.SMEM)
-    left = pl.BlockSpec((nplanes, 1, n1, n1), lambda g, j: (_I0, j, _I0, _I0),
+    left = pl.BlockSpec((1, n1, n1), lambda g, j: (j, _I0, _I0),
                         memory_space=pltpu.VMEM)
-    right = pl.BlockSpec((nplanes, 1, n2, n2), lambda g, j: (_I0, j, _I0, _I0),
+    right = pl.BlockSpec((1, n2, n2), lambda g, j: (j, _I0, _I0),
                          memory_space=pltpu.VMEM)
     tw = pl.BlockSpec((1, n1, n2), lambda g, j: (j, _I0, _I0),
                       memory_space=pltpu.VMEM)
@@ -477,19 +498,22 @@ def _modup_ip_kernel(bits, q_bits, alpha, beta, k_out, has_self,
     q = q_ref[jid, 0]
     rh = rh_ref[jid, 0]
     rl = rl_ref[jid, 0]
-    shape = y_ref.shape[1:]
+    shape = y_ref.shape[2:]  # (n1, n2)
 
     @pl.when(did == 0)
     def _zero():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     # digit `did`'s contribution to QlP row j: bconv + NTT (or the
-    # passthrough NTT-form row when j lies inside the digit)
+    # passthrough NTT-form row when j lies inside the digit).  The y block
+    # holds exactly this digit's alpha rows (grid-indexed), so every read
+    # is a static slice — dynamic VMEM slicing costs extra and the full
+    # (k, N) buffer crowded VMEM.
     c = jnp.zeros(shape, dtype=jnp.uint32)
     hi = jnp.zeros(shape, dtype=jnp.uint32)
     lo = jnp.zeros(shape, dtype=jnp.uint32)
     for i in range(alpha):
-        row = y_ref[pl.ds(did * np.int32(alpha) + np.int32(i), 1)][0]
+        row = y_ref[0, i]
         h, l = m32.mul_wide32(row, mat_ref[mrow, i])
         lo, cr = m32.add_u32_carry(lo, l)
         hi2, cr2 = m32.add_u32_carry(hi, h + cr)
@@ -566,15 +590,14 @@ def modup_ip_mxu_pallas(y: jnp.ndarray, mats: jnp.ndarray,
     assert k == beta * alpha and n == n1 * n2
     assert t.q.shape[0] == k_out, (t.q.shape, k_out)
     mv = t.mv
-    nplanes = t.wa.shape[0]
     n_diag = t.pow_diag.shape[1]
 
-    ym = y.reshape(k, n1, n2)
+    ym = y.reshape(beta, alpha, n1, n2)
     matm = jnp.asarray(mats, jnp.uint32).reshape(beta * k_out, alpha)
     has_self = c2_ntt is not None
     evkm = evk.reshape(beta, 2, k_out, n1, n2)
 
-    y_spec = pl.BlockSpec((k, n1, n2), lambda j, d: (_I0, _I0, _I0),
+    y_spec = pl.BlockSpec((1, alpha, n1, n2), lambda j, d: (d, _I0, _I0, _I0),
                           memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((beta * k_out, alpha), lambda j, d: (_I0, _I0),
                             memory_space=pltpu.SMEM)
@@ -582,9 +605,9 @@ def modup_ip_mxu_pallas(y: jnp.ndarray, mats: jnp.ndarray,
                            memory_space=pltpu.VMEM)
     evk_spec = pl.BlockSpec((1, 2, 1, n1, n2), lambda j, d: (d, _I0, j, _I0, _I0),
                             memory_space=pltpu.VMEM)
-    left = pl.BlockSpec((nplanes, 1, n1, n1), lambda j, d: (_I0, j, _I0, _I0),
+    left = pl.BlockSpec((1, n1, n1), lambda j, d: (j, _I0, _I0),
                         memory_space=pltpu.VMEM)
-    right = pl.BlockSpec((nplanes, 1, n2, n2), lambda j, d: (_I0, j, _I0, _I0),
+    right = pl.BlockSpec((1, n2, n2), lambda j, d: (j, _I0, _I0),
                          memory_space=pltpu.VMEM)
     tw = pl.BlockSpec((1, n1, n2), lambda j, d: (j, _I0, _I0),
                       memory_space=pltpu.VMEM)

@@ -37,6 +37,13 @@ from .ntt32 import NTTTables32
 _I0 = np.int32(0)
 
 
+def _mod(i, m: int):
+    """i % m as pure-i32 lax.rem (jnp's `%` emits an i64-promoted remainder
+    jaxpr under x64 that Mosaic's index-map legalization rejects)."""
+    return jax.lax.rem(jax.lax.convert_element_type(i, jnp.int32),
+                       np.int32(m))
+
+
 def _split_n(n: int):
     """n1 x n2 = N with n1 <= n2, both powers of two."""
     logn = n.bit_length() - 1
@@ -104,22 +111,23 @@ def prepare_tables(t32: NTTTables32) -> PallasNTTTables:
         n1=n1, n2=n2)
 
 
-def _fwd_kernel(n1, n2, x_ref, w_ref, ws_ref, q_ref, o_ref):
+def _fwd_kernel(n1, n2, num_l, x_ref, w_ref, ws_ref, q_ref, o_ref):
     n = n1 * n2
-    q = q_ref[0, 0]
+    lid = _mod(pl.program_id(0), num_l)
+    q = q_ref[lid, 0]
     two_q = q * U32(2)
-    x = x_ref[0].reshape(n1, n2)
+    x = x_ref[0, 0].reshape(n1, n2)
 
     # phase A: cross-row stages m = 1 .. n1/2
     m = 1
     while m < n1:
         h1 = n1 // (2 * m)
         xr = x.reshape(m, 2, h1, n2)
-        w = w_ref[0, m:2 * m].reshape(m, 1, 1)
-        ws = ws_ref[0, m:2 * m].reshape(m, 1, 1)
+        w = w_ref[0, 0, m:2 * m].reshape(m, 1, 1)
+        ws = ws_ref[0, 0, m:2 * m].reshape(m, 1, 1)
         u = xr[:, 0]
         v = xr[:, 1]
-        u = u - jnp.where(u >= two_q, two_q, U32(0))
+        u = csub32(u, two_q)
         wv = mul_mod_shoup_lazy32(v, w, ws, q)
         x = jnp.stack([u + wv, u - wv + two_q], axis=1).reshape(n1, n2)
         m <<= 1
@@ -132,24 +140,26 @@ def _fwd_kernel(n1, n2, x_ref, w_ref, ws_ref, q_ref, o_ref):
         mr = m // n1
         t_len = n2 // (2 * mr)
         xr = xt.reshape(mr, 2, t_len, n1)
-        w = w_ref[0, m:2 * m].reshape(mr, 1, n1)
-        ws = ws_ref[0, m:2 * m].reshape(mr, 1, n1)
+        w = w_ref[0, 0, m:2 * m].reshape(mr, 1, n1)
+        ws = ws_ref[0, 0, m:2 * m].reshape(mr, 1, n1)
         u = xr[:, 0]
         v = xr[:, 1]
-        u = u - jnp.where(u >= two_q, two_q, U32(0))
+        u = csub32(u, two_q)
         wv = mul_mod_shoup_lazy32(v, w, ws, q)
         xt = jnp.stack([u + wv, u - wv + two_q], axis=1).reshape(n2, n1)
         m <<= 1
 
     out = xt.T.reshape(n)
-    o_ref[0] = csub32(csub32(out, two_q), q)
+    o_ref[0, 0] = csub32(csub32(out, two_q), q)
 
 
-def _inv_kernel(n1, n2, x_ref, w_ref, ws_ref, q_ref, sc_ref, scs_ref, o_ref):
+def _inv_kernel(n1, n2, num_l, x_ref, w_ref, ws_ref, q_ref, sc_ref,
+                scs_ref, o_ref):
     n = n1 * n2
-    q = q_ref[0, 0]
+    lid = _mod(pl.program_id(0), num_l)
+    q = q_ref[lid, 0]
     two_q = q * U32(2)
-    xt = x_ref[0].reshape(n1, n2).T  # (n2, n1)
+    xt = x_ref[0, 0].reshape(n1, n2).T  # (n2, n1)
 
     # phase B': within-row GS stages m = n/2 .. n1
     m = n // 2
@@ -157,12 +167,12 @@ def _inv_kernel(n1, n2, x_ref, w_ref, ws_ref, q_ref, sc_ref, scs_ref, o_ref):
         mr = m // n1
         t_len = n2 // (2 * mr)
         xr = xt.reshape(mr, 2, t_len, n1)
-        w = w_ref[0, m:2 * m].reshape(mr, 1, n1)
-        ws = ws_ref[0, m:2 * m].reshape(mr, 1, n1)
+        w = w_ref[0, 0, m:2 * m].reshape(mr, 1, n1)
+        ws = ws_ref[0, 0, m:2 * m].reshape(mr, 1, n1)
         u = xr[:, 0]
         v = xr[:, 1]
         s = u + v
-        s = s - jnp.where(s >= two_q, two_q, U32(0))
+        s = csub32(s, two_q)
         d = mul_mod_shoup_lazy32(u - v + two_q, w, ws, q)
         xt = jnp.stack([s, d], axis=1).reshape(n2, n1)
         m >>= 1
@@ -173,41 +183,43 @@ def _inv_kernel(n1, n2, x_ref, w_ref, ws_ref, q_ref, sc_ref, scs_ref, o_ref):
     while m >= 1:
         h1 = n1 // (2 * m)
         xr = x.reshape(m, 2, h1, n2)
-        w = w_ref[0, m:2 * m].reshape(m, 1, 1)
-        ws = ws_ref[0, m:2 * m].reshape(m, 1, 1)
+        w = w_ref[0, 0, m:2 * m].reshape(m, 1, 1)
+        ws = ws_ref[0, 0, m:2 * m].reshape(m, 1, 1)
         u = xr[:, 0]
         v = xr[:, 1]
         s = u + v
-        s = s - jnp.where(s >= two_q, two_q, U32(0))
+        s = csub32(s, two_q)
         d = mul_mod_shoup_lazy32(u - v + two_q, w, ws, q)
         x = jnp.stack([s, d], axis=1).reshape(n1, n2)
         m >>= 1
 
     out = x.reshape(n)
-    o_ref[0] = csub32(mul_mod_shoup_lazy32(out, sc_ref[0, 0], scs_ref[0, 0], q), q)
+    o_ref[0, 0] = csub32(mul_mod_shoup_lazy32(out, sc_ref[lid, 0],
+                                              scs_ref[lid, 0], q), q)
 
 
-def _fwd_fused_kernel(n1, n2, x_ref, w_ref, ws_ref, q_ref, s_ref, sc_ref,
-                      scs_ref, o_ref):
+def _fwd_fused_kernel(n1, n2, num_l, x_ref, w_ref, ws_ref, q_ref, s_ref,
+                      sc_ref, scs_ref, o_ref):
     """Forward NTT with the moddown/rescale epilogue fused:
     out = (sub_from - NTT(x)) * scale mod q, all in one VMEM pass
     (reference: nwt_2d_radix8_forward_inplace_fuse_moddown,
     ntt_moddown.cu:222).  Bit-identical to fNTT + sub_mod32 +
     mul_mod_shoup32."""
     n = n1 * n2
-    q = q_ref[0, 0]
+    lid = _mod(pl.program_id(0), num_l)
+    q = q_ref[lid, 0]
     two_q = q * U32(2)
-    x = x_ref[0].reshape(n1, n2)
+    x = x_ref[0, 0].reshape(n1, n2)
 
     m = 1
     while m < n1:
         h1 = n1 // (2 * m)
         xr = x.reshape(m, 2, h1, n2)
-        w = w_ref[0, m:2 * m].reshape(m, 1, 1)
-        ws = ws_ref[0, m:2 * m].reshape(m, 1, 1)
+        w = w_ref[0, 0, m:2 * m].reshape(m, 1, 1)
+        ws = ws_ref[0, 0, m:2 * m].reshape(m, 1, 1)
         u = xr[:, 0]
         v = xr[:, 1]
-        u = u - jnp.where(u >= two_q, two_q, U32(0))
+        u = csub32(u, two_q)
         wv = mul_mod_shoup_lazy32(v, w, ws, q)
         x = jnp.stack([u + wv, u - wv + two_q], axis=1).reshape(n1, n2)
         m <<= 1
@@ -218,31 +230,33 @@ def _fwd_fused_kernel(n1, n2, x_ref, w_ref, ws_ref, q_ref, s_ref, sc_ref,
         mr = m // n1
         t_len = n2 // (2 * mr)
         xr = xt.reshape(mr, 2, t_len, n1)
-        w = w_ref[0, m:2 * m].reshape(mr, 1, n1)
-        ws = ws_ref[0, m:2 * m].reshape(mr, 1, n1)
+        w = w_ref[0, 0, m:2 * m].reshape(mr, 1, n1)
+        ws = ws_ref[0, 0, m:2 * m].reshape(mr, 1, n1)
         u = xr[:, 0]
         v = xr[:, 1]
-        u = u - jnp.where(u >= two_q, two_q, U32(0))
+        u = csub32(u, two_q)
         wv = mul_mod_shoup_lazy32(v, w, ws, q)
         xt = jnp.stack([u + wv, u - wv + two_q], axis=1).reshape(n2, n1)
         m <<= 1
 
     ntt = csub32(csub32(xt.T.reshape(n), two_q), q)
-    diff = s_ref[0] - ntt + q  # sub_from in [0,q): diff in (0, 2q)
-    o_ref[0] = csub32(mul_mod_shoup_lazy32(diff, sc_ref[0, 0],
-                                           scs_ref[0, 0], q), q)
+    diff = s_ref[0, 0] - ntt + q  # sub_from in [0,q): diff in (0, 2q)
+    o_ref[0, 0] = csub32(mul_mod_shoup_lazy32(diff, sc_ref[lid, 0],
+                                              scs_ref[lid, 0], q), q)
 
 
 def _row_call(kernel, nrows, num_l, n, extra_rows, interpret):
     """pallas_call gridded one (limb) row per program; table rows are
     reused across the leading batch via a modulo index map.  Per-limb
-    scalars travel as (L, 1) arrays with (1, 1) SMEM blocks (Mosaic wants
-    2D scalars)."""
-    data_spec = pl.BlockSpec((1, n), lambda l: (l, _I0),
+    scalars ride as FULL-array (L, 1) SMEM blocks indexed in-kernel by the
+    limb id (Mosaic applies the block-shape rule to SMEM blocks; (1, 1)
+    blocks of an (L, 1) array fail lowering — seen on hardware
+    2026-08-19)."""
+    data_spec = pl.BlockSpec((1, 1, n), lambda l: (l, _I0, _I0),
                              memory_space=pltpu.VMEM)
-    table_spec = pl.BlockSpec((1, n), lambda l: (l % num_l, _I0),
+    table_spec = pl.BlockSpec((1, 1, n), lambda l: (_mod(l, num_l), _I0, _I0),
                               memory_space=pltpu.VMEM)
-    scalar_spec = pl.BlockSpec((1, 1), lambda l: (l % num_l, _I0),
+    scalar_spec = pl.BlockSpec((num_l, 1), lambda l: (_I0, _I0),
                                memory_space=pltpu.SMEM)
     in_specs = [data_spec, table_spec, table_spec, scalar_spec]
     in_specs += [scalar_spec] * extra_rows
@@ -251,7 +265,7 @@ def _row_call(kernel, nrows, num_l, n, extra_rows, interpret):
         grid=(nrows,),
         in_specs=in_specs,
         out_specs=data_spec,
-        out_shape=jax.ShapeDtypeStruct((nrows, n), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((nrows, 1, n), jnp.uint32),
         interpret=interpret,
     )
 
@@ -270,31 +284,33 @@ def ntt_forward_pallas(x: jnp.ndarray, t: PallasNTTTables,
     lead = x.shape[:-1]
     num_l = x.shape[-2]
     nrows = int(np.prod(lead)) if lead else 1
-    xf = x.reshape(nrows, n)
+    xf = x.reshape(nrows, 1, n)
     if sub_from is None:
-        kern = functools.partial(_fwd_kernel, t.n1, t.n2)
+        kern = functools.partial(_fwd_kernel, t.n1, t.n2, num_l)
         out = _row_call(kern, nrows, num_l, n, 0, interpret)(
-            xf, t.fwd, t.fwd_shoup, t.q.reshape(-1, 1))
+            xf, t.fwd.reshape(-1, 1, n), t.fwd_shoup.reshape(-1, 1, n),
+            t.q.reshape(-1, 1))
         return out.reshape(*lead, n)
-    sf = jnp.asarray(sub_from, dtype=jnp.uint32).reshape(nrows, n)
+    sf = jnp.asarray(sub_from, dtype=jnp.uint32).reshape(nrows, 1, n)
     sc = jnp.asarray(epi_scale, dtype=jnp.uint32).reshape(-1, 1)
     scs = jnp.asarray(epi_scale_shoup, dtype=jnp.uint32).reshape(-1, 1)
-    data_spec = pl.BlockSpec((1, n), lambda l: (l, _I0),
+    data_spec = pl.BlockSpec((1, 1, n), lambda l: (l, _I0, _I0),
                              memory_space=pltpu.VMEM)
-    table_spec = pl.BlockSpec((1, n), lambda l: (l % num_l, _I0),
+    table_spec = pl.BlockSpec((1, 1, n), lambda l: (_mod(l, num_l), _I0, _I0),
                               memory_space=pltpu.VMEM)
-    scalar_spec = pl.BlockSpec((1, 1), lambda l: (l % num_l, _I0),
+    scalar_spec = pl.BlockSpec((num_l, 1), lambda l: (_I0, _I0),
                                memory_space=pltpu.SMEM)
-    kern = functools.partial(_fwd_fused_kernel, t.n1, t.n2)
+    kern = functools.partial(_fwd_fused_kernel, t.n1, t.n2, num_l)
     out = pl.pallas_call(
         kern,
         grid=(nrows,),
         in_specs=[data_spec, table_spec, table_spec, scalar_spec,
                   data_spec, scalar_spec, scalar_spec],
         out_specs=data_spec,
-        out_shape=jax.ShapeDtypeStruct((nrows, n), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((nrows, 1, n), jnp.uint32),
         interpret=interpret,
-    )(xf, t.fwd, t.fwd_shoup, t.q.reshape(-1, 1), sf, sc, scs)
+    )(xf, t.fwd.reshape(-1, 1, n), t.fwd_shoup.reshape(-1, 1, n),
+      t.q.reshape(-1, 1), sf, sc, scs)
     return out.reshape(*lead, n)
 
 
@@ -308,16 +324,16 @@ def ntt_inverse_pallas(x: jnp.ndarray, t: PallasNTTTables,
     lead = x.shape[:-1]
     num_l = x.shape[-2]
     nrows = int(np.prod(lead)) if lead else 1
-    xf = x.reshape(nrows, n)
+    xf = x.reshape(nrows, 1, n)
     if scale is None:
         scale = t.inv_degree
         scale_shoup = t.inv_degree_shoup
     sc = jnp.asarray(scale, dtype=jnp.uint32)
     scs = jnp.asarray(scale_shoup, dtype=jnp.uint32)
-    kern = functools.partial(_inv_kernel, t.n1, t.n2)
+    kern = functools.partial(_inv_kernel, t.n1, t.n2, num_l)
     out = _row_call(kern, nrows, num_l, n, 2, interpret)(
-        xf, t.inv, t.inv_shoup, t.q.reshape(-1, 1), sc.reshape(-1, 1),
-        scs.reshape(-1, 1))
+        xf, t.inv.reshape(-1, 1, n), t.inv_shoup.reshape(-1, 1, n),
+        t.q.reshape(-1, 1), sc.reshape(-1, 1), scs.reshape(-1, 1))
     return out.reshape(*lead, n)
 
 
@@ -332,9 +348,10 @@ def _ip_kernel(beta, t_ref, e_ref, q_ref, rh_ref, rl_ref, p32_ref, p64_ref,
     eval_key_switch.cu:14-69)."""
     from .modmath32 import (add_mod32, add_u32_carry, barrett_reduce_u32,
                             mul_mod32, mul_wide32)
-    q = q_ref[0, 0]
-    rh = rh_ref[0, 0]
-    rl = rl_ref[0, 0]
+    kid = jax.lax.convert_element_type(pl.program_id(1), jnp.int32)
+    q = q_ref[kid, 0]
+    rh = rh_ref[kid, 0]
+    rl = rl_ref[kid, 0]
     c = jnp.zeros_like(t_ref[0, 0])
     hi = jnp.zeros_like(c)
     lo = jnp.zeros_like(c)
@@ -344,8 +361,8 @@ def _ip_kernel(beta, t_ref, e_ref, q_ref, rh_ref, rl_ref, p32_ref, p64_ref,
         hi2, cr2 = add_u32_carry(hi, h + cr)
         hi = hi2
         c = c + cr2
-    t_c = mul_mod32(barrett_reduce_u32(c, q, rh), p64_ref[0, 0], q, rh, rl)
-    t_h = mul_mod32(barrett_reduce_u32(hi, q, rh), p32_ref[0, 0], q, rh, rl)
+    t_c = mul_mod32(barrett_reduce_u32(c, q, rh), p64_ref[kid, 0], q, rh, rl)
+    t_h = mul_mod32(barrett_reduce_u32(hi, q, rh), p32_ref[kid, 0], q, rh, rl)
     t_l = barrett_reduce_u32(lo, q, rh)
     o_ref[0, 0] = add_mod32(add_mod32(t_c, t_h, q), t_l, q)
 
@@ -361,7 +378,7 @@ def keyswitch_inner_product_pallas(t_modup: jnp.ndarray, evk: jnp.ndarray,
                           memory_space=pltpu.VMEM)
     e_spec = pl.BlockSpec((beta, 1, 1, n), lambda j, k: (_I0, j, k, _I0),
                           memory_space=pltpu.VMEM)
-    s_spec = pl.BlockSpec((1, 1), lambda j, k: (k, _I0),
+    s_spec = pl.BlockSpec((kk, 1), lambda j, k: (_I0, _I0),
                           memory_space=pltpu.SMEM)
     out_spec = pl.BlockSpec((1, 1, n), lambda j, k: (j, k, _I0),
                             memory_space=pltpu.VMEM)

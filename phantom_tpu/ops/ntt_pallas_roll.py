@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .modmath32 import U32, csub32, mul_mod_shoup_lazy32
 from .ntt32 import NTTTables32
-from .ntt_pallas import _split_n
+from .ntt_pallas import _mod, _split_n
 
 # Mosaic requires i32 index-map returns; a Python 0 traces as weak i64 under
 # jax_enable_x64 and fails to legalize (seen on hardware 2026-08-19)
@@ -133,10 +133,12 @@ def _iota_mask(shape, axis, half):
 def _ct_stage(x, w, ws, q, two_q, dist, axis, shape):
     """Harvey CT butterfly via roll/select: one stage, values [0,4q) in,
     [0,4q) out.  w/ws are full (n1, n2) twiddle broadcasts."""
-    xn = x - jnp.where(x >= two_q, two_q, U32(0))     # [0, 2q)
-    # pltpu.roll takes non-negative shifts: out[i] = x[i - shift]
-    down = pltpu.roll(xn, shape[axis] - dist, axis=axis)  # x[i + dist]
-    up = pltpu.roll(xn, dist, axis=axis)                  # x[i - dist]
+    xn = csub32(x, two_q)                             # [0, 2q)
+    # pltpu.roll takes non-negative shifts: out[i] = x[i - shift].  Shifts
+    # must be i32 scalars: a Python int traces as weak i64 under x64 and
+    # tpu.dynamic_rotate rejects i64 (seen on hardware 2026-08-19)
+    down = pltpu.roll(xn, np.int32(shape[axis] - dist), axis=axis)
+    up = pltpu.roll(xn, np.int32(dist), axis=axis)        # x[i - dist]
     first = _iota_mask(shape, axis, dist)
     wv = mul_mod_shoup_lazy32(jnp.where(first, down, xn), w, ws, q)
     u = jnp.where(first, xn, up)
@@ -145,11 +147,11 @@ def _ct_stage(x, w, ws, q, two_q, dist, axis, shape):
 
 def _gs_stage(x, w, ws, q, two_q, dist, axis, shape):
     """Harvey GS butterfly via roll/select: values [0,2q) in/out."""
-    down = pltpu.roll(x, shape[axis] - dist, axis=axis)   # x[i + dist]
-    up = pltpu.roll(x, dist, axis=axis)                   # x[i - dist]
+    down = pltpu.roll(x, np.int32(shape[axis] - dist), axis=axis)
+    up = pltpu.roll(x, np.int32(dist), axis=axis)         # x[i - dist]
     first = _iota_mask(shape, axis, dist)
     s = x + down
-    s = s - jnp.where(s >= two_q, two_q, U32(0))
+    s = csub32(s, two_q)
     d = mul_mod_shoup_lazy32(up - x + two_q, w, ws, q)
     return jnp.where(first, s, d)
 
@@ -193,28 +195,32 @@ def _fwd_body(n1, n2, x, ca, cas, bb, bbs, q, wsc, wssc):
     return csub32(csub32(x, two_q), q)
 
 
-def _fwd_kernel(n1, n2, x_ref, ca_ref, cas_ref, bb_ref, bbs_ref, q_ref,
-                o_ref, wsc, wssc):
-    q = q_ref[0, 0]
+def _fwd_kernel(n1, n2, num_l, x_ref, ca_ref, cas_ref, bb_ref, bbs_ref,
+                q_ref, o_ref, wsc, wssc):
+    lid = _mod(pl.program_id(0), num_l)
+    q = q_ref[lid, 0]
     o_ref[0] = _fwd_body(n1, n2, x_ref[0], ca_ref, cas_ref, bb_ref, bbs_ref,
                          q, wsc, wssc)
 
 
-def _fwd_fused_kernel(n1, n2, x_ref, ca_ref, cas_ref, bb_ref, bbs_ref, q_ref,
-                      s_ref, sc_ref, scs_ref, o_ref, wsc, wssc):
+def _fwd_fused_kernel(n1, n2, num_l, x_ref, ca_ref, cas_ref, bb_ref,
+                      bbs_ref, q_ref, s_ref, sc_ref, scs_ref, o_ref,
+                      wsc, wssc):
     """(sub_from - NTT(x)) * scale — the fused moddown/rescale epilogue
     (reference: ntt_moddown.cu:222)."""
-    q = q_ref[0, 0]
+    lid = _mod(pl.program_id(0), num_l)
+    q = q_ref[lid, 0]
     ntt = _fwd_body(n1, n2, x_ref[0], ca_ref, cas_ref, bb_ref, bbs_ref, q,
                     wsc, wssc)
     diff = s_ref[0] - ntt + q
     o_ref[0] = csub32(
-        mul_mod_shoup_lazy32(diff, sc_ref[0, 0], scs_ref[0, 0], q), q)
+        mul_mod_shoup_lazy32(diff, sc_ref[lid, 0], scs_ref[lid, 0], q), q)
 
 
-def _inv_kernel(n1, n2, x_ref, ia_ref, ias_ref, ib_ref, ibs_ref, q_ref,
-                sc_ref, scs_ref, o_ref, wsc, wssc):
-    q = q_ref[0, 0]
+def _inv_kernel(n1, n2, num_l, x_ref, ia_ref, ias_ref, ib_ref, ibs_ref,
+                q_ref, sc_ref, scs_ref, o_ref, wsc, wssc):
+    lid = _mod(pl.program_id(0), num_l)
+    q = q_ref[lid, 0]
     two_q = q * U32(2)
     n = n1 * n2
     shape = (n1, n2)
@@ -236,7 +242,7 @@ def _inv_kernel(n1, n2, x_ref, ia_ref, ias_ref, ib_ref, ibs_ref, q_ref,
         m >>= 1
         s -= 1
     o_ref[0] = csub32(
-        mul_mod_shoup_lazy32(x, sc_ref[0, 0], scs_ref[0, 0], q), q)
+        mul_mod_shoup_lazy32(x, sc_ref[lid, 0], scs_ref[lid, 0], q), q)
 
 
 def _call(kernel, t: RollNTTTables, nrows, num_l, extra, interpret):
@@ -244,12 +250,12 @@ def _call(kernel, t: RollNTTTables, nrows, num_l, extra, interpret):
     data = pl.BlockSpec((1, n1, n2), lambda l: (l, _I0, _I0),
                         memory_space=pltpu.VMEM)
     cols = pl.BlockSpec((1, n1, t.cols_a.shape[-1]),
-                        lambda l: (l % num_l, _I0, _I0),
+                        lambda l: (_mod(l, num_l), _I0, _I0),
                         memory_space=pltpu.VMEM)
     blk = pl.BlockSpec((1, n1, t.blk_b.shape[-1]),
-                       lambda l: (l % num_l, _I0, _I0),
+                       lambda l: (_mod(l, num_l), _I0, _I0),
                        memory_space=pltpu.VMEM)
-    scalar = pl.BlockSpec((1, 1), lambda l: (l % num_l, _I0),
+    scalar = pl.BlockSpec((num_l, 1), lambda l: (_I0, _I0),
                           memory_space=pltpu.SMEM)
     in_specs = [data, cols, cols, blk, blk, scalar] + list(extra)
     return pl.pallas_call(
@@ -279,15 +285,15 @@ def ntt_forward_roll(x: jnp.ndarray, t: RollNTTTables,
     xm = x.reshape(nrows, n1, n2)
     qcol = t.q.reshape(-1, 1)
     if sub_from is None:
-        kern = functools.partial(_fwd_kernel, n1, n2)
+        kern = functools.partial(_fwd_kernel, n1, n2, num_l)
         out = _call(kern, t, nrows, num_l, [], interpret)(
             xm, t.cols_a, t.cols_a_shoup, t.blk_b, t.blk_b_shoup, qcol)
         return out.reshape(*lead, n1 * n2)
     data = pl.BlockSpec((1, n1, n2), lambda l: (l, _I0, _I0),
                         memory_space=pltpu.VMEM)
-    scalar = pl.BlockSpec((1, 1), lambda l: (l % num_l, _I0),
+    scalar = pl.BlockSpec((num_l, 1), lambda l: (_I0, _I0),
                           memory_space=pltpu.SMEM)
-    kern = functools.partial(_fwd_fused_kernel, n1, n2)
+    kern = functools.partial(_fwd_fused_kernel, n1, n2, num_l)
     out = _call(kern, t, nrows, num_l, [data, scalar, scalar], interpret)(
         xm, t.cols_a, t.cols_a_shoup, t.blk_b, t.blk_b_shoup, qcol,
         jnp.asarray(sub_from, jnp.uint32).reshape(nrows, n1, n2),
@@ -311,9 +317,9 @@ def ntt_inverse_roll(x: jnp.ndarray, t: RollNTTTables,
     if scale is None:
         scale = t.inv_degree
         scale_shoup = t.inv_degree_shoup
-    scalar = pl.BlockSpec((1, 1), lambda l: (l % num_l, _I0),
+    scalar = pl.BlockSpec((num_l, 1), lambda l: (_I0, _I0),
                           memory_space=pltpu.SMEM)
-    kern = functools.partial(_inv_kernel, n1, n2)
+    kern = functools.partial(_inv_kernel, n1, n2, num_l)
     out = _call(kern, t, nrows, num_l, [scalar, scalar], interpret)(
         xm, t.icols_a, t.icols_a_shoup, t.iblk_b, t.iblk_b_shoup,
         t.q.reshape(-1, 1),

@@ -26,6 +26,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import flax.struct
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -484,6 +485,29 @@ def moddown32(ks: KeySwitch32, x: jnp.ndarray) -> jnp.ndarray:
                 epi_scale=ks.pinv, epi_scale_shoup=ks.pinv_shoup)
 
 
+def moddown32_pair(ks: KeySwitch32, x0: jnp.ndarray, x1: jnp.ndarray):
+    """moddown of BOTH keyswitch halves in ONE batched iNTT + ONE fused
+    bconv+fNTT launch (G=2 groups).  Kernel-launch overhead through the
+    axon runtime is ~1.4 ms each (CLAUDE.md), so halving the moddown
+    launch count is worth ~3 ms per op.  Bit-identical to two moddown32
+    calls."""
+    if ks.moddown_scale is None or ks.p_to_t is not None:
+        return moddown32(ks, x0), moddown32(ks, x1)
+    from . import ntt_mxu_pallas as nmp
+    k = ks.size_ql
+    xp = jnp.stack([x0[k:], x1[k:]])             # (2, alpha, N)
+    y = _inv(ks, xp, ks.t_p, scale=ks.moddown_scale,
+             scale_shoup=ks.moddown_scale_shoup)
+    v = jax.vmap(bc32.floor_sum_div32, in_axes=(0, None))(y, ks.p_to_q)
+    mat = jnp.broadcast_to(ks.p_to_q.qhat_mod_p[None],
+                           (2,) + ks.p_to_q.qhat_mod_p.shape)
+    out = nmp.bconv_ntt_forward_mxu_pallas(
+        y, mat, ks.t_ql, v=v, vmul=ks.p_to_q.q_mod_p,
+        sub_from=jnp.stack([x0[:k], x1[:k]]),
+        epi_scale=ks.pinv, epi_scale_shoup=ks.pinv_shoup)
+    return out[0], out[1]
+
+
 def moddown_coeff32(ks: KeySwitch32, x: jnp.ndarray) -> jnp.ndarray:
     """Moddown for coefficient-form input (reference: DRNSTool::moddown;
     mirror of keyswitch.moddown_coeff)."""
@@ -509,14 +533,16 @@ def keyswitch32(ks: KeySwitch32, c2_coeff: jnp.ndarray,
     else:
         t_up = modup32(ks, c2_coeff)
         s0, s1 = inner_product32(ks, t_up, evk)
-    return jnp.stack([moddown32(ks, s0), moddown32(ks, s1)])
+    m0, m1 = moddown32_pair(ks, s0, s1)
+    return jnp.stack([m0, m1])
 
 
 def keyswitch_from_ntt32(ks: KeySwitch32, c2_ntt: jnp.ndarray,
                          evk: jnp.ndarray) -> jnp.ndarray:
     """Hybrid keyswitch, NTT-form input (fused modup)."""
     s0, s1 = modup_ip32(ks, c2_ntt, evk)
-    return jnp.stack([moddown32(ks, s0), moddown32(ks, s1)])
+    m0, m1 = moddown32_pair(ks, s0, s1)
+    return jnp.stack([m0, m1])
 
 
 # ---------------------------------------------------------------------------
@@ -647,8 +673,9 @@ def mult_relin_rescale32(p: CKKSPipeline32, d1: jnp.ndarray,
     debug.check_range(d2, q, "mult_relin_rescale32: d2 not canonical")
     c0, c1, c2 = _tensor_2x2(ks.mv_ql, d1, d2)
     s0, s1 = modup_ip32(ks, c2, p.evk)
-    out0 = m32.add_mod32(c0, moddown32(ks, s0), q)
-    out1 = m32.add_mod32(c1, moddown32(ks, s1), q)
+    m0, m1 = moddown32_pair(ks, s0, s1)
+    out0 = m32.add_mod32(c0, m0, q)
+    out1 = m32.add_mod32(c1, m1, q)
     out = jnp.stack([out0, out1])
     res = _rescale(p, out)
     debug.check_range(res, ks.mv_ql.q[:-1, None],
