@@ -133,7 +133,9 @@ def main():
               "bgv": Scheme.BGV}[args.scheme]
     extra = {}
     if scheme != Scheme.CKKS:
-        extra["plain_modulus"] = PlainModulus.batching(n, 16).value
+        # batching primes are == 1 mod 2n, so they need > log2(2n) bits
+        tbits = max(16, n.bit_length() + 3)  # 786433 at n=65536
+        extra["plain_modulus"] = PlainModulus.batching(n, tbits).value
     if scheme == Scheme.BFV:
         from phantom_tpu.schemes import MulTech
         extra["mul_tech"] = {"hps": MulTech.HPS, "behz": MulTech.BEHZ,
