@@ -300,7 +300,7 @@ def main():
     batch8 = None
     batch_probes = {}
     if on_accel and args.batch == 1 and time.time() - t_start < budget:
-        for b in (8, 16):
+        for b in (8, 16, 32):
             try:
                 args.batch = b
                 runb = make_run(best)

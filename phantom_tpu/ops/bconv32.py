@@ -129,23 +129,26 @@ def matmul_reduce32(y: jnp.ndarray, c: BaseConvConsts32) -> jnp.ndarray:
 
 
 def floor_sum_div32(y: jnp.ndarray, c: BaseConvConsts32) -> jnp.ndarray:
-    """v = floor(sum y_i / q_i), three-level 2^32 cascade (error 2^-96)."""
-    k_in, n = y.shape
-    q = c.ibase.q[:, None]
-    rh = c.ibase.ratio_hi[:, None]
-    rl = c.ibase.ratio_lo[:, None]
-    yU = y * c.U[:, None]
-    h, l = m32.mul_wide32(y, c.V[:, None])
+    """v = floor(sum y_i / q_i), three-level 2^32 cascade (error 2^-96).
+    y: (k_in, ...) — any trailing data shape (flat N or blocked n1 x n2)."""
+    k_in = y.shape[0]
+    rest = y.shape[1:]
+    bc = (slice(None),) + (None,) * len(rest)
+    q = c.ibase.q[bc]
+    rh = c.ibase.ratio_hi[bc]
+    rl = c.ibase.ratio_lo[bc]
+    yU = y * c.U[bc]
+    h, l = m32.mul_wide32(y, c.V[bc])
     q1, r1 = m32.barrett_div_mod_u64_32(h, l, q, rh, rl)
     s2, r2 = m32.barrett_div_mod_u64_32(r1, jnp.zeros_like(r1), q, rh, rl)
     s3, _ = m32.barrett_div_mod_u64_32(r2, jnp.zeros_like(r2), q, rh, rl)
 
-    a_hi = jnp.zeros((n,), dtype=jnp.uint32)
-    a_lo = jnp.zeros((n,), dtype=jnp.uint32)
-    b_hi = jnp.zeros((n,), dtype=jnp.uint32)
-    b_lo = jnp.zeros((n,), dtype=jnp.uint32)
-    c_hi = jnp.zeros((n,), dtype=jnp.uint32)
-    c_lo = jnp.zeros((n,), dtype=jnp.uint32)
+    a_hi = jnp.zeros(rest, dtype=jnp.uint32)
+    a_lo = jnp.zeros(rest, dtype=jnp.uint32)
+    b_hi = jnp.zeros(rest, dtype=jnp.uint32)
+    b_lo = jnp.zeros(rest, dtype=jnp.uint32)
+    c_hi = jnp.zeros(rest, dtype=jnp.uint32)
+    c_lo = jnp.zeros(rest, dtype=jnp.uint32)
     for i in range(k_in):
         a_lo, cr = m32.add_u32_carry(a_lo, yU[i])
         a_hi = a_hi + cr

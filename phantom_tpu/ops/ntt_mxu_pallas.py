@@ -237,6 +237,24 @@ def _specs(t: MXUNTTTables, num_l: int, fused: bool, inverse: bool):
     return specs
 
 
+
+def _layout(x, t):
+    """Accept flat (..., L, N) or pre-blocked (..., L, n1, n2) input.
+    Returns (lead_shape, num_l, rows_view, blocked) — pre-blocked callers
+    skip the flat<->blocked physical relayout entirely (u32 reshape
+    between (L, N) and (L, n1, n2) tilings moves the whole array through
+    the VPU; several per op dominated the inter-kernel time in the
+    batch-8 trace)."""
+    n1, n2 = t.n1, t.n2
+    if x.ndim >= 3 and x.shape[-2:] == (n1, n2):
+        lead = x.shape[:-2]
+        num_l = x.shape[-3]
+        return lead, num_l, x.reshape(-1, n1, n2), True
+    lead = x.shape[:-1]
+    num_l = x.shape[-2]
+    return lead, num_l, x.reshape(-1, n1, n2), False
+
+
 def ntt_forward_mxu_pallas(x: jnp.ndarray, t: MXUNTTTables,
                            sub_from=None, epi_scale=None,
                            epi_scale_shoup=None,
@@ -247,10 +265,8 @@ def ntt_forward_mxu_pallas(x: jnp.ndarray, t: MXUNTTTables,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n1, n2 = t.n1, t.n2
-    lead = x.shape[:-1]
-    num_l = x.shape[-2]
+    lead, num_l, xm, blocked = _layout(x, t)
     nrows = int(np.prod(lead)) if lead else 1
-    xm = x.reshape(nrows, n1, n2)
     assert t.q.shape[0] == num_l, (t.q.shape, num_l)
     fused = sub_from is not None
     kern = functools.partial(_fwd_kernel, t.plane_bits, t.q_bits, num_l,
@@ -272,6 +288,8 @@ def ntt_forward_mxu_pallas(x: jnp.ndarray, t: MXUNTTTables,
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
     )(*args)
+    if blocked:
+        return out.reshape(*lead, n1, n2)
     return out.reshape(*lead, n1 * n2)
 
 
@@ -284,10 +302,8 @@ def ntt_inverse_mxu_pallas(x: jnp.ndarray, t: MXUNTTTables,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n1, n2 = t.n1, t.n2
-    lead = x.shape[:-1]
-    num_l = x.shape[-2]
+    lead, num_l, xm, blocked = _layout(x, t)
     nrows = int(np.prod(lead)) if lead else 1
-    xm = x.reshape(nrows, n1, n2)
     if scale is None:
         scale = t.inv_degree
         scale_shoup = t.inv_degree_shoup
@@ -306,6 +322,8 @@ def ntt_inverse_mxu_pallas(x: jnp.ndarray, t: MXUNTTTables,
       t.wai, t.q.reshape(-1, 1), t.pow_diag, t.pow_diag_shoup,
       jnp.asarray(scale, jnp.uint32).reshape(-1, 1),
       jnp.asarray(scale_shoup, jnp.uint32).reshape(-1, 1))
+    if blocked:
+        return out.reshape(*lead, n1, n2)
     return out.reshape(*lead, n1 * n2)
 
 
@@ -406,9 +424,12 @@ def bconv_ntt_forward_mxu_pallas(y: jnp.ndarray, mat: jnp.ndarray,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n1, n2 = t.n1, t.n2
-    G, alpha, n = y.shape
+    blocked = y.ndim == 4 and y.shape[-2:] == (n1, n2)
+    G, alpha = y.shape[:2]
+    n = n1 * n2
     k_out = mat.shape[1]
-    assert mat.shape == (G, k_out, alpha) and n == n1 * n2
+    assert mat.shape == (G, k_out, alpha)
+    assert blocked or y.shape == (G, alpha, n), y.shape
     assert alpha <= 63, "96-bit triple exactness bound"
     assert t.q.shape[0] == k_out, (t.q.shape, k_out)
     ym = y.reshape(G * alpha, n1, n2)
@@ -478,6 +499,8 @@ def bconv_ntt_forward_mxu_pallas(y: jnp.ndarray, mat: jnp.ndarray,
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
     )(*args)
+    if blocked:
+        return out.reshape(G, k_out, n1, n2)
     return out.reshape(G, k_out, n)
 
 
@@ -585,9 +608,12 @@ def modup_ip_mxu_pallas(y: jnp.ndarray, mats: jnp.ndarray,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n1, n2 = t.n1, t.n2
-    k, n = y.shape
+    blocked = y.ndim == 3 and y.shape[-2:] == (n1, n2)
+    k = y.shape[0]
+    n = n1 * n2
     beta, k_out, alpha = mats.shape
-    assert k == beta * alpha and n == n1 * n2
+    assert k == beta * alpha
+    assert blocked or y.shape == (k, n), y.shape
     assert t.q.shape[0] == k_out, (t.q.shape, k_out)
     mv = t.mv
     n_diag = t.pow_diag.shape[1]
@@ -595,6 +621,8 @@ def modup_ip_mxu_pallas(y: jnp.ndarray, mats: jnp.ndarray,
     ym = y.reshape(beta, alpha, n1, n2)
     matm = jnp.asarray(mats, jnp.uint32).reshape(beta * k_out, alpha)
     has_self = c2_ntt is not None
+    # pass evk pre-blocked (beta, 2, k_out, n1, n2) to avoid re-tiling the
+    # ~44 MB key stream on every step
     evkm = evk.reshape(beta, 2, k_out, n1, n2)
 
     y_spec = pl.BlockSpec((1, alpha, n1, n2), lambda j, d: (d, _I0, _I0, _I0),
@@ -641,5 +669,8 @@ def modup_ip_mxu_pallas(y: jnp.ndarray, mats: jnp.ndarray,
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
     )(*args)
-    out = out.reshape(2, k_out, n)
+    if blocked:
+        out = out.reshape(2, k_out, n1, n2)
+    else:
+        out = out.reshape(2, k_out, n)
     return out[0], out[1]

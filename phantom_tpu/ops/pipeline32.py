@@ -44,6 +44,12 @@ def _u32(v) -> jnp.ndarray:
     return jnp.asarray(np.asarray(v).astype(np.uint32))
 
 
+def _qcol(vec: jnp.ndarray, data: jnp.ndarray) -> jnp.ndarray:
+    """Broadcast a per-limb (L,) constant against (L, ...) data — (L, 1)
+    for flat rows, (L, 1, 1) for blocked (L, n1, n2) rows."""
+    return vec[(slice(None),) + (None,) * (data.ndim - 1)]
+
+
 def normalize_engine(use_pallas) -> str:
     """Engine selector: False/'xla' = u32 butterfly stages, True/'pallas' =
     fused-VMEM Pallas kernels, 'pallas-roll' = the reshape-free
@@ -365,7 +371,7 @@ def modup_from_ntt32(ks: KeySwitch32, c2_ntt: jnp.ndarray) -> jnp.ndarray:
         # passed through in-kernel (no scatter/concat afterwards)
         from . import ntt_mxu_pallas as nmp
         return nmp.bconv_ntt_forward_mxu_pallas(
-            y.reshape(beta, alpha, n), ks.modup_mats, ks.t_qlp,
+            y.reshape(beta, alpha, *y.shape[1:]), ks.modup_mats, ks.t_qlp,
             self_rows=c2_ntt)
     zeros = jnp.zeros((alpha, n), dtype=jnp.uint32)
     assembled = []
@@ -425,8 +431,12 @@ def modup_ip32(ks: KeySwitch32, c2_ntt: jnp.ndarray,
     Returns (s0, s1) bit-identical to
     inner_product32(ks, modup_from_ntt32(ks, c2_ntt), evk)."""
     from . import ntt_mxu_pallas as nmp
-    n = c2_ntt.shape[-1]
-    if (ks.modup_mats is not None and c2_ntt.ndim == 2
+    t = ks.t_qlp
+    blocked = (isinstance(t, ntt_mxu.MXUNTTTables) and c2_ntt.ndim == 3
+               and c2_ntt.shape[-2:] == (t.n1, t.n2))
+    n = (c2_ntt.shape[-2] * c2_ntt.shape[-1] if blocked
+         else c2_ntt.shape[-1])
+    if (ks.modup_mats is not None and c2_ntt.ndim == (3 if blocked else 2)
             and ks.size_ql * n * 4 <= nmp.MODUP_IP_MAX_Y_BYTES):
         y = _inv(ks, c2_ntt, ks.t_ql, scale=ks.modup_scale,
                  scale_shoup=ks.modup_scale_shoup)
@@ -585,12 +595,18 @@ def build_pipeline32(ctx, rlk, chain_index: int = 1,
     cd = ctx.get_context_data(chain_index)
     rc = cd.rescale
     ks = build_keyswitch32(ctx, chain_index, use_pallas)
+    evk = None if rlk is None else convert_key32(ctx, rlk.data, chain_index)
+    if evk is not None and isinstance(ks.t_qlp, ntt_mxu.MXUNTTTables) \
+            and ks.t_qlp.fused_kernel:
+        # pre-tile the key stream for the mega-kernel: re-tiling ~44 MB
+        # from (.., N) to (.., n1, n2) on every step is a full VPU pass
+        n1, n2 = ks.t_qlp.n1, ks.t_qlp.n2
+        evk = evk.reshape(*evk.shape[:-1], n1, n2)
     return CKKSPipeline32(
         ks=ks,
         # rlk is optional: rescale/add/rotate/matvec workloads never touch
         # the relin evk, so a None key only disables multiply+relin
-        evk=None if rlk is None else convert_key32(ctx, rlk.data,
-                                                   chain_index),
+        evk=evk,
         t_ql_next=_conv_tables(ctx.tables_q(cd.size_ql - 1), use_pallas),
         qlast_inv=_u32(rc.qlast_inv),
         qlast_inv_shoup=_shoup32_from64(np.asarray(rc.qlast_inv_shoup)),
@@ -600,9 +616,9 @@ def build_pipeline32(ctx, rlk, chain_index: int = 1,
 
 
 def _tensor_2x2(mv: ModulusVec32, a, b):
-    q = mv.q[:, None]
-    rh = mv.ratio_hi[:, None]
-    rl = mv.ratio_lo[:, None]
+    q = _qcol(mv.q, a[0])
+    rh = _qcol(mv.ratio_hi, a[0])
+    rl = _qcol(mv.ratio_lo, a[0])
     c0 = m32.mul_mod32(a[0], b[0], q, rh, rl)
     # cross terms: one 64-bit lazy add, one Barrett (2*q^2 < q*2^32)
     h1, l1 = m32.mul_wide32(a[0], b[1])
@@ -616,9 +632,9 @@ def _tensor_2x2(mv: ModulusVec32, a, b):
 def _tensor_square_2x2(mv: ModulusVec32, a):
     """(a0, a1)^2 with the cross term computed once (mirror of
     polyops.tensor_square_2x2; reference: tensor_square_2x2_rns_poly)."""
-    q = mv.q[:, None]
-    rh = mv.ratio_hi[:, None]
-    rl = mv.ratio_lo[:, None]
+    q = _qcol(mv.q, a[0])
+    rh = _qcol(mv.ratio_hi, a[0])
+    rl = _qcol(mv.ratio_lo, a[0])
     c0 = m32.mul_mod32(a[0], a[0], q, rh, rl)
     # doubled cross term reduced once: 2*q^2 < q*2^32
     h, l = m32.mul_wide32(a[0], a[1])
@@ -629,11 +645,19 @@ def _tensor_square_2x2(mv: ModulusVec32, a):
 
 
 def _rescale(p: CKKSPipeline32, x):
-    """round(x / q_last) on NTT-form (k, N) -> (k-1, N)."""
+    """round(x / q_last) on NTT-form (..., k, N) or blocked
+    (..., k, n1, n2) -> one fewer limb, same layout."""
     ks = p.ks
     k = ks.size_ql
+    t = p.t_ql_next
+    blocked = (isinstance(t, ntt_mxu.MXUNTTTables) and x.ndim >= 3
+               and x.shape[-2:] == (t.n1, t.n2))
+    dshape = x.shape[-2:] if blocked else x.shape[-1:]
+    limb_ax = -3 if blocked else -2
+    xlast = jax.lax.slice_in_dim(x, k - 1, k, axis=limb_ax)
+    xrest = jax.lax.slice_in_dim(x, 0, k - 1, axis=limb_ax)
     t_last = slice_tables32(ks.use_pallas, ks.t_ql, k - 1, k)
-    xl = _inv(ks, x[..., k - 1:k, :], t_last)
+    xl = _inv(ks, xlast, t_last)
     qlast = ks.mv_ql.q[k - 1]
     xl = m32.add_mod32(xl, p.half, qlast)
     if (isinstance(p.t_ql_next, ntt_mxu.MXUNTTTables)
@@ -641,20 +665,23 @@ def _rescale(p: CKKSPipeline32, x):
         # mxu-pallas: reduce-mod-q_j (alpha=1 bconv), half correction,
         # forward NTT and the (x - .) * qlast^{-1} epilogue in one program
         from . import ntt_mxu_pallas as nmp
-        lead = x.shape[:-2]
-        n = x.shape[-1]
+        lead = x.shape[:len(x.shape) + limb_ax]
         g = int(np.prod(lead)) if lead else 1
         out = nmp.bconv_ntt_forward_mxu_pallas(
-            xl.reshape(g, 1, n), jnp.ones((g, k - 1, 1), jnp.uint32),
+            xl.reshape(g, 1, *dshape), jnp.ones((g, k - 1, 1), jnp.uint32),
             p.t_ql_next, post_sub=p.half_mod_q,
-            sub_from=x[..., :k - 1, :].reshape(g, k - 1, n),
+            sub_from=xrest.reshape(g, k - 1, *dshape),
             epi_scale=p.qlast_inv, epi_scale_shoup=p.qlast_inv_shoup)
-        return out.reshape(*lead, k - 1, n)
-    rest_q = ks.mv_ql.q[:k - 1][:, None]
-    rest_rh = ks.mv_ql.ratio_hi[:k - 1][:, None]
+        return out.reshape(*lead, k - 1, *dshape)
+    rest_q = _qcol(ks.mv_ql.q[:k - 1], xrest[..., 0, :] if not blocked
+                   else xrest[..., 0, :, :])
+    rest_rh = _qcol(ks.mv_ql.ratio_hi[:k - 1], xrest[..., 0, :]
+                    if not blocked else xrest[..., 0, :, :])
     red = m32.barrett_reduce_u32(xl, rest_q, rest_rh)
-    delta = m32.sub_mod32(red, p.half_mod_q[:, None], rest_q)
-    return _fwd(ks, delta, p.t_ql_next, sub_from=x[..., :k - 1, :],
+    delta = m32.sub_mod32(red, _qcol(p.half_mod_q, xl[..., 0, :]
+                                     if not blocked else xl[..., 0, :, :]),
+                          rest_q)
+    return _fwd(ks, delta, p.t_ql_next, sub_from=xrest,
                 epi_scale=p.qlast_inv, epi_scale_shoup=p.qlast_inv_shoup)
 
 
@@ -668,7 +695,16 @@ def mult_relin_rescale32(p: CKKSPipeline32, d1: jnp.ndarray,
         raise ValueError("multiply+relin needs a relin key (Fast32 was "
                          "built with rlk=None)")
     ks = p.ks
-    q = ks.mv_ql.q[:, None]
+    lead = d1.shape[:-1]
+    # mxu-pallas: run the whole step in the BLOCKED (L, n1, n2) layout —
+    # one tiling relayout in and one out instead of one per kernel call
+    # (each is a full VPU pass over the ciphertext; see CLAUDE.md)
+    t = ks.t_ql
+    blk = isinstance(t, ntt_mxu.MXUNTTTables) and t.fused_kernel
+    if blk:
+        d1 = d1.reshape(*lead, t.n1, t.n2)
+        d2 = d2.reshape(*lead, t.n1, t.n2)
+    q = _qcol(ks.mv_ql.q, d1[0])
     debug.check_range(d1, q, "mult_relin_rescale32: d1 not canonical")
     debug.check_range(d2, q, "mult_relin_rescale32: d2 not canonical")
     c0, c1, c2 = _tensor_2x2(ks.mv_ql, d1, d2)
@@ -678,8 +714,10 @@ def mult_relin_rescale32(p: CKKSPipeline32, d1: jnp.ndarray,
     out1 = m32.add_mod32(c1, m1, q)
     out = jnp.stack([out0, out1])
     res = _rescale(p, out)
-    debug.check_range(res, ks.mv_ql.q[:-1, None],
+    debug.check_range(res, _qcol(ks.mv_ql.q[:-1], res[0]),
                       "rescale output not canonical")
+    if blk:
+        res = res.reshape(*lead[:-1], ks.size_ql - 1, t.n1 * t.n2)
     return res
 
 
