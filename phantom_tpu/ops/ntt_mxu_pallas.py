@@ -354,43 +354,59 @@ def _bconv_fwd_kernel(bits, q_bits, alpha, k_out, has_v, has_post, has_self,
     rh = rh_ref[jid, 0]
     rl = rl_ref[jid, 0]
     shape = y_ref.shape[1:]
-    # exact base-conversion row: sum_i y[i] * mat[j, i] accumulated as a
-    # (carry, hi, lo) u32 triple (mirror of bconv32.accumulate_matmul_96;
-    # exact for <= 63 input limbs), reduced mod q_j
-    c = jnp.zeros(shape, dtype=jnp.uint32)
-    hi = jnp.zeros(shape, dtype=jnp.uint32)
-    lo = jnp.zeros(shape, dtype=jnp.uint32)
-    for i in range(alpha):
-        h, l = m32.mul_wide32(y_ref[i], mat_ref[mrow, i])
-        lo, cr = m32.add_u32_carry(lo, l)
-        hi2, cr2 = m32.add_u32_carry(hi, h + cr)  # h < 2^28: no overflow
-        hi = hi2
-        c = c + cr2
-    t_c = m32.mul_mod32(m32.barrett_reduce_u32(c, q, rh), p64_ref[jid, 0],
-                        q, rh, rl)
-    t_h = m32.mul_mod32(m32.barrett_reduce_u32(hi, q, rh), p32_ref[jid, 0],
-                        q, rh, rl)
-    t_l = m32.barrett_reduce_u32(lo, q, rh)
-    x = m32.add_mod32(m32.add_mod32(t_c, t_h, q), t_l, q)
-    if has_v:
-        # exact-bconv correction: x -= v * (q_in mod q_j)
-        x = m32.sub_mod32(x, m32.mul_mod32(v_ref[0], vm_ref[jid, 0],
-                                           q, rh, rl), q)
-    if has_post:
-        x = m32.sub_mod32(x, post_ref[jid, 0], q)
-    out = _ntt_core(x, wa_ref, d_ref, ds_ref, wb_ref, q, pd_ref, pds_ref,
-                    jid, bits, q_bits)
+
+    def _transform():
+        # exact base-conversion row: sum_i y[i] * mat[j, i] accumulated as
+        # a (carry, hi, lo) u32 triple (mirror of
+        # bconv32.accumulate_matmul_96; exact for <= 63 input limbs),
+        # reduced mod q_j
+        c = jnp.zeros(shape, dtype=jnp.uint32)
+        hi = jnp.zeros(shape, dtype=jnp.uint32)
+        lo = jnp.zeros(shape, dtype=jnp.uint32)
+        for i in range(alpha):
+            h, l = m32.mul_wide32(y_ref[i], mat_ref[mrow, i])
+            lo, cr = m32.add_u32_carry(lo, l)
+            hi2, cr2 = m32.add_u32_carry(hi, h + cr)  # h < 2^28: no ovfl
+            hi = hi2
+            c = c + cr2
+        t_c = m32.mul_mod32(m32.barrett_reduce_u32(c, q, rh),
+                            p64_ref[jid, 0], q, rh, rl)
+        t_h = m32.mul_mod32(m32.barrett_reduce_u32(hi, q, rh),
+                            p32_ref[jid, 0], q, rh, rl)
+        t_l = m32.barrett_reduce_u32(lo, q, rh)
+        x = m32.add_mod32(m32.add_mod32(t_c, t_h, q), t_l, q)
+        if has_v:
+            # exact-bconv correction: x -= v * (q_in mod q_j)
+            x = m32.sub_mod32(x, m32.mul_mod32(v_ref[0], vm_ref[jid, 0],
+                                               q, rh, rl), q)
+        if has_post:
+            x = m32.sub_mod32(x, post_ref[jid, 0], q)
+        return _ntt_core(x, wa_ref, d_ref, ds_ref, wb_ref, q, pd_ref,
+                         pds_ref, jid, bits, q_bits)
+
+    def _epi(out):
+        if fused:
+            diff = s_ref[0] - out + q            # sub_from in [0, q)
+            out = _csub_for(q_bits)(mul_mod_shoup_lazy32(
+                diff, sc_ref[jid, 0], scs_ref[jid, 0], q), q)
+        return out
+
     if has_self:
-        # modup digit-own rows: the input is already the NTT form of this
-        # row — pass it through instead of the (zero) converted transform
+        # modup digit-own rows take the NTT-form input verbatim; the
+        # bconv+NTT is SKIPPED for them (predicated, not just selected —
+        # alpha of every k_out programs per digit)
         in_digit = ((jid >= gid * np.int32(alpha))
                     & (jid < (gid + np.int32(1)) * np.int32(alpha)))
-        out = jnp.where(in_digit, self_ref[0], out)
-    if fused:
-        diff = s_ref[0] - out + q                # sub_from in [0, q)
-        out = _csub_for(q_bits)(mul_mod_shoup_lazy32(
-            diff, sc_ref[jid, 0], scs_ref[jid, 0], q), q)
-    o_ref[0] = out
+
+        @pl.when(jnp.logical_not(in_digit))
+        def _compute():
+            o_ref[0] = _epi(_transform())
+
+        @pl.when(in_digit)
+        def _passthrough():
+            o_ref[0] = _epi(self_ref[0])
+    else:
+        o_ref[0] = _epi(_transform())
 
 
 def bconv_ntt_forward_mxu_pallas(y: jnp.ndarray, mat: jnp.ndarray,
@@ -532,28 +548,46 @@ def _modup_ip_kernel(bits, q_bits, alpha, beta, k_out, has_self,
     # holds exactly this digit's alpha rows (grid-indexed), so every read
     # is a static slice — dynamic VMEM slicing costs extra and the full
     # (k, N) buffer crowded VMEM.
-    c = jnp.zeros(shape, dtype=jnp.uint32)
-    hi = jnp.zeros(shape, dtype=jnp.uint32)
-    lo = jnp.zeros(shape, dtype=jnp.uint32)
-    for i in range(alpha):
-        row = y_ref[0, i]
-        h, l = m32.mul_wide32(row, mat_ref[mrow, i])
-        lo, cr = m32.add_u32_carry(lo, l)
-        hi2, cr2 = m32.add_u32_carry(hi, h + cr)
-        hi = hi2
-        c = c + cr2
-    t_c = m32.mul_mod32(m32.barrett_reduce_u32(c, q, rh), p64_ref[jid, 0],
-                        q, rh, rl)
-    t_h = m32.mul_mod32(m32.barrett_reduce_u32(hi, q, rh), p32_ref[jid, 0],
-                        q, rh, rl)
-    t_l = m32.barrett_reduce_u32(lo, q, rh)
-    x = m32.add_mod32(m32.add_mod32(t_c, t_h, q), t_l, q)
-    t_dj = _ntt_core(x, wa_ref, d_ref, ds_ref, wb_ref, q, pd_ref, pds_ref,
-                     jid, bits, q_bits)
+    def _transform(t_ref):
+        c = jnp.zeros(shape, dtype=jnp.uint32)
+        hi = jnp.zeros(shape, dtype=jnp.uint32)
+        lo = jnp.zeros(shape, dtype=jnp.uint32)
+        for i in range(alpha):
+            row = y_ref[0, i]
+            h, l = m32.mul_wide32(row, mat_ref[mrow, i])
+            lo, cr = m32.add_u32_carry(lo, l)
+            hi2, cr2 = m32.add_u32_carry(hi, h + cr)
+            hi = hi2
+            c = c + cr2
+        t_c = m32.mul_mod32(m32.barrett_reduce_u32(c, q, rh),
+                            p64_ref[jid, 0], q, rh, rl)
+        t_h = m32.mul_mod32(m32.barrett_reduce_u32(hi, q, rh),
+                            p32_ref[jid, 0], q, rh, rl)
+        t_l = m32.barrett_reduce_u32(lo, q, rh)
+        x = m32.add_mod32(m32.add_mod32(t_c, t_h, q), t_l, q)
+        t_ref[...] = _ntt_core(x, wa_ref, d_ref, ds_ref, wb_ref, q,
+                               pd_ref, pds_ref, jid, bits, q_bits)
+
     if has_self:
+        # predicated: digit-own rows SKIP the bconv+NTT entirely (alpha
+        # of every k_out programs per digit — a third of the grid at
+        # alpha = k/2) and take the NTT-form input verbatim
         in_digit = ((jid >= did * np.int32(alpha))
                     & (jid < (did + np.int32(1)) * np.int32(alpha)))
-        t_dj = jnp.where(in_digit, c2_ref[0], t_dj)
+        t_ref = acc_ref.at[6]
+
+        @pl.when(jnp.logical_not(in_digit))
+        def _compute():
+            _transform(t_ref)
+
+        @pl.when(in_digit)
+        def _passthrough():
+            t_ref[...] = c2_ref[0]
+        t_dj = t_ref[...]
+    else:
+        t_ref = acc_ref.at[6]
+        _transform(t_ref)
+        t_dj = t_ref[...]
 
     # accumulate t_dj * evk[did, half, j] into the two 96-bit triples
     for half in range(2):
@@ -665,7 +699,9 @@ def modup_ip_mxu_pallas(y: jnp.ndarray, mats: jnp.ndarray,
         out_specs=pl.BlockSpec((2, 1, n1, n2), lambda j, d: (_I0, j, _I0, _I0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, k_out, n1, n2), jnp.uint32),
-        scratch_shapes=[pltpu.VMEM((6, n1, n2), jnp.uint32)],
+        # 6 accumulator planes (two 96-bit triples) + 1 staging plane for
+        # the (possibly predicated) digit contribution
+        scratch_shapes=[pltpu.VMEM((7, n1, n2), jnp.uint32)],
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
     )(*args)
