@@ -19,7 +19,8 @@ def main():
     ap.add_argument("--sweep-step", type=int, default=1,
                     help="dropped-level stride (1 = every level, like the "
                          "reference's axis sweep)")
-    ap.add_argument("--path", choices=["u64", "u32", "pallas", "pallas-roll", "mxu"],
+    ap.add_argument("--path", choices=["u64", "u32", "pallas",
+                                       "pallas-roll", "mxu", "mxu-pallas"],
                     default="u64",
                     help="u32/pallas: 28-bit primes + the uint32 "
                          "keyswitch engine")
@@ -40,7 +41,7 @@ def main():
     n = 1 << args.logn
     # reference uses 50-bit data + 60-bit special primes (u64 path); the
     # u32 fast path uses 28/29-bit primes
-    if args.path in ("u32", "pallas", "pallas-roll", "mxu"):
+    if args.path in ("u32", "pallas", "pallas-roll", "mxu", "mxu-pallas"):
         qs = numth.get_primes(2 * n, 28, args.limbs)
         ps = numth.get_primes(2 * n, 29, args.alpha)
     else:
@@ -62,7 +63,7 @@ def main():
         c2_np = np.stack([np.random.default_rng(1).integers(0, int(q), n)
                           for q in cd.moduli]).astype(np.uint64)
 
-        if args.path in ("u32", "pallas", "pallas-roll", "mxu"):
+        if args.path in ("u32", "pallas", "pallas-roll", "mxu", "mxu-pallas"):
             from phantom_tpu.ops import pipeline32 as pp
             ks32 = pp.build_keyswitch32(ctx, 1 + drop, use_pallas)
             evk32 = pp.convert_key32(ctx, rlk.data, 1 + drop)
