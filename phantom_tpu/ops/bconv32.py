@@ -82,14 +82,17 @@ def consts32_from_host(conv) -> BaseConvConsts32:
 def accumulate_matmul_96(y: jnp.ndarray, mat: jnp.ndarray):
     """sum_i y[i, :] * mat[:, i] as an exact (carry, hi, lo) u32 triple.
 
-    y: (k_in, N), mat: (k_out, k_in), entries < 2^30."""
-    k_in, n = y.shape
+    y: (k_in, ...) any trailing data shape, mat: (k_out, k_in),
+    entries < 2^30."""
+    k_in = y.shape[0]
+    rest = y.shape[1:]
     k_out = mat.shape[0]
-    c = jnp.zeros((k_out, n), dtype=jnp.uint32)
-    hi = jnp.zeros((k_out, n), dtype=jnp.uint32)
-    lo = jnp.zeros((k_out, n), dtype=jnp.uint32)
+    mb = (slice(None),) + (None,) * len(rest)
+    c = jnp.zeros((k_out,) + rest, dtype=jnp.uint32)
+    hi = jnp.zeros((k_out,) + rest, dtype=jnp.uint32)
+    lo = jnp.zeros((k_out,) + rest, dtype=jnp.uint32)
     for i in range(k_in):
-        h, l = m32.mul_wide32(y[i][None, :], mat[:, i][:, None])
+        h, l = m32.mul_wide32(y[i][None], mat[:, i][mb])
         lo, cr = m32.add_u32_carry(lo, l)
         hi2, cr2 = m32.add_u32_carry(hi, h + cr)  # h < 2^28, no overflow
         hi = hi2
@@ -99,20 +102,22 @@ def accumulate_matmul_96(y: jnp.ndarray, mat: jnp.ndarray):
 
 def reduce_u96_any32(c, hi, lo, mv: ModulusVec32):
     """(c*2^64 + hi*2^32 + lo) mod q_j, per output row (broadcast consts)."""
-    q = mv.q[:, None]
-    rh = mv.ratio_hi[:, None]
-    rl = mv.ratio_lo[:, None]
-    t_c = m32.mul_mod32(m32.barrett_reduce_u32(c, q, rh), mv.pow64[:, None],
+    bb = (slice(None),) + (None,) * (c.ndim - 1)
+    q = mv.q[bb]
+    rh = mv.ratio_hi[bb]
+    rl = mv.ratio_lo[bb]
+    t_c = m32.mul_mod32(m32.barrett_reduce_u32(c, q, rh), mv.pow64[bb],
                         q, rh, rl)
-    t_h = m32.mul_mod32(m32.barrett_reduce_u32(hi, q, rh), mv.pow32[:, None],
+    t_h = m32.mul_mod32(m32.barrett_reduce_u32(hi, q, rh), mv.pow32[bb],
                         q, rh, rl)
     t_l = m32.barrett_reduce_u32(lo, q, rh)
     return m32.add_mod32(m32.add_mod32(t_c, t_h, q), t_l, q)
 
 
 def scale_by_qhat_inv32(x: jnp.ndarray, c: BaseConvConsts32) -> jnp.ndarray:
-    return m32.mul_mod_shoup32(x, c.qhat_inv[:, None],
-                               c.qhat_inv_shoup[:, None], c.ibase.q[:, None])
+    bb = (slice(None),) + (None,) * (x.ndim - 1)
+    return m32.mul_mod_shoup32(x, c.qhat_inv[bb],
+                               c.qhat_inv_shoup[bb], c.ibase.q[bb])
 
 
 def bconv_approx32(x: jnp.ndarray, c: BaseConvConsts32) -> jnp.ndarray:
@@ -170,9 +175,10 @@ def bconv_exact32(x: jnp.ndarray, c: BaseConvConsts32) -> jnp.ndarray:
     raw = _accumulate_reduce32(y, c.qhat_mod_p, c.obase, c.pow2,
                                c.pow2_shoup)
     v = floor_sum_div32(y, c)
-    q = c.obase.q[:, None]
-    corr = m32.mul_mod32(v[None, :], c.q_mod_p[:, None], q,
-                         c.obase.ratio_hi[:, None], c.obase.ratio_lo[:, None])
+    bb = (slice(None),) + (None,) * (x.ndim - 1)
+    q = c.obase.q[bb]
+    corr = m32.mul_mod32(v[None], c.q_mod_p[bb], q,
+                         c.obase.ratio_hi[bb], c.obase.ratio_lo[bb])
     return m32.sub_mod32(raw, corr, q)
 
 
@@ -262,8 +268,10 @@ def _use_mxu() -> bool:
 
 
 def _accumulate32(y, mat):
-    if _use_mxu():
+    if _use_mxu() and y.ndim == 2:
         return accumulate_matmul_96_mxu(y, mat)
+    # blocked (k_in, n1, n2) data takes the elementwise path (any trailing
+    # shape); the MXU/fold variants need the flat contraction layout
     return accumulate_matmul_96(y, mat)
 
 
@@ -341,7 +349,7 @@ def _accumulate_reduce32(y, mat, obase: ModulusVec32, pow2=None,
                                                 or n_ % bp.BLOCK_N == 0):
             return bp.fold_matmul_pallas(y, mat, obase, pow2, pow2_shoup,
                                          _mxu_plane_bits())
-    if _use_mxu() and FOLD_DIAGONALS32 and pow2 is not None:
+    if _use_mxu() and FOLD_DIAGONALS32 and pow2 is not None and y.ndim == 2:
         return accumulate_fold32(y, mat, obase, pow2, pow2_shoup)
     cc, hh, ll = _accumulate32(y, mat)
     return reduce_u96_any32(cc, hh, ll, obase)

@@ -449,22 +449,23 @@ def modup_ip32(ks: KeySwitch32, c2_ntt: jnp.ndarray,
 def _moddown_delta32(ks: KeySwitch32, x_p: jnp.ndarray) -> jnp.ndarray:
     """delta == x (mod P) over Ql rows; BGV additionally forces
     delta == 0 (mod t) (reference: moddown vs bgv_moddown_kernel,
-    rns_bconv.cu:636,691)."""
+    rns_bconv.cu:636,691).  x_p: (alpha, ...) any trailing data shape."""
     if ks.p_to_t is None:
         return bc32.bconv_exact32(x_p, ks.p_to_q)
-    q = ks.p_to_q.obase.q[:, None]
-    p_q = ks.p_to_q.ibase.q[:, None]
-    shifted = m32.add_mod32(x_p, ks.phalf_mod_p[:, None], p_q)
+    bq = lambda v: _qcol(v, x_p)   # (alpha,) -> (alpha, 1[, 1])
+    q = bq(ks.p_to_q.obase.q)
+    p_q = bq(ks.p_to_q.ibase.q)
+    shifted = m32.add_mod32(x_p, bq(ks.phalf_mod_p), p_q)
     dq = m32.sub_mod32(bc32.bconv_exact32(shifted, ks.p_to_q),
-                       ks.phalf_mod_q[:, None], q)
+                       bq(ks.phalf_mod_q), q)
     t = ks.t_mv.q[0]
     dt = m32.sub_mod32(bc32.bconv_exact32(shifted, ks.p_to_t),
                        ks.phalf_mod_t, t)
     u = m32.mul_mod32(dt, ks.neg_pinv_mod_t, t, ks.t_mv.ratio_hi[0],
                       ks.t_mv.ratio_lo[0])
-    corr = m32.mul_mod32(u, ks.bigp_mod_q[:, None], q,
-                         ks.p_to_q.obase.ratio_hi[:, None],
-                         ks.p_to_q.obase.ratio_lo[:, None])
+    corr = m32.mul_mod32(u, bq(ks.bigp_mod_q), q,
+                         bq(ks.p_to_q.obase.ratio_hi),
+                         bq(ks.p_to_q.obase.ratio_lo))
     return m32.add_mod32(dq, corr, q)
 
 
