@@ -18,9 +18,11 @@ import numpy as np
 from . import bconv32 as bc32
 from . import modmath32 as m32
 from . import scaleround32 as sr32
+from . import ntt_mxu
 from .bconv32 import BaseConvConsts32, ModulusVec32, modulus_vec32
-from .pipeline32 import (KeySwitch32, _conv_tables, _fwd, _inv, _tensor_2x2,
-                         _u32, build_keyswitch32, convert_key32, keyswitch32)
+from .pipeline32 import (KeySwitch32, _conv_tables, _fwd, _inv, _qcol,
+                         _tensor_2x2, _u32, build_keyswitch32, convert_key32,
+                         keyswitch32)
 
 
 @flax.struct.dataclass
@@ -81,11 +83,11 @@ def _scale_and_round_hps32(p: BFVPipeline32, x_d: jnp.ndarray) -> jnp.ndarray:
     """round((t/Ql) * x) : D -> Ql via the exact Rl intermediate with the
     centered half-shift (mirror of scaleround.scale_and_round_hps)."""
     w_r = sr32.scale_and_round_exact32(x_d, p.sr_to_r)
-    shifted = m32.add_mod32(w_r, p.rl_half_mod_r[:, None],
-                            p.sr_to_r.obase.q[:, None])
+    shifted = m32.add_mod32(w_r, _qcol(p.rl_half_mod_r, w_r),
+                            _qcol(p.sr_to_r.obase.q, w_r))
     conv = bc32.bconv_exact32(shifted, p.r_to_q)
-    return m32.sub_mod32(conv, p.rl_half_mod_q[:, None],
-                         p.r_to_q.obase.q[:, None])
+    return m32.sub_mod32(conv, _qcol(p.rl_half_mod_q, conv),
+                         _qcol(p.r_to_q.obase.q, conv))
 
 
 def bfv_mult32(p: BFVPipeline32, d1: jnp.ndarray,
@@ -116,16 +118,31 @@ def bfv_relin32(p: BFVPipeline32, d3: jnp.ndarray) -> jnp.ndarray:
     ks = p.ks
     switched_ntt = keyswitch32(ks, d3[2], p.evk)
     switched = _inv(ks, switched_ntt, ks.t_ql)
-    q = ks.mv_ql.q[:, None]
+    q = _qcol(ks.mv_ql.q, d3[0])
     return jnp.stack([m32.add_mod32(d3[0], switched[0], q),
                       m32.add_mod32(d3[1], switched[1], q)])
+
+
+def _blocked_step(p, d1, d2, step):
+    """Run a coeff-form BFV step in the kernels' blocked (L, n1, n2)
+    tiling on the mxu-pallas engine (one relayout in/out; CLAUDE.md)."""
+    ks = p.ks
+    t = ks.t_ql
+    blk = isinstance(t, ntt_mxu.MXUNTTTables) and t.fused_kernel
+    if not blk:
+        return step(p, d1, d2)
+    lead = d1.shape[:-1]
+    out = step(p, d1.reshape(*lead, t.n1, t.n2),
+               d2.reshape(*lead, t.n1, t.n2))
+    return out.reshape(*out.shape[:-2], t.n1 * t.n2)
 
 
 def bfv_mult_relin32(p: BFVPipeline32, d1: jnp.ndarray,
                      d2: jnp.ndarray) -> jnp.ndarray:
     """Fused multiply + relinearize (reference: bfv_mul_relin_hps,
     evaluate.cu:819)."""
-    return bfv_relin32(p, bfv_mult32(p, d1, d2))
+    return _blocked_step(p, d1, d2,
+                         lambda p_, a, b: bfv_relin32(p_, bfv_mult32(p_, a, b)))
 
 
 def bfv_mult_hps_overq32(p: BFVPipeline32, d1: jnp.ndarray,
@@ -162,7 +179,9 @@ def bfv_mult_hps_overq32(p: BFVPipeline32, d1: jnp.ndarray,
 
 def bfv_mult_relin_overq32(p: BFVPipeline32, d1: jnp.ndarray,
                            d2: jnp.ndarray) -> jnp.ndarray:
-    return bfv_relin32(p, bfv_mult_hps_overq32(p, d1, d2))
+    return _blocked_step(
+        p, d1, d2,
+        lambda p_, a, b: bfv_relin32(p_, bfv_mult_hps_overq32(p_, a, b)))
 
 
 # ---------------------------------------------------------------------------

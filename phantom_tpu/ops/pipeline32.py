@@ -317,8 +317,9 @@ def slice_tables32(use_pallas, tables, lo, hi):
 
 def _modup_coeff_prescale(ks: KeySwitch32, c2_coeff: jnp.ndarray):
     return m32.mul_mod_shoup32(
-        c2_coeff, ks.modup_qhat_inv[:, None],
-        ks.modup_qhat_inv_shoup[:, None], ks.mv_ql.q[:, None])
+        c2_coeff, _qcol(ks.modup_qhat_inv, c2_coeff),
+        _qcol(ks.modup_qhat_inv_shoup, c2_coeff),
+        _qcol(ks.mv_ql.q, c2_coeff))
 
 
 def modup32(ks: KeySwitch32, c2_coeff: jnp.ndarray) -> jnp.ndarray:
@@ -334,7 +335,8 @@ def modup32(ks: KeySwitch32, c2_coeff: jnp.ndarray) -> jnp.ndarray:
         from . import ntt_mxu_pallas as nmp
         y = _modup_coeff_prescale(ks, c2_coeff)
         return nmp.bconv_ntt_forward_mxu_pallas(
-            y.reshape(beta, alpha, -1), ks.modup_mats_coeff, ks.t_qlp)
+            y.reshape(beta, alpha, *y.shape[1:]), ks.modup_mats_coeff,
+            ks.t_qlp)
     assembled = []
     for d in range(beta):
         lo, hi = d * alpha, min((d + 1) * alpha, k)
@@ -535,8 +537,13 @@ def keyswitch32(ks: KeySwitch32, c2_coeff: jnp.ndarray,
                 evk: jnp.ndarray) -> jnp.ndarray:
     """Full hybrid keyswitch, coeff-form input -> (2, size_ql, N) NTT."""
     from . import ntt_mxu_pallas as nmp
-    n = c2_coeff.shape[-1]
-    if (ks.modup_mats_coeff is not None and c2_coeff.ndim == 2
+    t = ks.t_qlp
+    blocked = (isinstance(t, ntt_mxu.MXUNTTTables) and c2_coeff.ndim == 3
+               and c2_coeff.shape[-2:] == (t.n1, t.n2))
+    n = (c2_coeff.shape[-2] * c2_coeff.shape[-1] if blocked
+         else c2_coeff.shape[-1])
+    if (ks.modup_mats_coeff is not None
+            and c2_coeff.ndim == (3 if blocked else 2)
             and ks.size_ql * n * 4 <= nmp.MODUP_IP_MAX_Y_BYTES):
         y = _modup_coeff_prescale(ks, c2_coeff)
         s0, s1 = nmp.modup_ip_mxu_pallas(y, ks.modup_mats_coeff, None,

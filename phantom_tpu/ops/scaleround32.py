@@ -74,11 +74,13 @@ def scale_and_round_exact32(x: jnp.ndarray,
     Integer words via the exact u96-triple matmul; fractional correction
     F = round(sum_i y_i*rho_i/d_i) via three 2^32 fixed-point levels.
     """
-    k_in, n = x.shape
-    d_q = c.ibase.q[:, None]
-    d_rh = c.ibase.ratio_hi[:, None]
-    d_rl = c.ibase.ratio_lo[:, None]
-    y = m32.mul_mod_shoup32(x, c.ihat_inv[:, None], c.ihat_inv_shoup[:, None],
+    k_in = x.shape[0]
+    rest = x.shape[1:]   # flat (N,) or blocked (n1, n2)
+    bb = (slice(None),) + (None,) * len(rest)
+    d_q = c.ibase.q[bb]
+    d_rh = c.ibase.ratio_hi[bb]
+    d_rl = c.ibase.ratio_lo[bb]
+    y = m32.mul_mod_shoup32(x, c.ihat_inv[bb], c.ihat_inv_shoup[bb],
                             d_q)
     int_part = bc32._accumulate_reduce32(y, c.omega_mod_out, c.obase,
                                          c.pow2, c.pow2_shoup)
@@ -86,7 +88,7 @@ def scale_and_round_exact32(x: jnp.ndarray,
     # frac: y_i * rho_i = g_i * d_i + r_i (exact u64 divmod), then refine
     # r_i/d_i three more 2^32 fixed-point levels:
     #   r_i/d_i = f2_i/2^32 + f3_i/2^64 + f4_i/2^96 + eps_i/2^96, eps_i < 1
-    ph, pl = m32.mul_wide32(y, c.rho[:, None])
+    ph, pl = m32.mul_wide32(y, c.rho[bb])
     g, r = m32.barrett_div_mod_u64_32(ph, pl, d_q, d_rh, d_rl)
     f2, r2 = m32.barrett_div_mod_u64_32(r, jnp.zeros_like(r), d_q, d_rh, d_rl)
     f3, r3 = m32.barrett_div_mod_u64_32(r2, jnp.zeros_like(r2), d_q, d_rh,
@@ -95,14 +97,14 @@ def scale_and_round_exact32(x: jnp.ndarray,
                                        d_rl)
 
     # G1 = sum g_i (u64 pair); E2/E3/E4 = per-level sums (u64 pairs)
-    g_hi = jnp.zeros((n,), dtype=jnp.uint32)
-    g_lo = jnp.zeros((n,), dtype=jnp.uint32)
-    e2_hi = jnp.zeros((n,), dtype=jnp.uint32)
-    e2_lo = jnp.zeros((n,), dtype=jnp.uint32)
-    e3_hi = jnp.zeros((n,), dtype=jnp.uint32)
-    e3_lo = jnp.zeros((n,), dtype=jnp.uint32)
-    e4_hi = jnp.zeros((n,), dtype=jnp.uint32)
-    e4_lo = jnp.zeros((n,), dtype=jnp.uint32)
+    g_hi = jnp.zeros(rest, dtype=jnp.uint32)
+    g_lo = jnp.zeros(rest, dtype=jnp.uint32)
+    e2_hi = jnp.zeros(rest, dtype=jnp.uint32)
+    e2_lo = jnp.zeros(rest, dtype=jnp.uint32)
+    e3_hi = jnp.zeros(rest, dtype=jnp.uint32)
+    e3_lo = jnp.zeros(rest, dtype=jnp.uint32)
+    e4_hi = jnp.zeros(rest, dtype=jnp.uint32)
+    e4_lo = jnp.zeros(rest, dtype=jnp.uint32)
     for i in range(k_in):
         g_lo, cr = m32.add_u32_carry(g_lo, g[i])
         g_hi = g_hi + cr
@@ -121,6 +123,8 @@ def scale_and_round_exact32(x: jnp.ndarray,
     f_add = e2_hi + c2a + c2b                              # v3 = F_add < k+1
     f_lo, cr3 = m32.add_u32_carry(g_lo, f_add)
     f_hi = g_hi + cr3
-    frac_part = bc32.reduce_u96_any32(jnp.zeros((1, n), dtype=jnp.uint32),
-                                      f_hi[None, :], f_lo[None, :], c.obase)
-    return m32.add_mod32(int_part, frac_part, c.obase.q[:, None])
+    frac_part = bc32.reduce_u96_any32(jnp.zeros((1,) + rest,
+                                                dtype=jnp.uint32),
+                                      f_hi[None], f_lo[None], c.obase)
+    return m32.add_mod32(int_part, frac_part,
+                         c.obase.q[(slice(None),) + (None,) * len(rest)])
