@@ -300,7 +300,7 @@ def main():
     batch8 = None
     batch_probes = {}
     if on_accel and args.batch == 1 and time.time() - t_start < budget:
-        for b in (8, 16, 32):
+        for b in (1, 8, 16, 32):
             try:
                 args.batch = b
                 runb = make_run(best)
@@ -323,6 +323,11 @@ def main():
         if batch_probes:
             best_b = max(batch_probes, key=batch_probes.get)
             batch8 = batch_probes[best_b]
+            # pipelined batch-1 rate = per-op latency without the
+            # per-dispatch tunnel round trip (~15 ms here) that the
+            # sync-per-trial headline loop pays
+            if 1 in batch_probes:
+                pipelined1 = batch_probes[1]
 
     if args.csv:
         print(f"{args.scheme}_{metric_step.replace('+', '_')},"
@@ -344,6 +349,8 @@ def main():
         "vs_baseline": round(headline / A100_BASELINE_OPS, 4),
         "single_op_s": round(ops, 3),
     }
+    if batch_probes and 1 in batch_probes:
+        rec["single_op_pipelined_s"] = round(batch_probes[1], 3)
     if len(results) > 1:
         rec["paths"] = {p: round(args.batch / m, 3)
                         for p, (m, _) in results.items()}

@@ -201,7 +201,8 @@ def accumulate_matmul_96_mxu(y: jnp.ndarray, mat: jnp.ndarray):
     (carry, hi, lo) u32 triple.  Exact: partials < (2^b-1)^2 * k * P
     < 2^31 for k <= 63 input limbs."""
     import jax
-    k_in, n = y.shape
+    k_in = y.shape[0]
+    rest = y.shape[1:]   # flat (N,) or blocked (n1, n2)
     k_out = mat.shape[0]
     bits = _mxu_plane_bits()
     nplanes = -(-32 // bits)
@@ -225,10 +226,10 @@ def accumulate_matmul_96_mxu(y: jnp.ndarray, mat: jnp.ndarray):
             acc = term if acc is None else acc + term
         partials.append(acc.astype(jnp.uint32))
 
-    c = jnp.zeros((k_out, n), dtype=jnp.uint32)
-    hi = jnp.zeros((k_out, n), dtype=jnp.uint32)
-    lo = jnp.zeros((k_out, n), dtype=jnp.uint32)
-    zero = jnp.zeros((k_out, n), dtype=jnp.uint32)
+    c = jnp.zeros((k_out,) + rest, dtype=jnp.uint32)
+    hi = jnp.zeros((k_out,) + rest, dtype=jnp.uint32)
+    lo = jnp.zeros((k_out,) + rest, dtype=jnp.uint32)
+    zero = jnp.zeros((k_out,) + rest, dtype=jnp.uint32)
     for s_idx, p_ in enumerate(partials):
         shift = bits * s_idx
         # split p * 2^shift into three u32 words (wrapping shifts keep the
@@ -268,10 +269,8 @@ def _use_mxu() -> bool:
 
 
 def _accumulate32(y, mat):
-    if _use_mxu() and y.ndim == 2:
+    if _use_mxu():
         return accumulate_matmul_96_mxu(y, mat)
-    # blocked (k_in, n1, n2) data takes the elementwise path (any trailing
-    # shape); the MXU/fold variants need the flat contraction layout
     return accumulate_matmul_96(y, mat)
 
 
@@ -305,7 +304,8 @@ def accumulate_fold32(y: jnp.ndarray, mat: jnp.ndarray, obase: ModulusVec32,
 
     yb = planes_of(y)
     mb = planes_of(mat)
-    q = obase.q[:, None]
+    bb = (slice(None),) + (None,) * (y.ndim - 1)
+    q = obase.q[bb]
     two_q = q * U32(2)
     partials = []
     for s_idx in range(2 * nplanes - 1):
@@ -332,8 +332,8 @@ def accumulate_fold32(y: jnp.ndarray, mat: jnp.ndarray, obase: ModulusVec32,
     acc = None
     for w, j in words:
         folded = m32.mul_mod_shoup_lazy32(
-            w, pow2[:, bits * j][:, None],
-            pow2_shoup[:, bits * j][:, None], q)
+            w, pow2[:, bits * j][bb],
+            pow2_shoup[:, bits * j][bb], q)
         acc = folded if acc is None else m32.csub32(acc + folded, two_q)
     return m32.csub32(acc, q)
 
@@ -349,7 +349,7 @@ def _accumulate_reduce32(y, mat, obase: ModulusVec32, pow2=None,
                                                 or n_ % bp.BLOCK_N == 0):
             return bp.fold_matmul_pallas(y, mat, obase, pow2, pow2_shoup,
                                          _mxu_plane_bits())
-    if _use_mxu() and FOLD_DIAGONALS32 and pow2 is not None and y.ndim == 2:
+    if _use_mxu() and FOLD_DIAGONALS32 and pow2 is not None:
         return accumulate_fold32(y, mat, obase, pow2, pow2_shoup)
     cc, hh, ll = _accumulate32(y, mat)
     return reduce_u96_any32(cc, hh, ll, obase)
