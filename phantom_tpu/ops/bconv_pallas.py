@@ -31,8 +31,11 @@ def _kernel(bits, nplanes, pair, pdt, y_ref, matp_ref, q_ref, pd_ref, pds_ref,
             o_ref):
     mask = U32((1 << bits) - 1)
     # Mosaic has no i32 MXU matmul; the radix-2^8 mode runs bf16 planes
-    # with f32 accumulation on hardware (exact: plane values <= 255 are
-    # bf16-exact integers, partial sums < 2^24 — asserted by the caller)
+    # with f32 accumulation on hardware.  Each single dot is exact while
+    # its k_in-term partial sums stay < 2^24 (plane values <= 255 are
+    # bf16-exact integers); the CROSS-dot diagonal sums are accumulated as
+    # i32 immediately after each dot, so nplanes does NOT tighten the f32
+    # bound (round-2 advisor fix).
     acc_t = jnp.float32 if pdt == jnp.bfloat16 else jnp.int32
     # Mosaic can't lower uint32->bfloat16 directly; hop through int32
     def to_plane(x):
@@ -51,14 +54,15 @@ def _kernel(bits, nplanes, pair, pdt, y_ref, matp_ref, q_ref, pd_ref, pds_ref,
         for a in range(max(0, d - nplanes + 1), min(nplanes, d + 1)):
             t = jax.lax.dot_general(mps[a], yps[d - a], dimension_numbers=dn,
                                     preferred_element_type=acc_t)
+            if t.dtype != jnp.int32:
+                # f32 -> i32 right away: diagonal sums ride i32 (< 2^31 by
+                # the caller's pair/overflow bound), not f32
+                t = t.astype(jnp.int32)
             p_ = t if p_ is None else p_ + t
         return p_
 
     def to_u32(x):
-        # f32 -> uint32 is also unsupported in Mosaic; hop through int32
-        # (values are non-negative < 2^24 in the bf16 mode, < 2^31 else)
-        return x.astype(jnp.int32).astype(jnp.uint32) \
-            if x.dtype != jnp.int32 else x.astype(jnp.uint32)
+        return x.astype(jnp.uint32)
 
     acc = None
     step = 2 if pair else 1
@@ -92,22 +96,32 @@ def _enabled() -> bool:
 
 def fold_matmul_pallas(y: jnp.ndarray, mat: jnp.ndarray, obase,
                        pow2: jnp.ndarray, pow2_shoup: jnp.ndarray,
-                       bits: int, interpret=None) -> jnp.ndarray:
+                       bits: int, interpret=None,
+                       force_pdt=None) -> jnp.ndarray:
     """out[j, c] = sum_i y[i, c] * mat[j, i] mod obase.q[j], entries and
-    y values < 2^30.  y: (k_in, N), mat: (k_out, k_in) u32."""
+    y values < 2^30.  y: (k_in, N), mat: (k_out, k_in) u32.
+
+    force_pdt overrides the plane dtype (tests pass jnp.bfloat16 under
+    interpret mode to bit-match the hardware bf16 path — round-2 advisor
+    knob)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     k_in, n = y.shape
     k_out = mat.shape[0]
     nplanes = -(-30 // bits)
     mask = np.uint32((1 << bits) - 1)
-    if bits <= 7:
+    if force_pdt is not None:
+        pdt = force_pdt
+    elif bits <= 7:
         pdt = jnp.int8
     elif interpret:
         pdt = jnp.int32
     else:
         pdt = jnp.bfloat16  # hardware radix-2^8: f32-accumulated bf16 dots
-        if ((1 << bits) - 1) ** 2 * k_in * nplanes >= (1 << 24):
+    if pdt == jnp.bfloat16:
+        # single-dot exactness only: diagonal sums accumulate as i32 in
+        # the kernel, so nplanes no longer appears in this bound
+        if ((1 << bits) - 1) ** 2 * k_in >= (1 << 24):
             raise ValueError("radix-2^8 bf16 fold-matmul exactness bound "
                              f"exceeded at k_in={k_in}; use bits=7 on TPU")
     matp = jnp.stack([((mat >> U32(bits * b)) & mask).astype(pdt)
@@ -117,6 +131,8 @@ def fold_matmul_pallas(y: jnp.ndarray, mat: jnp.ndarray, obase,
     pd = pow2[:, idx]
     pds = pow2_shoup[:, idx]
     max_partial = ((1 << bits) - 1) ** 2 * k_in * nplanes
+    assert max_partial < (1 << 31), \
+        f"i32 diagonal accumulation overflows at k_in={k_in}, bits={bits}"
     pair = max_partial * ((1 << bits) + 1) <= 0xFFFFFFFF
     bn = min(BLOCK_N, n)
 

@@ -16,8 +16,6 @@ import flax.struct
 import jax.numpy as jnp
 import numpy as np
 
-import jax.numpy as _jnp
-
 from . import modmath32 as m32
 from . import ntt_mxu
 from .pipeline32 import (KeySwitch32, _conv_tables, _fwd, _inv, _qcol,

@@ -445,7 +445,19 @@ def modup_ip32(ks: KeySwitch32, c2_ntt: jnp.ndarray,
         return nmp.modup_ip_mxu_pallas(y, ks.modup_mats, c2_ntt, evk,
                                        ks.t_qlp)
     t_up = modup_from_ntt32(ks, c2_ntt)
-    return inner_product32(ks, t_up, evk)
+    return inner_product32(ks, t_up, _match_evk_layout(evk, t_up))
+
+
+def _match_evk_layout(evk: jnp.ndarray, t_up: jnp.ndarray) -> jnp.ndarray:
+    """Reshape evk's trailing data dims to t_up's.  The builders pre-tile
+    evk to the blocked (.., n1, n2) layout only on the fused mxu-pallas
+    engine (build_pipeline32), while the BFV/BGV _blocked_step wrappers
+    block just the ciphertexts — so when the mega-kernel gate
+    (MODUP_IP_MAX_Y_BYTES) sends a call down the split fallback, the two
+    operands can arrive in different layouts in either direction."""
+    if evk.shape[2:] == t_up.shape[1:]:
+        return evk
+    return evk.reshape(evk.shape[0], 2, *t_up.shape[1:])
 
 
 def _moddown_delta32(ks: KeySwitch32, x_p: jnp.ndarray) -> jnp.ndarray:
@@ -550,7 +562,7 @@ def keyswitch32(ks: KeySwitch32, c2_coeff: jnp.ndarray,
                                          evk, ks.t_qlp)
     else:
         t_up = modup32(ks, c2_coeff)
-        s0, s1 = inner_product32(ks, t_up, evk)
+        s0, s1 = inner_product32(ks, t_up, _match_evk_layout(evk, t_up))
     m0, m1 = moddown32_pair(ks, s0, s1)
     return jnp.stack([m0, m1])
 

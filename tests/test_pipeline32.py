@@ -46,6 +46,57 @@ def test_bit_match(setup, use_pallas):
     np.testing.assert_array_equal(out, ref.astype(np.uint32))
 
 
+def test_bit_match_mega_kernel_fallback(setup, monkeypatch):
+    """With the modup+IP mega-kernel gated off (MODUP_IP_MAX_Y_BYTES=0,
+    i.e. what a large-L config hits), the blocked mxu-pallas pipeline must
+    take the split modup + inner_product32 fallback and still bit-match —
+    regression for the blocked-t_up vs flat/blocked-evk layout mix
+    (ADVICE r3: pipeline32.py fallback)."""
+    from phantom_tpu.ops import ntt_mxu_pallas as nmp
+    ctx, rlk, ct1, ct2, ref = setup
+    monkeypatch.setattr(nmp, "MODUP_IP_MAX_Y_BYTES", 0)
+    p = pp.build_pipeline32(ctx, rlk, use_pallas="mxu-pallas")
+    d1 = jnp.asarray(np.asarray(ct1.data).astype(np.uint32))
+    d2 = jnp.asarray(np.asarray(ct2.data).astype(np.uint32))
+    out = np.asarray(pp.mult_relin_rescale32(p, d1, d2))
+    np.testing.assert_array_equal(out, ref.astype(np.uint32))
+
+
+def test_bit_match_mega_kernel_fallback_bfv(monkeypatch):
+    """Same gate-off regression on the BFV side, whose _blocked_step blocks
+    only the ciphertexts (evk stays flat) — the layout-mix direction the
+    CKKS test above cannot reach."""
+    from phantom_tpu.host.modulus import PlainModulus
+    from phantom_tpu.ops import bfv32
+    from phantom_tpu.ops import ntt_mxu_pallas as nmp
+    from phantom_tpu.schemes import BatchEncoder
+    n = 128
+    qs = numth.get_primes(2 * n, 28, 4)
+    ps = numth.get_primes(2 * n, 29, 2)
+    params = EncryptionParameters.create(
+        Scheme.BFV, n, qs + ps, special_modulus_size=2,
+        plain_modulus=PlainModulus.batching(n, 17).value)
+    ctx = make_context(params)
+    rng = jax.random.PRNGKey(7)
+    k_sk, k_pk, k_rlk, k1, k2 = jax.random.split(rng, 5)
+    sk = keys.gen_secret_key(ctx, k_sk)
+    pk = keys.gen_public_key(ctx, sk, k_pk)
+    rlk = keys.gen_relin_key(ctx, sk, k_rlk)
+    enc = BatchEncoder(ctx)
+    vals = np.random.default_rng(1).integers(
+        0, ctx.params.plain_modulus, n, dtype=np.uint64)
+    pt = enc.encode(vals)
+    ct1 = keys.encrypt_asymmetric(ctx, pk, pt, k1)
+    ct2 = keys.encrypt_asymmetric(ctx, pk, pt, k2)
+    ref = np.asarray(evaluate.multiply_and_relin(ctx, ct1, ct2, rlk).data)
+    monkeypatch.setattr(nmp, "MODUP_IP_MAX_Y_BYTES", 0)
+    p = bfv32.build_bfv32(ctx, rlk, use_pallas="mxu-pallas")
+    d1 = jnp.asarray(np.asarray(ct1.data).astype(np.uint32))
+    d2 = jnp.asarray(np.asarray(ct2.data).astype(np.uint32))
+    out = np.asarray(bfv32.bfv_mult_relin32(p, d1, d2))
+    np.testing.assert_array_equal(out, ref.astype(np.uint32))
+
+
 def test_bit_match_mxu_bconv_fold(setup):
     """Full pipeline with the MXU bconv matmul (per-diagonal fold) forced
     on — the accelerator configuration — still bit-matches u64."""
