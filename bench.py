@@ -1,23 +1,44 @@
 """Headline benchmark: CKKS homomorphic multiply+relinearize+rescale ops/s.
 
 Mirrors the reference's ckks_bench multiply_and_relin + rescale workload
-(benchmark/ckks_bench.cu:9-397) at the BASELINE north-star config
-(n=65536, <=30-limb chain) on one TPU chip.
+(benchmark/ckks_bench.cu:9-397) on one TPU chip, at a CAPABILITY-MATCHED
+config: the default chain is 43 x 28-bit data primes (logQ = 1204 bits),
+matching the reference benchmark's ~1200-bit modulus budget (30-33 x
+40-bit primes, ckks_bench.cu:9-120) rather than the easier 784-bit chain
+benched in rounds 1-3.  Scale is 2^22 (the 28-bit-prime ceiling); the
+paired-prime high-precision path (examples/9_hiprec_ckks.py) covers the
+2^40-scale use case and is benched separately by --hiprec.
+
+Methodology (round 4, per VERDICT): every number comes from a CHAINED
+measurement — K steps inside one jit via lax.fori_loop where each
+iteration's inputs are derived from the previous output (limb re-pad +
+modular add), a genuine data dependency that the axon dispatch cache
+cannot serve (CLAUDE.md measurement rules).  Throughput = batch-B vmapped
+chains (B independent chains, each internally serial).
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "ops/s", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "ops/s", "vs_baseline": N, ...}
+
+value          = best chained throughput over the batch sweep (per-chip
+                 throughput; the north-star metric)
+vs_baseline    = value / A100_BASELINE_OPS  (fixed meaning every run)
+single_op_s    = batch-1 chained rate (serial per-op latency, like-for-like
+                 with the A100 single-stream line)
+vs_baseline_latency = single_op_s / A100_BASELINE_OPS
 
 Baseline derivation (A100_BASELINE_OPS): the reference repo publishes no
 numbers (BASELINE.md) and the Phantom paper (IEEE TDSC 21(5) 2024, DOI
 10.1109/TDSC.2024.3363900) is not retrievable in this zero-egress
 environment, so the comparison line is an estimate, documented as such:
 published CUDA FHE measurements for CKKS homomorphic multiply+relinearize
-at N=2^16 with a ~30-limb chain on A100-class GPUs cluster in the 2-5 ms
-range (e.g. the numbers reported across the Phantom paper's comparison
-set: Phantom itself, TROY, HEonGPU report 2.5-4.5 ms for this config);
-3.3 ms/op = 300 ops/s is the midpoint.  The north-star target is >= 2x
-that per chip, i.e. vs_baseline >= 2.0.  When the paper tables become
-retrievable, pin the exact figure here.
+at N=2^16 with a ~30-limb (~1200-bit) chain on A100-class GPUs cluster in
+the 2-5 ms range (e.g. the numbers reported across the Phantom paper's
+comparison set: Phantom itself, TROY, HEonGPU report 2.5-4.5 ms for this
+config); 3.3 ms/op = 300 ops/s is the midpoint.  The A100 line is a
+single-stream latency figure; vs_baseline compares our per-chip
+throughput against it (the reference has no batched mode), and
+vs_baseline_latency is the strict latency-vs-latency ratio.  The
+north-star target is >= 2x per chip, i.e. vs_baseline >= 2.0.
 
 Robustness contract (BENCH_r01 regression): if the TPU backend cannot
 initialize, retry with backoff, then fall back to CPU and emit a parseable
@@ -68,27 +89,33 @@ def probe_backend(retries: int = 3, timeout_s: int = 180) -> str:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=65536)
-    ap.add_argument("--limbs", type=int, default=28, help="data primes")
-    ap.add_argument("--alpha", type=int, default=14,
-                    help="special primes (default 14 = k/2 at the headline "
-                         "L=28, the reference keyswitch_bench.cu's own "
-                         "alpha~k/2 choice; fewer digits = fewer modup NTT "
-                         "rows and a smaller evk stream)")
-    ap.add_argument("--trials", type=int, default=10)
+    ap.add_argument("--limbs", type=int, default=43,
+                    help="data primes; 43 x 28-bit = logQ 1204, the "
+                         "reference workload's modulus budget")
+    ap.add_argument("--alpha", type=int, default=22,
+                    help="special primes; 22 -> dnum=2 digits at L=43 "
+                         "(the reference keyswitch_bench.cu uses "
+                         "alpha~L/2 = dnum 2 as well)")
+    ap.add_argument("--k", type=int, default=10,
+                    help="chained steps per dispatch (fori_loop trip "
+                         "count); every step's input depends on the "
+                         "previous step's output")
+    ap.add_argument("--trials", type=int, default=5,
+                    help="timed dispatches of the K-step chain; median")
     ap.add_argument("--batch", type=int, default=1,
-                    help="ciphertext pairs per step (vmapped); ops/s "
-                         "scales accordingly")
-    ap.add_argument("--path", choices=["auto", "u32", "pallas", "pallas-roll",
+                    help="independent chains per step (vmapped)")
+    ap.add_argument("--batches", default="1,4,8",
+                    help="throughput sweep batch sizes (auto mode)")
+    ap.add_argument("--path", choices=["auto", "u32", "pallas-roll",
                                        "mxu", "mxu-nofold", "mxu-pallas",
                                        "u64"],
                     default="auto",
                     help="u32: 28-bit primes + uint32 butterfly pipeline; "
                          "mxu: four-step matmul NTT engine; mxu-pallas: the "
                          "same fused into one Pallas program per limb row; "
-                         "pallas: fused VMEM NTT kernels; u64: generic "
-                         "evaluator; auto (default): measure the candidate "
-                         "engines on an accelerator and report the fastest "
-                         "(u32 only on CPU fallback)")
+                         "u64: generic evaluator; auto (default): measure "
+                         "the candidate engines on an accelerator and "
+                         "report the fastest (u32 only on CPU fallback)")
     ap.add_argument("--scheme", choices=["ckks", "bfv", "bgv"],
                     default="ckks",
                     help="headline step: ckks = mult+relin+rescale, "
@@ -100,6 +127,10 @@ def main():
     ap.add_argument("--csv", action="store_true",
                     help="also print per-op CSV (op,trials,median,mean)")
     args = ap.parse_args()
+
+    # the capability-matched L=43 config needs the fused modup+IP
+    # mega-kernel gate above its default 8 MiB (size_ql*N*4 = 11.3 MiB)
+    os.environ.setdefault("PHANTOM_MODUP_IP_MB", "12")
 
     backend_error = None
     plat = probe_backend()
@@ -117,73 +148,66 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    from phantom_tpu.host import numth
-    from phantom_tpu.host.modulus import PlainModulus
-    from phantom_tpu.schemes import (BatchEncoder, CKKSEncoder,
-                                     EncryptionParameters, Scheme, evaluate,
-                                     keys, make_context)
+    from phantom_tpu.schemes import Scheme, evaluate
+    from phantom_tpu.utils.benchsetup import setup_bench
 
     n = args.n
-    t0 = time.time()
     bits = 28 if args.path != "u64" else 50
-    qs = numth.get_primes(2 * n, bits, args.limbs + 1)
-    ps = numth.get_primes(2 * n, bits + 1, args.alpha)
-    coeff = [qs[0]] + qs[1:args.limbs] + ps  # q0 + rest + special
+    s = setup_bench(scheme=args.scheme, n=n, limbs=args.limbs,
+                    alpha=args.alpha, bits=bits, multech=args.multech)
+    ctx, rlk, ct1, ct2 = s.ctx, s.rlk, s.ct1, s.ct2
     scheme = {"ckks": Scheme.CKKS, "bfv": Scheme.BFV,
               "bgv": Scheme.BGV}[args.scheme]
-    extra = {}
-    if scheme != Scheme.CKKS:
-        # batching primes are == 1 mod 2n, so they need > log2(2n) bits
-        tbits = max(16, n.bit_length() + 3)  # 786433 at n=65536
-        extra["plain_modulus"] = PlainModulus.batching(n, tbits).value
-    if scheme == Scheme.BFV:
-        from phantom_tpu.schemes import MulTech
-        extra["mul_tech"] = {"hps": MulTech.HPS, "behz": MulTech.BEHZ,
-                             "overq": MulTech.HPS_OVERQ,
-                             "leveled": MulTech.HPS_OVERQ_LEVELED
-                             }[args.multech]
-    params = EncryptionParameters.create(
-        scheme, n, coeff, special_modulus_size=args.alpha, **extra)
-    ctx = make_context(params)
-    print(f"# context built in {time.time()-t0:.1f}s "
-          f"(scheme={args.scheme}, n={n}, L={args.limbs}, "
-          f"alpha={args.alpha})", file=sys.stderr)
-
-    rng = jax.random.PRNGKey(0)
-    k_sk, k_pk, k_rlk, k1, k2 = jax.random.split(rng, 5)
-    t0 = time.time()
-    # jitted keygen: one dispatch per key instead of eager op-by-op
-    sk = jax.jit(keys.gen_secret_key)(ctx, k_sk)
-    pk = jax.jit(keys.gen_public_key)(ctx, sk, k_pk)
-    rlk = jax.jit(keys.gen_relin_key)(ctx, sk, k_rlk)
-    if scheme == Scheme.CKKS:
-        enc = CKKSEncoder(ctx)
-        scale = 2.0 ** (bits - 6)
-        z = np.random.default_rng(0).standard_normal(enc.slots)
-        pt = enc.encode(z, scale)
-    else:
-        enc = BatchEncoder(ctx)
-        t_plain = ctx.params.plain_modulus
-        vals = np.random.default_rng(0).integers(0, t_plain, n,
-                                                 dtype=np.uint64)
-        pt = enc.encode(vals)
-    enc_jit = jax.jit(keys.encrypt_asymmetric)
-    ct1 = enc_jit(ctx, pk, pt, k1)
-    ct2 = enc_jit(ctx, pk, pt, k2)
-    print(f"# keys+encrypt in {time.time()-t0:.1f}s", file=sys.stderr)
+    logq_bits = sum(int(q).bit_length()
+                    for q in s.params.coeff_modulus[:args.limbs])
 
     metric_step = {"ckks": "mult+relin+rescale",
                    "bfv": f"mult+relin ({args.multech.upper()})",
                    "bgv": "mult+relin+modswitch"}[args.scheme]
 
-    def make_run(path):
-        """Build the jitted step for one engine path; returns a thunk."""
-        if path in ("u32", "pallas", "pallas-roll", "mxu", "mxu-nofold",
-                    "mxu-pallas"):
-            use_pallas = {"u32": False, "pallas": True,
-                          "pallas-roll": "pallas-roll", "mxu": "mxu",
-                          "mxu-nofold": "mxu",
+    q_np = np.array([int(q) for q in s.params.coeff_modulus[:args.limbs]],
+                    dtype=np.uint64)
+
+    def make_remix(dtype):
+        """Rebuild full-L canonical inputs from a step output: re-pad any
+        dropped limbs (row 0 csub'd into each missing modulus — valid
+        because q_0 < 2*q_j for the ~equal-width prime chains used here)
+        and fold into the previous inputs with a modular add.  This is the
+        data dependency that defeats the axon dispatch cache."""
+        q = jnp.asarray(q_np.astype(dtype))[:, None]
+
+        def remix(out, d1, d2):
+            lout = out.shape[-2]
+            if lout < len(q_np):
+                row0 = out[..., :1, :]
+                qm = q[lout:]
+                pads = row0 - jnp.where(row0 >= qm, qm, 0).astype(dtype)
+                full = jnp.concatenate([out, pads], axis=-2)
+            else:
+                full = out
+            s1 = d1 + full
+            s1 = s1 - jnp.where(s1 >= q, q, 0).astype(dtype)
+            s2 = d2 + full
+            s2 = s2 - jnp.where(s2 >= q, q, 0).astype(dtype)
+            return s1, s2
+
+        return remix
+
+    K = args.k
+
+    def make_chained(path, batch):
+        """Build the jitted K-step chained runner for one engine path.
+        Returns a thunk; tables ride as jit ARGUMENTS (CLAUDE.md)."""
+        if path in ("u32", "pallas-roll", "mxu", "mxu-nofold", "mxu-pallas"):
+            use_pallas = {"u32": False, "pallas-roll": "pallas-roll",
+                          "mxu": "mxu", "mxu-nofold": "mxu",
                           "mxu-pallas": "mxu-pallas"}[path]
+            # consulted at trace time; each path's jit traces under its
+            # own reduction strategy
+            from phantom_tpu.ops import bconv32, ntt_mxu
+            fold = path != "mxu-nofold"
+            ntt_mxu.FOLD_DIAGONALS = fold
+            bconv32.FOLD_DIAGONALS32 = fold
             if scheme == Scheme.CKKS:
                 from phantom_tpu.ops import pipeline32 as pp
                 pipe = pp.build_pipeline32(ctx, rlk, use_pallas=use_pallas)
@@ -210,62 +234,69 @@ def main():
                 fn = bgv32.bgv_mult_relin_modswitch32
             d1 = jnp.asarray(np.asarray(ct1.data).astype(np.uint32))
             d2 = jnp.asarray(np.asarray(ct2.data).astype(np.uint32))
-            if args.batch > 1:
-                d1 = jnp.broadcast_to(d1[None], (args.batch,) + d1.shape)
-                d2 = jnp.broadcast_to(d2[None], (args.batch,) + d2.shape)
-                step_jit = jax.jit(jax.vmap(fn, in_axes=(None, 0, 0)))
-            else:
-                step_jit = jax.jit(fn)
-            fold = path != "mxu-nofold"
+            remix = make_remix(np.uint32)
+            step = fn
+            if batch > 1:
+                d1 = jnp.broadcast_to(d1[None], (batch,) + d1.shape)
+                d2 = jnp.broadcast_to(d2[None], (batch,) + d2.shape)
+                step = jax.vmap(fn, in_axes=(None, 0, 0))
+            p = pipe
+        else:  # u64 generic evaluator
+            def step(c_r, da, db):
+                c, r = c_r
+                a = ct1.replace(data=da)
+                b = ct2.replace(data=db)
+                out = evaluate.multiply_and_relin(c, a, b, r)
+                if scheme == Scheme.CKKS:
+                    out = evaluate.rescale_to_next(c, out)
+                elif scheme == Scheme.BGV:
+                    out = evaluate.mod_switch_to_next(c, out)
+                return out.data
 
-            def run():
-                # consulted at trace time; each path's jit traces under
-                # its own reduction strategy
-                from phantom_tpu.ops import bconv32, ntt_mxu
-                ntt_mxu.FOLD_DIAGONALS = fold
-                bconv32.FOLD_DIAGONALS32 = fold
-                return step_jit(pipe, d1, d2)
+            d1, d2 = ct1.data, ct2.data
+            remix = make_remix(np.uint64)
+            if batch > 1:
+                d1 = jnp.broadcast_to(d1[None], (batch,) + d1.shape)
+                d2 = jnp.broadcast_to(d2[None], (batch,) + d2.shape)
+                step = jax.vmap(step, in_axes=(None, 0, 0))
+            p = (ctx, rlk)
 
-            return run
+        @jax.jit
+        def chained(p_, a0, b0):
+            def body(i, c):
+                a, b = c
+                out = step(p_, a, b)
+                return remix(out, a, b)
+            return jax.lax.fori_loop(0, K, body, (a0, b0))[0]
 
-        def step(c, r, da, db):
-            a = ct1.replace(data=da)
-            b = ct2.replace(data=db)
-            out = evaluate.multiply_and_relin(c, a, b, r)
-            if scheme == Scheme.CKKS:
-                out = evaluate.rescale_to_next(c, out)
-            elif scheme == Scheme.BGV:
-                out = evaluate.mod_switch_to_next(c, out)
-            return out.data
+        return lambda: chained(p, d1, d2)
 
-        # ctx and rlk enter as jit *arguments* (pytrees), not captured
-        # constants — keeps XLA from constant-folding the twiddle tables
-        step_jit = jax.jit(step)
-        return lambda: step_jit(ctx, rlk, ct1.data, ct2.data)
+    # force honest timing mode before ANY measurement (CLAUDE.md): one
+    # D2H pull switches the axon runtime out of async-ack fake timing
+    np.asarray(jnp.arange(8).sum())
 
-    def bench_path(path):
-        run = make_run(path)
+    def bench_path(path, batch):
+        run = make_chained(path, batch)
         t0 = time.time()
         out = run()
         out.block_until_ready()
-        print(f"# [{path}] compile+first-run {time.time()-t0:.1f}s",
-              file=sys.stderr)
+        print(f"# [{path} b={batch}] compile+first-run "
+              f"{time.time()-t0:.1f}s", file=sys.stderr)
         times = []
         for _ in range(args.trials):
             t0 = time.time()
             out = run()
             out.block_until_ready()
-            times.append(time.time() - t0)
+            times.append((time.time() - t0) / (K * batch))
         med = float(np.median(times))
         mean = float(np.mean(times))
-        print(f"# [{path}] median {med*1e6:.0f}us -> "
-              f"{args.batch/med:.1f} ops/s", file=sys.stderr)
+        print(f"# [{path} b={batch}] chained per-op {med*1e6:.0f}us -> "
+              f"{1.0/med:.1f} ops/s", file=sys.stderr)
         return med, mean
 
     on_accel = jax.devices()[0].platform != "cpu"
     if args.path == "auto":
-        paths = (["mxu-pallas", "mxu", "mxu-nofold", "u32"] if on_accel
-                 else ["u32"])
+        paths = ["mxu-pallas", "mxu"] if on_accel else ["u32"]
     else:
         paths = [args.path]
 
@@ -282,7 +313,7 @@ def main():
             path_errors.append(f"budget: skipped {','.join(skipped)}")
             break
         try:
-            results[path] = bench_path(path)
+            results[path] = bench_path(path, args.batch)
         except Exception as e:
             import traceback
             traceback.print_exc(file=sys.stderr)
@@ -292,72 +323,58 @@ def main():
 
     best = min(results, key=lambda p: results[p][0])
     med, mean = results[best]
-    ops = args.batch / med
+    single_ops = 1.0 / med if args.batch == 1 else None
 
-    # batched throughput on the winning path: evk/table streams amortize
-    # across the batch (PERF_MODEL.md §2.3) — reported as a secondary
-    # field, the headline stays batch=1 for baseline comparability
-    batch8 = None
+    # batched throughput sweep on the winning path (chained methodology
+    # throughout): B independent chains per dispatch
     batch_probes = {}
-    if on_accel and args.batch == 1 and time.time() - t_start < budget:
-        for b in (1, 8, 16, 32):
-            try:
-                args.batch = b
-                runb = make_run(best)
-                out = runb()
-                out.block_until_ready()
-                t0 = time.time()
-                for _ in range(max(3, args.trials // 2)):
-                    out = runb()
-                out.block_until_ready()
-                dt = (time.time() - t0) / max(3, args.trials // 2)
-                batch_probes[b] = b / dt
-                print(f"# [{best}] batch={b}: {b / dt:.1f} ops/s",
+    if on_accel and args.batch == 1:
+        for b in (int(x) for x in args.batches.split(",")):
+            if b == 1:
+                batch_probes[1] = 1.0 / med
+                continue
+            if time.time() - t_start > budget:
+                print(f"# budget exhausted before batch={b}",
                       file=sys.stderr)
+                break
+            try:
+                bmed, _ = bench_path(best, b)
+                batch_probes[b] = 1.0 / bmed
             except Exception as e:
                 print(f"# batch={b} probe failed: {e}", file=sys.stderr)
-            finally:
-                args.batch = 1
-            if time.time() - t_start > budget:
-                break
-        if batch_probes:
-            best_b = max(batch_probes, key=batch_probes.get)
-            batch8 = batch_probes[best_b]
-            # pipelined batch-1 rate = per-op latency without the
-            # per-dispatch tunnel round trip (~15 ms here) that the
-            # sync-per-trial headline loop pays
-            if 1 in batch_probes:
-                pipelined1 = batch_probes[1]
+    else:
+        batch_probes[args.batch] = args.batch / (med * args.batch)
 
     if args.csv:
         print(f"{args.scheme}_{metric_step.replace('+', '_')},"
               f"{args.trials},{med*1e6:.1f},{mean*1e6:.1f}", file=sys.stderr)
 
-    # headline = per-chip THROUGHPUT: the batch-8 pipelined rate when it
-    # wins (a v5e needs batching to saturate; the A100 baseline is already
-    # saturated at batch 1 — PERF_MODEL.md §2.3), else the single-op rate.
-    headline = ops
-    mode = "batch=1"
-    if batch8 is not None and batch8 > ops:
-        headline = batch8
-        mode = f"batch={best_b} throughput"
+    # headline = best chained per-chip throughput over the batch sweep;
+    # vs_baseline keeps the SAME meaning every run (throughput / A100
+    # single-stream line), with vs_baseline_latency as the strict
+    # latency-for-latency ratio
+    best_b = max(batch_probes, key=batch_probes.get)
+    headline = batch_probes[best_b]
     rec = {
-        "metric": f"{args.scheme.upper()} n={n} L={args.limbs} {metric_step} "
-                  f"({best}, {jax.devices()[0].platform}, {mode})",
+        "metric": f"{args.scheme.upper()} n={n} L={args.limbs} "
+                  f"logQ={logq_bits} {metric_step} "
+                  f"({best}, {jax.devices()[0].platform}, chained K={K}, "
+                  f"batch={best_b})",
         "value": round(headline, 3),
         "unit": "ops/s",
         "vs_baseline": round(headline / A100_BASELINE_OPS, 4),
-        "single_op_s": round(ops, 3),
+        "logq_bits": logq_bits,
+        "scale_bits": bits - 6,
     }
-    if batch_probes and 1 in batch_probes:
-        rec["single_op_pipelined_s"] = round(batch_probes[1], 3)
+    if single_ops is not None:
+        rec["single_op_s"] = round(single_ops, 3)
+        rec["vs_baseline_latency"] = round(single_ops / A100_BASELINE_OPS, 4)
     if len(results) > 1:
-        rec["paths"] = {p: round(args.batch / m, 3)
+        rec["paths"] = {p: round(1.0 / m, 3)
                         for p, (m, _) in results.items()}
-    if batch8 is not None:
+    if len(batch_probes) > 1:
         rec["batch_throughput"] = {b: round(v, 3)
                                    for b, v in batch_probes.items()}
-        rec["batch8_ops_s"] = round(batch_probes.get(8, batch8), 3)
     if backend_error:
         rec["error"] = backend_error
     if path_errors:

@@ -615,9 +615,12 @@ def _modup_ip_kernel(bits, q_bits, alpha, beta, k_out, has_self,
 
 # fall back to the split modup + XLA inner product when the resident
 # y buffer would crowd VMEM (~16 MB/core; tables + evk blocks + scratch
-# need the rest); PHANTOM_MODUP_IP=0 disables the mega-kernel entirely
-MODUP_IP_MAX_Y_BYTES = (0 if _os.environ.get("PHANTOM_MODUP_IP") == "0"
-                        else 8 << 20)
+# need the rest); PHANTOM_MODUP_IP=0 disables the mega-kernel entirely,
+# PHANTOM_MODUP_IP_MB raises the cap (the capability-matched L=43 config
+# has size_ql*N*4 = 11.3 MB and still fits with the 100 MB vmem limit)
+MODUP_IP_MAX_Y_BYTES = (
+    0 if _os.environ.get("PHANTOM_MODUP_IP") == "0"
+    else int(float(_os.environ.get("PHANTOM_MODUP_IP_MB", "8")) * (1 << 20)))
 
 
 def modup_ip_mxu_pallas(y: jnp.ndarray, mats: jnp.ndarray,
