@@ -131,6 +131,10 @@ def main():
     # the capability-matched L=43 config needs the fused modup+IP
     # mega-kernel gate above its default 8 MiB (size_ql*N*4 = 11.3 MiB)
     os.environ.setdefault("PHANTOM_MODUP_IP_MB", "12")
+    # the chained fori_loop carry raises XLA's alternate-memory peak; the
+    # default 100 MiB scoped-vmem request overflows the 128 MiB cap
+    # (measured: 136 MB peak -> SIGABRT in memory assignment)
+    os.environ.setdefault("PHANTOM_VMEM_LIMIT", str(64 << 20))
 
     backend_error = None
     plat = probe_backend()

@@ -37,6 +37,12 @@ def main():
     ap.add_argument("--methods", default="chained,pydep,repeat")
     args = ap.parse_args()
 
+    # chained fori_loop + 100 MiB scoped vmem overflows the 128 MiB
+    # alternate-memory cap (SIGABRT in XLA memory assignment)
+    os.environ.setdefault("PHANTOM_VMEM_LIMIT", str(64 << 20))
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
     import jax
     if os.environ.get("PHANTOM_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["PHANTOM_PLATFORM"])
