@@ -1,0 +1,317 @@
+"""Per-op hardware latency table over the reference's benchmark op set.
+
+Mirrors benchmark/{ckks,bfv,bgv}_bench.cu (keygen/encode/encrypt/decrypt/
+add/mul+relin/mul_plain/rotate/rescale/hoisting) at the headline config,
+with round-4 measurement discipline (CLAUDE.md axon rules):
+
+  * device verbs are timed CHAINED — K steps in one lax.fori_loop whose
+    carry feeds each iteration from the previous output (the op's own
+    output wherever it is shape-compatible; a one-row limb re-pad where a
+    level was dropped), so the dispatch cache cannot serve repeats;
+  * host/hybrid verbs (keygen, encode, decode, encrypt) get VARIED inputs
+    per trial (fresh rng keys / values) with a sync per trial.
+
+Emits the reference CSV contract (op,trials,median,mean in us) on stdout
+plus one JSON record written to --out (merged into BENCH_OPS_r04.json).
+
+    python benchmarks/op_table.py --scheme ckks [--out BENCH_OPS_r04.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scheme", choices=["ckks", "bfv", "bgv"],
+                    default="ckks")
+    ap.add_argument("--n", type=int, default=65536)
+    ap.add_argument("--limbs", type=int, default=28)
+    ap.add_argument("--alpha", type=int, default=14)
+    ap.add_argument("--k", type=int, default=8)
+    ap.add_argument("--trials", type=int, default=5)
+    ap.add_argument("--path", default="mxu-pallas",
+                    choices=["mxu-pallas", "mxu", "u32"])
+    ap.add_argument("--multech", default="hps")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--ops", default=None,
+                    help="comma list to restrict (e.g. add,rotate)")
+    args = ap.parse_args()
+
+    os.environ.setdefault("PHANTOM_VMEM_LIMIT", str(64 << 20))
+    os.environ.setdefault("PHANTOM_MODUP_IP_MB", "12")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
+    import jax
+    if os.environ.get("PHANTOM_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["PHANTOM_PLATFORM"])
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/phantom_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from phantom_tpu.ops import bfv32, bgv32
+    from phantom_tpu.ops import modmath32 as m32
+    from phantom_tpu.ops import pipeline32 as pp
+    from phantom_tpu.schemes import Scheme, keys
+    from phantom_tpu.utils.benchsetup import ensure_galois, setup_bench
+
+    s = setup_bench(scheme=args.scheme, n=args.n, limbs=args.limbs,
+                    alpha=args.alpha, multech=args.multech)
+    ctx, rlk, sk, pk = s.ctx, s.rlk, s.sk, s.pk
+    scheme = {"ckks": Scheme.CKKS, "bfv": Scheme.BFV,
+              "bgv": Scheme.BGV}[args.scheme]
+    glk = ensure_galois(s, args.scheme, args.n, args.limbs, args.alpha,
+                        steps=(1, 2))
+
+    use_pallas = {"mxu-pallas": "mxu-pallas", "mxu": "mxu",
+                  "u32": False}[args.path]
+    ks = pp.build_keyswitch32(ctx, 1, use_pallas,
+                              for_bgv=(scheme == Scheme.BGV))
+    evk = pp.convert_key32(ctx, rlk.data, 1)
+    g32 = pp.build_galois32(ctx, glk, 1)
+    d1 = jnp.asarray(np.asarray(s.ct1.data).astype(np.uint32))
+    d2 = jnp.asarray(np.asarray(s.ct2.data).astype(np.uint32))
+    is_ntt = scheme != Scheme.BFV
+    K = args.k
+    rows = {}
+
+    # honest timing mode before any measurement (CLAUDE.md)
+    np.asarray(jnp.arange(8).sum())
+
+    only = set(args.ops.split(",")) if args.ops else None
+
+    def record(name, med_us, mean_us, trials, method):
+        rows[name] = {"median_us": round(med_us, 1),
+                      "mean_us": round(mean_us, 1),
+                      "trials": trials, "method": method}
+        print(f"{name},{trials},{med_us:.1f},{mean_us:.1f}", flush=True)
+
+    def chained(name, pack, step, carry, per_iter_ops=1):
+        """Time K data-dependent steps per dispatch; med/mean per op."""
+        if only and name not in only:
+            return
+
+        @jax.jit
+        def run(pk_, c):
+            return jax.lax.fori_loop(0, K, lambda i, c_: step(pk_, c_), c)
+
+        t0 = time.time()
+        out = jax.block_until_ready(run(pack, carry))
+        print(f"# [{name}] compile+first {time.time()-t0:.1f}s",
+              file=sys.stderr, flush=True)
+        ts = []
+        for _ in range(args.trials):
+            t0 = time.time()
+            out = jax.block_until_ready(run(pack, carry))
+            ts.append((time.time() - t0) / (K * per_iter_ops) * 1e6)
+        record(name, float(np.median(ts)), float(np.mean(ts)),
+               args.trials, f"chained K={K}")
+
+    def varied(name, make_call, trials=None):
+        """Time per-dispatch with fresh inputs each trial (host verbs and
+        rng-consuming verbs where no output-to-input chain exists)."""
+        if only and name not in only:
+            return
+        trials = trials or args.trials
+        calls = [make_call(i) for i in range(trials + 1)]
+        jax.block_until_ready(calls[0]())  # warmup/compile
+        ts = []
+        for c in calls[1:]:
+            t0 = time.time()
+            jax.block_until_ready(c())
+            ts.append((time.time() - t0) * 1e6)
+        record(name, float(np.median(ts)), float(np.mean(ts)),
+               trials, "varied inputs")
+
+    # ---- keygen (host+device hybrid; fresh rng per trial) ----
+    gen_sk = jax.jit(keys.gen_secret_key)
+    gen_pk = jax.jit(keys.gen_public_key)
+    gen_rlk = jax.jit(keys.gen_relin_key)
+    varied("keygen_secret",
+           lambda i: lambda: gen_sk(ctx, jax.random.PRNGKey(100 + i)).data,
+           trials=3)
+    varied("keygen_public",
+           lambda i: lambda: gen_pk(ctx, sk,
+                                    jax.random.PRNGKey(200 + i)).data,
+           trials=3)
+    varied("keygen_relin",
+           lambda i: lambda: gen_rlk(ctx, sk,
+                                     jax.random.PRNGKey(300 + i)).data,
+           trials=2)
+
+    # ---- encode / decode (host oracle paths, like the reference's) ----
+    enc = s.enc
+    if scheme == Scheme.CKKS:
+        rngs = [np.random.default_rng(i).standard_normal(enc.slots)
+                for i in range(args.trials + 1)]
+        varied("encode", lambda i: lambda: enc.encode(rngs[i], s.scale).data)
+        pts = [enc.encode(rngs[i], s.scale) for i in range(args.trials + 1)]
+        varied("decode", lambda i: lambda: enc.decode(pts[i]))
+    else:
+        t_plain = ctx.params.plain_modulus
+        rngs = [np.random.default_rng(i).integers(0, t_plain, args.n,
+                                                  dtype=np.uint64)
+                for i in range(args.trials + 1)]
+        varied("encode", lambda i: lambda: enc.encode(rngs[i]).data)
+        pts = [enc.encode(rngs[i]) for i in range(args.trials + 1)]
+        varied("decode", lambda i: lambda: enc.decode(pts[i]))
+
+    # ---- encrypt / decrypt (u64 evaluator path, as the library does) ----
+    enc_jit = jax.jit(keys.encrypt_asymmetric)
+    varied("encrypt",
+           lambda i: lambda: enc_jit(ctx, pk, s.pt,
+                                     jax.random.PRNGKey(400 + i)).data)
+
+    qv64 = jnp.asarray(np.array(
+        [int(q) for q in s.params.coeff_modulus[:args.limbs]],
+        dtype=np.uint64))[:, None]
+
+    def step_decrypt(pack, d):
+        c, k_ = pack
+        pt = keys.decrypt(c, k_, s.ct1.replace(data=d)).data
+        if pt.ndim == 1:
+            pt = pt[None]
+        add = pt[: d.shape[1]] % qv64[: d.shape[1]]
+        new0 = d[0] + add
+        new0 = new0 - jnp.where(new0 >= qv64, qv64, np.uint64(0))
+        return d.at[0].set(new0)
+
+    chained("decrypt", (ctx, sk), step_decrypt, s.ct1.data)
+
+    # ---- u32 device verbs ----
+    qcol = ks.mv_ql.q[:, None]
+
+    def step_add(pack, c):
+        b, q = pack
+        return m32.add_mod32(c, b, q)
+
+    chained("add", (d2, qcol), step_add, d1)
+
+    # multiply(+relin): canonical (2, L, N) output feeds the next step
+    if scheme == Scheme.CKKS:
+        def mr(pack, c):
+            k_, e_, b = pack
+            t0, t1, t2 = pp._tensor_2x2(k_.mv_ql, c, b)
+            sh0, sh1 = pp.modup_ip32(k_, t2, e_)
+            m0, m1 = pp.moddown32_pair(k_, sh0, sh1)
+            q = k_.mv_ql.q[:, None]
+            return jnp.stack([m32.add_mod32(t0, m0, q),
+                              m32.add_mod32(t1, m1, q)])
+        chained("multiply_relin", (ks, evk, d2), mr, d1)
+
+        cpipe = pp.build_pipeline32(ctx, rlk, 1, use_pallas)
+        qlast = ks.mv_ql.q[args.limbs - 1]
+        rh_last = ks.mv_ql.ratio_hi[args.limbs - 1]
+
+        def pad_up(out):
+            pad = m32.barrett_reduce_u32(out[..., :1, :], qlast, rh_last)
+            return jnp.concatenate([out, pad], axis=-2)
+
+        def step_mrr(pack, c):
+            p_, b = pack
+            return pad_up(pp.mult_relin_rescale32(p_, c, b))
+
+        chained("multiply_relin_rescale", (cpipe, d2), step_mrr, d1)
+
+        def step_rescale(pack, c):
+            p_ = pack
+            return pad_up(pp._rescale(p_, c))
+
+        chained("rescale", cpipe, step_rescale, d1)
+    elif scheme == Scheme.BFV:
+        bpipe = bfv32.build_bfv32(ctx, rlk, 1, use_pallas)
+
+        def step_bfv(pack, c):
+            p_, b = pack
+            return bfv32.bfv_mult_relin32(p_, c, b)
+
+        chained("multiply_relin", (bpipe, d2), step_bfv, d1)
+    else:
+        gpipe = bgv32.build_bgv32(ctx, rlk, 1, use_pallas)
+
+        def step_bgv(pack, c):
+            p_, b = pack
+            return bgv32.bgv_mult_relin32(p_, c, b)
+
+        chained("multiply_relin", (gpipe, d2), step_bgv, d1)
+
+        qlast = ks.mv_ql.q[args.limbs - 1]
+        rh_last = ks.mv_ql.ratio_hi[args.limbs - 1]
+
+        def step_bgv_ms(pack, c):
+            p_, b = pack
+            out = bgv32.bgv_mult_relin_modswitch32(p_, c, b)
+            pad = m32.barrett_reduce_u32(out[..., :1, :], qlast, rh_last)
+            return jnp.concatenate([out, pad], axis=-2)
+
+        chained("multiply_relin_modswitch", (gpipe, d2), step_bgv_ms, d1)
+
+    # multiply_plain
+    if scheme == Scheme.BFV:
+        from phantom_tpu.schemes.evaluate import _bfv_plain_centered_rns
+        cd = ctx.get_context_data(1)
+        m_rns = jnp.asarray(np.asarray(_bfv_plain_centered_rns(
+            ctx, cd, s.pt.data[0] if s.pt.data.ndim > 1 else s.pt.data)
+        ).astype(np.uint32))
+        m_ntt = pp._fwd(ks, m_rns, ks.t_ql)
+
+        def step_mp(pack, c):
+            k_, mn = pack
+            q = k_.mv_ql.q[:, None]
+            rh = k_.mv_ql.ratio_hi[:, None]
+            rl = k_.mv_ql.ratio_lo[:, None]
+            ct_ntt = pp._fwd(k_, c, k_.t_ql)
+            prod = m32.mul_mod32(ct_ntt, mn[None], q, rh, rl)
+            return pp._inv(k_, prod, k_.t_ql)
+
+        chained("multiply_plain", (ks, m_ntt), step_mp, d1)
+    else:
+        pt32 = jnp.asarray(np.asarray(s.pt.data).astype(np.uint32))
+
+        def step_mp(pack, c):
+            k_, p_ = pack
+            q = k_.mv_ql.q[:, None]
+            rh = k_.mv_ql.ratio_hi[:, None]
+            rl = k_.mv_ql.ratio_lo[:, None]
+            return m32.mul_mod32(c, p_[None], q, rh, rl)
+
+        chained("multiply_plain", (ks, pt32), step_mp, d1)
+
+    # rotate / hoisting (canonical outputs feed directly)
+    def step_rot(pack, c):
+        k_, g_ = pack
+        return pp.rotate32(k_, g_, c, 1, is_ntt_form=is_ntt)
+
+    chained("rotate", (ks, g32), step_rot, d1)
+
+    if scheme == Scheme.CKKS:
+        def step_hoist(pack, c):
+            k_, g_ = pack
+            return pp.hoisting_sum32(k_, g_, c, (1, 2))
+
+        chained("hoisting_sum2", (ks, g32), step_hoist, d1)
+
+    rec = {"scheme": args.scheme, "n": args.n, "limbs": args.limbs,
+           "alpha": args.alpha, "path": args.path,
+           "multech": args.multech if args.scheme == "bfv" else None,
+           "platform": jax.devices()[0].platform,
+           "k": K, "rows": rows}
+    print(json.dumps(rec), flush=True)
+    if args.out:
+        merged = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                merged = json.load(f)
+        merged[args.scheme] = rec
+        with open(args.out, "w") as f:
+            json.dump(merged, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

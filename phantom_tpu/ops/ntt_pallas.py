@@ -44,6 +44,27 @@ def _mod(i, m: int):
                        np.int32(m))
 
 
+def _i32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _u32cast(x):
+    return jax.lax.bitcast_convert_type(x, jnp.uint32)
+
+
+def _t32(x):
+    """u32 transpose via an i32 bitcast hop: Mosaic's u32 transpose
+    lowering crashes the compile helper (exit 1, seen on v5e 2026-08-19);
+    the i32 path is its native relayout type.  Bit-identical."""
+    return _u32cast(_i32(x).T)
+
+
+def _stack2(a, b, shape):
+    """jnp.stack([a, b], axis=1).reshape(shape) with the same i32 hop
+    (u32 stack hits the identical Mosaic crash)."""
+    return _u32cast(jnp.stack([_i32(a), _i32(b)], axis=1).reshape(shape))
+
+
 def _split_n(n: int):
     """n1 x n2 = N with n1 <= n2, both powers of two."""
     logn = n.bit_length() - 1
@@ -129,11 +150,11 @@ def _fwd_kernel(n1, n2, num_l, x_ref, w_ref, ws_ref, q_ref, o_ref):
         v = xr[:, 1]
         u = csub32(u, two_q)
         wv = mul_mod_shoup_lazy32(v, w, ws, q)
-        x = jnp.stack([u + wv, u - wv + two_q], axis=1).reshape(n1, n2)
+        x = _stack2(u + wv, u - wv + two_q, (n1, n2))
         m <<= 1
 
     # phase boundary: transpose (the shared-memory exchange)
-    xt = x.T  # (n2, n1)
+    xt = _t32(x)  # (n2, n1)
 
     # phase B: within-row stages m = n1 .. n/2 (transposed twiddle regions)
     while m < n:
@@ -146,10 +167,10 @@ def _fwd_kernel(n1, n2, num_l, x_ref, w_ref, ws_ref, q_ref, o_ref):
         v = xr[:, 1]
         u = csub32(u, two_q)
         wv = mul_mod_shoup_lazy32(v, w, ws, q)
-        xt = jnp.stack([u + wv, u - wv + two_q], axis=1).reshape(n2, n1)
+        xt = _stack2(u + wv, u - wv + two_q, (n2, n1))
         m <<= 1
 
-    out = xt.T.reshape(n)
+    out = _t32(xt).reshape(n)
     o_ref[0, 0] = csub32(csub32(out, two_q), q)
 
 
@@ -159,7 +180,7 @@ def _inv_kernel(n1, n2, num_l, x_ref, w_ref, ws_ref, q_ref, sc_ref,
     lid = _mod(pl.program_id(0), num_l)
     q = q_ref[lid, 0]
     two_q = q * U32(2)
-    xt = x_ref[0, 0].reshape(n1, n2).T  # (n2, n1)
+    xt = _t32(x_ref[0, 0].reshape(n1, n2))  # (n2, n1)
 
     # phase B': within-row GS stages m = n/2 .. n1
     m = n // 2
@@ -174,10 +195,10 @@ def _inv_kernel(n1, n2, num_l, x_ref, w_ref, ws_ref, q_ref, sc_ref,
         s = u + v
         s = csub32(s, two_q)
         d = mul_mod_shoup_lazy32(u - v + two_q, w, ws, q)
-        xt = jnp.stack([s, d], axis=1).reshape(n2, n1)
+        xt = _stack2(s, d, (n2, n1))
         m >>= 1
 
-    x = xt.T  # (n1, n2)
+    x = _t32(xt)  # (n1, n2)
 
     # phase A': cross-row stages m = n1/2 .. 1
     while m >= 1:
@@ -190,7 +211,7 @@ def _inv_kernel(n1, n2, num_l, x_ref, w_ref, ws_ref, q_ref, sc_ref,
         s = u + v
         s = csub32(s, two_q)
         d = mul_mod_shoup_lazy32(u - v + two_q, w, ws, q)
-        x = jnp.stack([s, d], axis=1).reshape(n1, n2)
+        x = _stack2(s, d, (n1, n2))
         m >>= 1
 
     out = x.reshape(n)
@@ -221,10 +242,10 @@ def _fwd_fused_kernel(n1, n2, num_l, x_ref, w_ref, ws_ref, q_ref, s_ref,
         v = xr[:, 1]
         u = csub32(u, two_q)
         wv = mul_mod_shoup_lazy32(v, w, ws, q)
-        x = jnp.stack([u + wv, u - wv + two_q], axis=1).reshape(n1, n2)
+        x = _stack2(u + wv, u - wv + two_q, (n1, n2))
         m <<= 1
 
-    xt = x.T
+    xt = _t32(x)
 
     while m < n:
         mr = m // n1
@@ -236,10 +257,10 @@ def _fwd_fused_kernel(n1, n2, num_l, x_ref, w_ref, ws_ref, q_ref, s_ref,
         v = xr[:, 1]
         u = csub32(u, two_q)
         wv = mul_mod_shoup_lazy32(v, w, ws, q)
-        xt = jnp.stack([u + wv, u - wv + two_q], axis=1).reshape(n2, n1)
+        xt = _stack2(u + wv, u - wv + two_q, (n2, n1))
         m <<= 1
 
-    ntt = csub32(csub32(xt.T.reshape(n), two_q), q)
+    ntt = csub32(csub32(_t32(xt).reshape(n), two_q), q)
     diff = s_ref[0, 0] - ntt + q  # sub_from in [0,q): diff in (0, 2q)
     o_ref[0, 0] = csub32(mul_mod_shoup_lazy32(diff, sc_ref[lid, 0],
                                               scs_ref[lid, 0], q), q)

@@ -140,3 +140,40 @@ def setup_bench(scheme: str = "ckks", n: int = 65536, limbs: int = 28,
 def _ct_meta_pt(pt):
     return {"chain_index": pt.chain_index, "is_ntt_form": pt.is_ntt_form,
             "scale": pt.scale}
+
+
+def ensure_galois(s, scheme: str, n: int, limbs: int, alpha: int,
+                  bits: int = 28, steps=(1,), seed: int = 0,
+                  verbose: bool = True):
+    """Load-or-generate Galois keys for an existing setup_bench result
+    (separate cache entry, so the expensive main setup is reused when a
+    bench later needs rotation keys)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..schemes import keys
+
+    if s.glk is not None and tuple(steps) == tuple(
+            getattr(s.glk, "_steps", ())):
+        return s.glk
+    cfg = dict(kind="glk", scheme=scheme, n=n, limbs=limbs, alpha=alpha,
+               bits=bits, steps=list(steps), seed=seed)
+    hit = benchcache.load_setup(**cfg)
+    if hit is not None:
+        arrays, meta = hit
+        glk = keys.GaloisKeys(data=jnp.asarray(arrays["glk"]),
+                              elts=tuple(meta["glk_elts"]))
+        if verbose:
+            print("# galois keys loaded from cache", file=sys.stderr)
+        s.glk = glk
+        return glk
+    t0 = time.time()
+    k_glk = jax.random.split(jax.random.PRNGKey(seed), 6)[3]
+    glk = keys.create_galois_keys(s.ctx, s.sk, k_glk, steps=list(steps))
+    if verbose:
+        print(f"# galois keys generated in {time.time()-t0:.1f}s",
+              file=sys.stderr)
+    benchcache.save_setup({"glk": glk.data},
+                          {"glk_elts": list(glk.elts)}, **cfg)
+    s.glk = glk
+    return glk
