@@ -290,19 +290,24 @@ def _diag_dots(aps, xps, contract):
 
 
 def _fold_diagonals(partials, pow_diag, pow_diag_shoup, mv: ModulusVec32,
-                    bits: int = 0, max_partial: int = 0):
+                    bits: int = 0, max_partial: int = 0, q_bits: int = 32):
     """sum_d partials[d] * 2^(bits*d) mod q via per-diagonal Shoup folds.
 
     Each partial is an int32 accumulator (< 2^31, any u32 is valid Shoup
-    input); each fold lands in [0, 2q) and the running sum is csub'd back
-    below 2q, so everything stays in native u32 — no 96-bit triple, no
-    Barrett-u64.  Consts broadcast over (L, m, n).
+    input); each fold lands in [0, 2q), so everything stays in native u32
+    — no 96-bit triple, no Barrett-u64.  Consts broadcast over (L, m, n).
 
     When the caller certifies max_partial (the largest any diagonal
     accumulator can be), adjacent diagonals whose combined word
     p_{2j} + (p_{2j+1} << bits) provably fits u32 are merged first, so
     the number of Shoup folds (the dominant VPU cost of the whole MXU
-    engine, PERF_MODEL.md §2) drops from 2P-1 to ~P."""
+    engine, PERF_MODEL.md §2) drops from 2P-1 to ~P.
+
+    When n_words * 2q provably fits int31 (28-bit chains: 4 words x 2^29
+    = 2^31), the [0, 2q) fold terms accumulate with PLAIN adds and reduce
+    once through a halving csub ladder — the Shoup folds become
+    independent (no serializing csub between them, better VPU ILP) at the
+    same op count.  Bit-identical either way."""
     q3 = mv.q[:, None, None]
     two_q = q3 * np.uint32(2)
     if max_partial and max_partial * ((1 << bits) + 1) <= 0xFFFFFFFF:
@@ -314,12 +319,25 @@ def _fold_diagonals(partials, pow_diag, pow_diag_shoup, mv: ModulusVec32,
             words.append((w, j))
     else:
         words = [(p_.astype(jnp.uint32), j) for j, p_ in enumerate(partials)]
+    lazy = len(words) << (q_bits + 1) <= (1 << 31)
     acc = None
     for w, j in words:
         term = m32.mul_mod_shoup_lazy32(
             w, pow_diag[:, j][:, None, None],
             pow_diag_shoup[:, j][:, None, None], q3)
-        acc = term if acc is None else m32.csub32(acc + term, two_q)
+        if acc is None:
+            acc = term
+        elif lazy:
+            acc = acc + term
+        else:
+            acc = m32.csub32(acc + term, two_q)
+    if lazy:
+        # acc < n_words*2q < 2^31: csub ladder n*2q -> ceil(n/2)*2q ... -> q
+        k = len(words)
+        while k > 1:
+            k = (k + 1) // 2
+            acc = m32.csub32_i31(acc, two_q * np.uint32(k))
+        return m32.csub32_i31(acc, q3)
     return m32.csub32(acc, q3)
 
 
@@ -355,7 +373,8 @@ def mm_left_mod(table_planes: jnp.ndarray, x: jnp.ndarray,
     partials = _diag_dots(tps, xps, contract)
     if diag is not None:
         mp = _max_partial(bits, x.shape[-2], len(tps), len(xps))
-        return _fold_diagonals(partials, diag[0], diag[1], mv, bits, mp)
+        return _fold_diagonals(partials, diag[0], diag[1], mv, bits, mp,
+                               diag[2] if len(diag) > 2 else 32)
     shape = x.shape[:-2] + (table_planes.shape[-2], x.shape[-1])
     c, hi, lo = _combine_triple(partials, bits, shape)
     return _reduce_triple(c, hi, lo, mv)
@@ -375,7 +394,8 @@ def mm_right_mod(x: jnp.ndarray, table_planes: jnp.ndarray,
     partials = _diag_dots(xps, tps, contract)
     if diag is not None:
         mp = _max_partial(bits, x.shape[-1], len(tps), len(xps))
-        return _fold_diagonals(partials, diag[0], diag[1], mv, bits, mp)
+        return _fold_diagonals(partials, diag[0], diag[1], mv, bits, mp,
+                               diag[2] if len(diag) > 2 else 32)
     shape = x.shape[:-1] + (table_planes.shape[-1],)
     c, hi, lo = _combine_triple(partials, bits, shape)
     return _reduce_triple(c, hi, lo, mv)
@@ -395,7 +415,7 @@ FOLD_DIAGONALS = True
 def _diag_of(t: MXUNTTTables):
     if t.pow_diag is None or not FOLD_DIAGONALS:
         return None
-    return (t.pow_diag, t.pow_diag_shoup)
+    return (t.pow_diag, t.pow_diag_shoup, t.q_bits)
 
 def ntt_forward_mxu(x: jnp.ndarray, t: MXUNTTTables,
                     sub_from=None, epi_scale=None,
@@ -427,6 +447,27 @@ def ntt_forward_mxu(x: jnp.ndarray, t: MXUNTTTables,
     return m32.csub32(m32.mul_mod_shoup_lazy32(diff, sc, scs, q), q)
 
 
+def scaled_diag(t: MXUNTTTables, scale, dg=None):
+    """Fold constants pre-multiplied by a per-limb scalar: the epilogue
+    scale of an inverse transform rides the FINAL matmul's diagonal fold
+    for free instead of costing its own Shoup stage per element.  The
+    Shoup companions of the scaled constants are recomputed exactly on
+    device (barrett_div_mod: floor(pd2 * 2^32 / q)) — (L, D)-sized, so
+    trace-time noise."""
+    if dg is None:
+        dg = _diag_of(t)
+    if dg is None:
+        return None
+    pd, pds, qb = dg
+    q = t.mv.q[:, None]
+    rh = t.mv.ratio_hi[:, None]
+    rl = t.mv.ratio_lo[:, None]
+    sc = jnp.asarray(scale, jnp.uint32)[:, None]
+    pd2 = m32.mul_mod32(pd, sc, q, rh, rl)
+    pds2, _ = m32.barrett_div_mod_u64_32(pd2, jnp.zeros_like(pd2), q, rh, rl)
+    return (pd2, pds2, qb)
+
+
 def ntt_inverse_mxu(x: jnp.ndarray, t: MXUNTTTables,
                     scale: Optional[jnp.ndarray] = None,
                     scale_shoup: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -444,6 +485,12 @@ def ntt_inverse_mxu(x: jnp.ndarray, t: MXUNTTTables,
     if scale is None:
         scale = t.inv_degree
         scale_shoup = t.inv_degree_shoup
+    if dg is not None:
+        # scale-in-fold: one fewer Shoup stage per element
+        v = m32.csub32(v, q3)
+        dg2 = scaled_diag(t, scale, dg)
+        return mm_left_mod(t.wai, v, t.mv, t.plane_bits,
+                           t.q_bits, dg2).reshape(*lead, n1 * n2)
     sc = jnp.asarray(scale, dtype=jnp.uint32)[:, None, None]
     scs = jnp.asarray(scale_shoup, dtype=jnp.uint32)[:, None, None]
     v = m32.csub32(m32.mul_mod_shoup_lazy32(v, sc, scs, q3), q3)

@@ -117,7 +117,8 @@ def _dot(a, b, dn):
 _DN = (((1,), (0,)), ((), ()))  # plain (m, k) @ (k, c)
 
 
-def _mm_fold(aps, bps, q, pd_ref, pds_ref, lid, bits, contract_len, cs):
+def _mm_fold(aps, bps, q, pd_ref, pds_ref, lid, bits, contract_len, cs,
+             q_bits=32):
     """sum over planes of aps[a] @ bps[b] * 2^(bits*(a+b)) mod q, all in
     VMEM.  Adjacent diagonals are computed in pairs and merged into one
     u32 word before the Shoup fold when provably overflow-free (mirror of
@@ -146,12 +147,30 @@ def _mm_fold(aps, bps, q, pd_ref, pds_ref, lid, bits, contract_len, cs):
 
     acc = None
     step = 2 if pair else 1
+    n_words = (nd + step - 1) // step
+    # fully lazy accumulation when n_words * 2q provably fits int31
+    # (28-bit chains: 4 x 2^29 = 2^31): the Shoup folds become
+    # independent — no serializing csub between them (VPU ILP) — and
+    # reduce once through a halving csub ladder.  Bit-identical.
+    lazy = (_os.environ.get("PHANTOM_LAZY_FOLD") != "0"
+            and (n_words << (q_bits + 1)) <= (1 << 31))
     for j in range(0, nd, step):
         w = diag(j).astype(jnp.uint32)
         if pair and j + 1 < nd:
             w = w + (diag(j + 1).astype(jnp.uint32) << U32(bits))
         term = mul_mod_shoup_lazy32(w, pd_ref[lid, j], pds_ref[lid, j], q)
-        acc = term if acc is None else cs(acc + term, two_q)
+        if acc is None:
+            acc = term
+        elif lazy:
+            acc = acc + term
+        else:
+            acc = cs(acc + term, two_q)
+    if lazy:
+        k = n_words
+        while k > 1:
+            k = (k + 1) // 2
+            acc = csub32_i31(acc, two_q * U32(k))
+        return csub32_i31(acc, q)
     return cs(acc, q)
 
 
@@ -163,11 +182,12 @@ def _ntt_core(x, wa_ref, d_ref, ds_ref, wb_ref, q, pd_ref, pds_ref, lid,
     cs = _csub_for(q_bits)
     xps = _plane_list(x, bits, q_bits)
     waps = _plane_list(wa_ref[0], bits, q_bits)
-    z = _mm_fold(waps, xps, q, pd_ref, pds_ref, lid, bits, n1, cs)
+    z = _mm_fold(waps, xps, q, pd_ref, pds_ref, lid, bits, n1, cs, q_bits)
     v = cs(mul_mod_shoup_lazy32(z, d_ref[0], ds_ref[0], q), q)
     vps = _plane_list(v, bits, q_bits)
     wbps = _plane_list(wb_ref[0], bits, q_bits)
-    return _mm_fold(vps, wbps, q, pd_ref, pds_ref, lid, bits, n2, cs)
+    return _mm_fold(vps, wbps, q, pd_ref, pds_ref, lid, bits, n2, cs,
+                    q_bits)
 
 
 def _fwd_kernel(bits, q_bits, num_l, fused, x_ref, wa_ref, d_ref, ds_ref,
@@ -190,7 +210,7 @@ def _fwd_kernel(bits, q_bits, num_l, fused, x_ref, wa_ref, d_ref, ds_ref,
 
 
 def _inv_kernel(bits, q_bits, num_l, x_ref, wbi_ref, di_ref, dis_ref,
-                wai_ref, q_ref, pd_ref, pds_ref, sc_ref, scs_ref, o_ref):
+                wai_ref, q_ref, pd_ref, pds_ref, pd2_ref, pds2_ref, o_ref):
     lid = _mod(pl.program_id(0), num_l)
     cs = _csub_for(q_bits)
     q = q_ref[lid, 0]
@@ -199,12 +219,14 @@ def _inv_kernel(bits, q_bits, num_l, x_ref, wbi_ref, di_ref, dis_ref,
     x = cs(x_ref[0], q)
     xps = _plane_list(x, bits, q_bits)
     wbips = _plane_list(wbi_ref[0], bits, q_bits)
-    s = _mm_fold(xps, wbips, q, pd_ref, pds_ref, lid, bits, n2, cs)
-    v = mul_mod_shoup_lazy32(s, di_ref[0], dis_ref[0], q)
-    v = cs(mul_mod_shoup_lazy32(v, sc_ref[lid, 0], scs_ref[lid, 0], q), q)
+    s = _mm_fold(xps, wbips, q, pd_ref, pds_ref, lid, bits, n2, cs, q_bits)
+    # scale-in-fold: the epilogue scale is pre-multiplied into the final
+    # matmul's fold constants (pd2) — one fewer Shoup stage per element
+    v = cs(mul_mod_shoup_lazy32(s, di_ref[0], dis_ref[0], q), q)
     vps = _plane_list(v, bits, q_bits)
     waips = _plane_list(wai_ref[0], bits, q_bits)
-    o_ref[0] = _mm_fold(waips, vps, q, pd_ref, pds_ref, lid, bits, n1, cs)
+    o_ref[0] = _mm_fold(waips, vps, q, pd2_ref, pds2_ref, lid, bits, n1, cs,
+                        q_bits)
 
 
 def _specs(t: MXUNTTTables, num_l: int, fused: bool, inverse: bool):
@@ -229,8 +251,7 @@ def _specs(t: MXUNTTTables, num_l: int, fused: bool, inverse: bool):
     diag = pl.BlockSpec((num_l, n_diag), lambda l: (_I0, _I0),
                         memory_space=pltpu.SMEM)
     if inverse:
-        return [data, right, tw, tw, left, scalar, diag, diag, scalar,
-                scalar]
+        return [data, right, tw, tw, left, scalar, diag, diag, diag, diag]
     specs = [data, left, tw, tw, right, scalar, diag, diag]
     if fused:
         specs += [data, scalar, scalar]
@@ -308,6 +329,10 @@ def ntt_inverse_mxu_pallas(x: jnp.ndarray, t: MXUNTTTables,
         scale = t.inv_degree
         scale_shoup = t.inv_degree_shoup
     assert t.q.shape[0] == num_l, (t.q.shape, num_l)
+    # scale-in-fold (see ntt_mxu.scaled_diag): (L, D)-sized, trace noise
+    from .ntt_mxu import scaled_diag
+    pd2, pds2, _ = scaled_diag(t, scale,
+                               (t.pow_diag, t.pow_diag_shoup, t.q_bits))
     kern = functools.partial(_inv_kernel, t.plane_bits, t.q_bits, num_l)
     out = pl.pallas_call(
         kern,
@@ -319,9 +344,7 @@ def ntt_inverse_mxu_pallas(x: jnp.ndarray, t: MXUNTTTables,
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
     )(xm, t.wbi, t.di.reshape(-1, n1, n2), t.di_shoup.reshape(-1, n1, n2),
-      t.wai, t.q.reshape(-1, 1), t.pow_diag, t.pow_diag_shoup,
-      jnp.asarray(scale, jnp.uint32).reshape(-1, 1),
-      jnp.asarray(scale_shoup, jnp.uint32).reshape(-1, 1))
+      t.wai, t.q.reshape(-1, 1), t.pow_diag, t.pow_diag_shoup, pd2, pds2)
     if blocked:
         return out.reshape(*lead, n1, n2)
     return out.reshape(*lead, n1 * n2)

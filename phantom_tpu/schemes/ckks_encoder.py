@@ -85,7 +85,10 @@ class CKKSEncoder:
         total_q = 1
         for q in cd.moduli:
             total_q *= q
-        if max_coeff >= total_q / 2:
+        # integer comparison: total_q is a multi-hundred-bit int, and
+        # int/float division overflows past ~2^1024 (hit at the
+        # capability-matched 43-limb chain, logQ=1204)
+        if int(2 * max_coeff) >= total_q:
             raise ValueError("encoded values are too large for parms at this "
                              "level (scale out of bounds)")
         if max_coeff < 2 ** 62:
