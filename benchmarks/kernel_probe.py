@@ -90,16 +90,6 @@ def main():
     timeit("u32 butterfly fwd", lambda v, t: ntt32.ntt_forward32(v, t), L,
            t32)
 
-    from phantom_tpu.ops import ntt_pallas as ntp
-    tp = ntp.prepare_tables(t32)
-    try:
-        timeit("pallas butterfly fwd",
-               lambda v, t: ntp.ntt_forward_pallas(v, t), L, tp)
-        timeit("pallas butterfly inv",
-               lambda v, t: ntp.ntt_inverse_pallas(v, t), L, tp)
-    except Exception as e:
-        print(f"pallas butterfly failed: {e}"[:300], flush=True)
-
     from phantom_tpu.ops import ntt_pallas_roll as ntr
     tr = ntr.prepare_roll_tables(t32)
     try:

@@ -19,7 +19,7 @@ def main():
     ap.add_argument("--sweep-step", type=int, default=1,
                     help="dropped-level stride (1 = every level, like the "
                          "reference's axis sweep)")
-    ap.add_argument("--path", choices=["u64", "u32", "pallas",
+    ap.add_argument("--path", choices=["u64", "u32",
                                        "pallas-roll", "mxu", "mxu-pallas"],
                     default="u64",
                     help="u32/pallas: 28-bit primes + the uint32 "

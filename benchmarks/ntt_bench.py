@@ -17,7 +17,11 @@ def main():
     ap.add_argument("--trials", type=int, default=20)
     ap.add_argument("--u32", action="store_true",
                     help="32-bit fast path (28-bit primes)")
-    ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--pallas", action="store_true",
+                    help="the pallas-roll butterfly engine (the reshape "
+                         "variant was retired: Mosaic's u32/i32 "
+                         "transpose+stack lowering crashes this "
+                         "toolchain's compile helper)")
     ap.add_argument("--mxu", action="store_true",
                     help="four-step matmul NTT (ops/ntt_mxu.py)")
     ap.add_argument("--no-fold", action="store_true",
@@ -40,7 +44,7 @@ def main():
     from phantom_tpu.host.modulus import Modulus
     from phantom_tpu.host.ntt_tables import make_rns_ntt_tables
     from phantom_tpu.ops import ntt as ntt64
-    from phantom_tpu.ops import (ntt32, ntt_mxu, ntt_pallas as ntp,
+    from phantom_tpu.ops import (ntt32, ntt_mxu,
                                  ntt_pallas_roll as ntr)
     if args.no_fold:
         ntt_mxu.FOLD_DIAGONALS = False
@@ -56,11 +60,10 @@ def main():
         t64 = ntt64.tables_from_host(make_rns_ntt_tables(n, [Modulus(q)]))
         if fast:
             t32 = ntt32.tables32_from_tables64(t64)
-            tp = ntp.prepare_tables(t32) if (args.pallas or args.all) \
-                else None
             tm = ntt_mxu.prepare_mxu_tables(t32) if (args.mxu or args.all) \
                 else None
-            tr = ntr.prepare_roll_tables(t32) if args.all else None
+            tr = ntr.prepare_roll_tables(t32) \
+                if (args.pallas or args.all) else None
 
         def engines():
             if args.all:
@@ -76,8 +79,6 @@ def main():
                     finally:
                         ntt_mxu.FOLD_DIAGONALS = True
                 yield "mxu-nofold", jnp.uint32, jax.jit(mxu_nofold)
-                yield "pallas", jnp.uint32, \
-                    jax.jit(lambda v: ntp.ntt_forward_pallas(v, tp))
                 yield "pallas-roll", jnp.uint32, \
                     jax.jit(lambda v: ntr.ntt_forward_roll(v, tr))
                 from phantom_tpu.ops import ntt_mxu_pallas as nmp
@@ -88,8 +89,8 @@ def main():
                 yield "mxu", jnp.uint32, \
                     jax.jit(lambda v: ntt_mxu.ntt_forward_mxu(v, tm))
             elif args.pallas:
-                yield "pallas", jnp.uint32, \
-                    jax.jit(lambda v: ntp.ntt_forward_pallas(v, tp))
+                yield "pallas-roll", jnp.uint32, \
+                    jax.jit(lambda v: ntr.ntt_forward_roll(v, tr))
             elif args.u32:
                 yield "u32", jnp.uint32, \
                     jax.jit(lambda v: ntt32.ntt_forward32(v, t32))

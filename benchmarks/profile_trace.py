@@ -30,7 +30,7 @@ def main():
     ap.add_argument("--alpha", type=int, default=4)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--path", choices=["u32", "mxu", "mxu-nofold", "pallas",
+    ap.add_argument("--path", choices=["u32", "mxu", "mxu-nofold",
                                        "pallas-roll", "mxu-pallas"],
                     default="mxu")
     ap.add_argument("--logdir", default="/tmp/phantom_trace")

@@ -15,10 +15,10 @@ def main():
     ap.add_argument("--logn", type=int, default=13)
     ap.add_argument("--limbs", type=int, default=6)
     ap.add_argument("--trials", type=int, default=10)
-    ap.add_argument("--path", choices=["u64", "u32", "pallas", "pallas-roll", "mxu"],
+    ap.add_argument("--path", choices=["u64", "u32", "pallas-roll", "mxu"],
                     default="u64",
-                    help="u32/pallas: evaluator verbs through the Fast32 "
-                         "fast path (<2^30 primes)")
+                    help="u32/pallas-roll/mxu: evaluator verbs through "
+                         "the Fast32 fast path (<2^30 primes)")
     args = ap.parse_args()
 
     import os
@@ -44,7 +44,7 @@ def main():
         params = EncryptionParameters.create(
             Scheme.CKKS, n, qs, special_modulus_size=1)
     else:
-        if args.path in ("u32", "pallas", "pallas-roll", "mxu"):
+        if args.path in ("u32", "pallas-roll", "mxu"):
             coeff = numth.get_primes(2 * n, bits, args.limbs + 1)
         else:
             coeff = [m.value for m in CoeffModulus.create(
@@ -103,7 +103,7 @@ def main():
     bench("decrypt", lambda c, s, d: keys.decrypt(
         c, s, ct1.replace(data=d)).data, ctx, sk, ct1.data)
 
-    if args.path in ("u32", "pallas", "pallas-roll", "mxu"):
+    if args.path in ("u32", "pallas-roll", "mxu"):
         # evaluator verbs through the u32 fast path: pipelines are built
         # eagerly and ride through jit as ARGUMENTS (never captured — see
         # CLAUDE.md invariants)

@@ -61,7 +61,7 @@ class Fast32:
     def __init__(self, ctx: Context, rlk=None, glk=None,
                  use_pallas=False):
         # use_pallas: engine selector — False/"xla" (u32 butterfly stages),
-        # True/"pallas" (fused-VMEM kernels), "mxu" (four-step matmul NTT)
+        # True/"pallas-roll" (VMEM butterfly kernels), "mxu" (four-step matmul NTT)
         if any(int(q) >= (1 << 30) for q in ctx.params.coeff_modulus):
             raise ValueError("Fast32 requires all primes < 2^30 "
                              "(the u32 fast-path constraint)")

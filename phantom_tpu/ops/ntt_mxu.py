@@ -1,7 +1,7 @@
 """MXU (matmul) formulation of the negacyclic NTT — the systolic-array path.
 
 TPU-native alternative to the butterfly engines (ops/ntt32.py VPU stages,
-ops/ntt_pallas.py fused-VMEM stages): the four-step factorization turns the
+ops/ntt_pallas_roll.py fused-VMEM stages): the four-step factorization turns
 transform into two *shared* modular matmuls that ride the 128x128 MXU, with
 one pointwise twiddle between them.  For N = n1 x n2 and the library's
 evaluation order out[k] = p(psi^(2*rev(k)+1)) (host/ntt_tables.py), with

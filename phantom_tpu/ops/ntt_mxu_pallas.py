@@ -10,8 +10,8 @@ per (32, N) matmul at N=65536 — the dominant cost of the headline step,
 measured via benchmarks/profile_trace.py); here HBM sees one read of x,
 one read of the limb's tables, one write of the result.
 
-Mosaic-legality notes (hard-won, see ops/ntt_pallas.py which predates
-them): data blocks are rank-3 (1, n1, n2) so the trailing two dims span
+Mosaic-legality notes (hard-won; the retired reshape-butterfly engine
+predated them): data blocks are rank-3 (1, n1, n2) so the trailing two dims span
 the array (the block-shape rule demands multiples of (8, 128) or full
 dims — Mosaic applies it to SMEM blocks too, so scalar/fold-constant
 tables ride as FULL-array SMEM blocks indexed dynamically in-kernel by

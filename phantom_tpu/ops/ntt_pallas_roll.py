@@ -41,7 +41,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .modmath32 import U32, csub32, mul_mod_shoup_lazy32
 from .ntt32 import NTTTables32
-from .ntt_pallas import _mod, _split_n
+from .ntt_mxu import _split_n
+from .ntt_mxu_pallas import _mod
 
 # Mosaic requires i32 index-map returns; a Python 0 traces as weak i64 under
 # jax_enable_x64 and fails to legalize (seen on hardware 2026-08-19)

@@ -35,7 +35,6 @@ from . import modmath32 as m32
 from ..utils import debug
 from . import ntt32
 from . import ntt_mxu
-from . import ntt_pallas as ntp
 from . import ntt_pallas_roll as ntr
 from .bconv32 import BaseConvConsts32, ModulusVec32, modulus_vec32
 
@@ -57,10 +56,10 @@ def normalize_engine(use_pallas) -> str:
     matmul NTT (ops/ntt_mxu), 'mxu-pallas' = the same four-step NTT fused
     into one Pallas program per limb row (ops/ntt_mxu_pallas)."""
     if use_pallas is True:
-        return "pallas"
+        return "pallas-roll"
     if use_pallas in (False, None):
         return "xla"
-    assert use_pallas in ("xla", "pallas", "pallas-roll", "mxu",
+    assert use_pallas in ("xla", "pallas-roll", "mxu",
                           "mxu-pallas"), use_pallas
     return use_pallas
 
@@ -126,15 +125,13 @@ class KeySwitch32:
 
     @property
     def use_pallas(self) -> bool:
-        # both Pallas engines share the VMEM inner-product kernel
-        return self.engine in ("pallas", "pallas-roll")
+        # the roll engine shares the VMEM inner-product kernel
+        return self.engine == "pallas-roll"
 
 
 def _conv_tables(t64, use_pallas):
     engine = normalize_engine(use_pallas)
     t32 = ntt32.tables32_from_tables64(t64)
-    if engine == "pallas":
-        return ntp.prepare_tables(t32)
     if engine == "pallas-roll":
         return ntr.prepare_roll_tables(t32)
     if engine == "mxu":
@@ -271,10 +268,6 @@ def _fwd(ks, x, tables, sub_from=None, epi_scale=None, epi_scale_shoup=None):
     sub_from/epi_scale set, computes (sub_from - NTT(x)) * epi_scale —
     fused in VMEM on the Pallas engine, into the matmul epilogue on the
     MXU engine, composed (bit-identically) on the XLA stage engine."""
-    if isinstance(tables, ntp.PallasNTTTables):
-        return ntp.ntt_forward_pallas(
-            x, tables, sub_from=sub_from, epi_scale=epi_scale,
-            epi_scale_shoup=epi_scale_shoup)
     if isinstance(tables, ntr.RollNTTTables):
         return ntr.ntt_forward_roll(
             x, tables, sub_from=sub_from, epi_scale=epi_scale,
@@ -299,8 +292,6 @@ def _fwd(ks, x, tables, sub_from=None, epi_scale=None, epi_scale_shoup=None):
 
 
 def _inv(ks, x, tables, **kw):
-    if isinstance(tables, ntp.PallasNTTTables):
-        return ntp.ntt_inverse_pallas(x, tables, **kw)
     if isinstance(tables, ntr.RollNTTTables):
         return ntr.ntt_inverse_roll(x, tables, **kw)
     if isinstance(tables, ntt_mxu.MXUNTTTables):
@@ -391,23 +382,16 @@ def modup_from_ntt32(ks: KeySwitch32, c2_ntt: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(out)
 
 
-# The Pallas inner-product kernel's (beta, 1, n) blocks are rejected by
-# Mosaic's block-shape rule (second-minor dim must be a multiple of 8 or
-# span the array; found on hardware).  The XLA triple path below measures
-# at the HBM roofline for this op (~190us per half at L=28 N=65536, evk
-# stream bound), so it stays the default on every engine.
-USE_PALLAS_INNER_PRODUCT = False
-
-
 def inner_product32(ks: KeySwitch32, t_modup: jnp.ndarray,
                     evk: jnp.ndarray):
     """sum_d t_d * evk[d, j]: per-digit u32xu32 products accumulated in a
     (carry, hi, lo) u32 triple, one reduction at the end (reference:
     key_switch_inner_prod_c2_and_evk, eval_key_switch.cu:14-69)."""
-    if ks.use_pallas and USE_PALLAS_INNER_PRODUCT:
-        out = ntp.keyswitch_inner_product_pallas(t_modup, evk, ks.mv_qlp)
-        return out[0], out[1]
     beta = t_modup.shape[0]
+    # (a dedicated Pallas inner-product kernel was tried and retired: its
+    # (beta, 1, n) blocks violate Mosaic's block-shape rule, and this XLA
+    # triple path already measures at the HBM roofline for the op —
+    # ~190us per half at L=28 N=65536, evk-stream bound)
     # both halves in ONE sweep over the digits so each t_modup[d] row is
     # read from HBM once (the evk stream is the roofline term; t_modup is
     # the next-largest and this halves its traffic)

@@ -8,7 +8,7 @@ reference's two-phase shared-memory NTT (fntt_2d.cu) becomes
            all-to-all over ICI (the inter-chip "shared-memory exchange"),
   phase B: stages local again in the transposed layout.
 Twiddle tables ride replicated; phase-B regions are pre-transposed exactly
-as in ops/ntt_pallas.py.
+as in ops/ntt_pallas_roll.py.
 """
 
 from __future__ import annotations
@@ -21,7 +21,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import ntt as ntt64
 from ..ops.modmath import U64, csub, mul_mod_shoup_lazy
-from ..ops.ntt_pallas import _split_n, _transpose_regions
+from ..ops.ntt_mxu import _split_n
+
+
+def _transpose_regions(table: np.ndarray, n1: int) -> np.ndarray:
+    """Transpose every stage region [m, 2m) for m >= n1, per limb row
+    (phase-B twiddle layout for the two-phase butterfly engines; was
+    ops/ntt_pallas.py before that engine's retirement — see
+    docs/DESIGN.md)."""
+    out = table.copy()
+    n = table.shape[-1]
+    m = n1
+    while m < n:
+        seg = table[..., m:2 * m]
+        L = seg.shape[0]
+        out[..., m:2 * m] = seg.reshape(L, n1, m // n1).transpose(
+            0, 2, 1).reshape(L, m)
+        m <<= 1
+    return out
 
 
 @flax.struct.dataclass

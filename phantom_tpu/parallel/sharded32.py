@@ -22,7 +22,7 @@ from ..ops import modmath32 as m32
 from ..ops import ntt32
 from ..ops import ntt_mxu
 from ..ops.modmath32 import U32, csub32, mul_mod_shoup_lazy32
-from ..ops.ntt_pallas import _split_n, _transpose_regions
+from .ntt_sharded import _split_n, _transpose_regions
 from ..ops.pipeline32 import CKKSPipeline32, KeySwitch32
 
 import flax.struct
