@@ -7,7 +7,7 @@ matching the reference benchmark's ~1200-bit modulus budget (30-33 x
 40-bit primes, ckks_bench.cu:9-120) rather than the easier 784-bit chain
 benched in rounds 1-3.  Scale is 2^22 (the 28-bit-prime ceiling); the
 paired-prime high-precision path (examples/9_hiprec_ckks.py) covers the
-2^40-scale use case and is benched separately by --hiprec.
+2^40-scale use case and carries its own self-checking example timings.
 
 Methodology (round 4, per VERDICT): every number comes from a CHAINED
 measurement — K steps inside one jit via lax.fori_loop where each
@@ -96,15 +96,18 @@ def main():
                     help="special primes; 22 -> dnum=2 digits at L=43 "
                          "(the reference keyswitch_bench.cu uses "
                          "alpha~L/2 = dnum 2 as well)")
-    ap.add_argument("--k", type=int, default=10,
+    ap.add_argument("--k", type=int, default=48,
                     help="chained steps per dispatch (fori_loop trip "
                          "count); every step's input depends on the "
-                         "previous step's output")
+                         "previous step's output.  Each top-level "
+                         "dispatch pays a ~15-22 ms tunnel RTT on this "
+                         "runtime (CLAUDE.md), so wall/K overstates the "
+                         "per-op cost by RTT/K — K=48 keeps that < 5%")
     ap.add_argument("--trials", type=int, default=5,
                     help="timed dispatches of the K-step chain; median")
     ap.add_argument("--batch", type=int, default=1,
                     help="independent chains per step (vmapped)")
-    ap.add_argument("--batches", default="1,4,8",
+    ap.add_argument("--batches", default="1,8",
                     help="throughput sweep batch sizes (auto mode)")
     ap.add_argument("--path", choices=["auto", "u32", "pallas-roll",
                                        "mxu", "mxu-nofold", "mxu-pallas",
