@@ -163,10 +163,18 @@ def main():
         varied("decode", lambda i: lambda: enc.decode(pts[i]))
 
     # ---- encrypt / decrypt (u64 evaluator path, as the library does) ----
-    enc_jit = jax.jit(keys.encrypt_asymmetric)
-    varied("encrypt",
-           lambda i: lambda: enc_jit(ctx, pk, s.pt,
-                                     jax.random.PRNGKey(400 + i)).data)
+    # encrypt chains through the PRNG key: the next key is derived from
+    # the previous ciphertext's first word, a real data dependency
+    def step_encrypt(pack, carry):
+        c, p_ = pack
+        key, _ = carry
+        data = keys.encrypt_asymmetric(c, p_, s.pt, key).data
+        nxt = jax.random.PRNGKey(data[0, 0, 0].astype(jnp.uint32)
+                                 .astype(jnp.int64))
+        return (nxt, data)
+
+    chained("encrypt", (ctx, pk), step_encrypt,
+            (jax.random.PRNGKey(400), s.ct1.data))
 
     qv64 = jnp.asarray(np.array(
         [int(q) for q in s.params.coeff_modulus[:args.limbs]],
