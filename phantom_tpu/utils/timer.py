@@ -4,6 +4,12 @@ Equivalent of the reference's CUDATimer / ChronoTimer
 (include/cuda_wrapper.cuh:191-283, include/util.cuh:38-127): per-op trials
 with `function,trials,median,mean` CSV rows (microseconds).  Device work is
 bracketed with block_until_ready(), the JAX analogue of cudaEvent pairs.
+
+CAVEAT on the axon TPU runtime: a sync-per-trial loop includes the
+~15-26 ms per-dispatch tunnel round trip in every sample (CLAUDE.md
+measurement rules), so OpTimer numbers there upper-bound the device
+cost.  For sub-RTT ops use a chained fori_loop with K >= 25 instead —
+benchmarks/op_table.py is the reference implementation.
 """
 
 from __future__ import annotations
