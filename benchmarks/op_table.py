@@ -86,11 +86,30 @@ def main():
 
     only = set(args.ops.split(",")) if args.ops else None
 
+    def flush_out():
+        if not args.out:
+            return
+        rec = {"scheme": args.scheme, "n": args.n, "limbs": args.limbs,
+               "alpha": args.alpha, "path": args.path,
+               "multech": args.multech if args.scheme == "bfv" else None,
+               "platform": jax.devices()[0].platform,
+               "k": K, "rows": rows}
+        merged = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                merged = json.load(f)
+        merged[args.scheme] = rec
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(merged, f, indent=1)
+        os.replace(tmp, args.out)
+
     def record(name, med_us, mean_us, trials, method):
         rows[name] = {"median_us": round(med_us, 1),
                       "mean_us": round(mean_us, 1),
                       "trials": trials, "method": method}
         print(f"{name},{trials},{med_us:.1f},{mean_us:.1f}", flush=True)
+        flush_out()  # partial tables survive a timeout
 
     def chained(name, pack, step, carry, per_iter_ops=1):
         """Time K data-dependent steps per dispatch; med/mean per op."""
@@ -311,14 +330,7 @@ def main():
            "platform": jax.devices()[0].platform,
            "k": K, "rows": rows}
     print(json.dumps(rec), flush=True)
-    if args.out:
-        merged = {}
-        if os.path.exists(args.out):
-            with open(args.out) as f:
-                merged = json.load(f)
-        merged[args.scheme] = rec
-        with open(args.out, "w") as f:
-            json.dump(merged, f, indent=1)
+    flush_out()
 
 
 if __name__ == "__main__":
