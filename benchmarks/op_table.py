@@ -31,7 +31,10 @@ def main():
     ap.add_argument("--n", type=int, default=65536)
     ap.add_argument("--limbs", type=int, default=28)
     ap.add_argument("--alpha", type=int, default=14)
-    ap.add_argument("--k", type=int, default=8)
+    ap.add_argument("--k", type=int, default=None,
+                    help="override the per-op chain length (default: a "
+                         "per-op table sized so the ~15-26 ms dispatch "
+                         "RTT stays well under 10% of each number)")
     ap.add_argument("--trials", type=int, default=5)
     ap.add_argument("--path", default="mxu-pallas",
                     choices=["mxu-pallas", "mxu", "u32"])
@@ -78,7 +81,13 @@ def main():
     d1 = jnp.asarray(np.asarray(s.ct1.data).astype(np.uint32))
     d2 = jnp.asarray(np.asarray(s.ct2.data).astype(np.uint32))
     is_ntt = scheme != Scheme.BFV
-    K = args.k
+    # per-op chain lengths: cheap ops need long chains or the dispatch
+    # RTT (~15-26 ms, CLAUDE.md) dominates the reading
+    K_PER_OP = {"add": 256, "multiply_plain": 96, "decrypt": 64,
+                "rescale": 64, "rotate": 32, "multiply_relin": 32,
+                "multiply_relin_rescale": 32,
+                "multiply_relin_modswitch": 32, "hoisting_sum2": 24,
+                "encrypt": 16}
     rows = {}
 
     # honest timing mode before any measurement (CLAUDE.md)
@@ -93,12 +102,17 @@ def main():
                "alpha": args.alpha, "path": args.path,
                "multech": args.multech if args.scheme == "bfv" else None,
                "platform": jax.devices()[0].platform,
-               "k": K, "rows": rows}
+               "rows": rows}
         merged = {}
         if os.path.exists(args.out):
             with open(args.out) as f:
                 merged = json.load(f)
-        merged[args.scheme] = rec
+        if args.scheme in merged:          # partial re-runs extend, not
+            old = merged[args.scheme]      # replace, the scheme's rows
+            old.update({k_: v for k_, v in rec.items() if k_ != "rows"})
+            old.setdefault("rows", {}).update(rows)
+        else:
+            merged[args.scheme] = rec
         tmp = args.out + ".tmp"
         with open(tmp, "w") as f:
             json.dump(merged, f, indent=1)
@@ -115,6 +129,7 @@ def main():
         """Time K data-dependent steps per dispatch; med/mean per op."""
         if only and name not in only:
             return
+        K = args.k or K_PER_OP.get(name, 16)
 
         @jax.jit
         def run(pk_, c):
@@ -328,7 +343,7 @@ def main():
            "alpha": args.alpha, "path": args.path,
            "multech": args.multech if args.scheme == "bfv" else None,
            "platform": jax.devices()[0].platform,
-           "k": K, "rows": rows}
+           "rows": rows}
     print(json.dumps(rec), flush=True)
     flush_out()
 
