@@ -20,7 +20,8 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "ops/s", "vs_baseline": N, ...}
 
 value          = best chained throughput over the batch sweep (per-chip
-                 throughput; the north-star metric)
+                 throughput; batch=1 by default — measured flat in batch
+                 on the v5e, the step saturates the chip)
 vs_baseline    = value / A100_BASELINE_OPS  (fixed meaning every run)
 single_op_s    = batch-1 chained rate (serial per-op latency, like-for-like
                  with the A100 single-stream line)
@@ -107,8 +108,13 @@ def main():
                     help="timed dispatches of the K-step chain; median")
     ap.add_argument("--batch", type=int, default=1,
                     help="independent chains per step (vmapped)")
-    ap.add_argument("--batches", default="1,8",
-                    help="throughput sweep batch sizes (auto mode)")
+    ap.add_argument("--batches", default="1",
+                    help="throughput sweep batch sizes (auto mode). "
+                         "Measured flat on the v5e: batch-4 chained = "
+                         "252.3 ops/s vs batch-1 250.3 at L=28 (the step "
+                         "is compute-bound; vmapped chained graphs also "
+                         "compile ~10x slower), so the default headline "
+                         "is the batch-1 chained rate")
     ap.add_argument("--path", choices=["auto", "u32", "pallas-roll",
                                        "mxu", "mxu-nofold", "mxu-pallas",
                                        "u64"],
