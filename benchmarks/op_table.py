@@ -126,7 +126,13 @@ def main():
         flush_out()  # partial tables survive a timeout
 
     def chained(name, pack, step, carry, per_iter_ops=1):
-        """Time K data-dependent steps per dispatch; med/mean per op."""
+        """Time K data-dependent steps per dispatch; med/mean per op.
+
+        The TRIALS are chained too: each dispatch takes the previous
+        dispatch's output as its carry.  Without this, repeated
+        dispatches with identical arguments can be served from the axon
+        result cache without executing (observed: BFV multiply_relin
+        "27 us" — faster than the dispatch RTT itself)."""
         if only and name not in only:
             return
         K = args.k or K_PER_OP.get(name, 16)
@@ -136,16 +142,16 @@ def main():
             return jax.lax.fori_loop(0, K, lambda i, c_: step(pk_, c_), c)
 
         t0 = time.time()
-        out = jax.block_until_ready(run(pack, carry))
+        c = jax.block_until_ready(run(pack, carry))
         print(f"# [{name}] compile+first {time.time()-t0:.1f}s",
               file=sys.stderr, flush=True)
         ts = []
         for _ in range(args.trials):
             t0 = time.time()
-            out = jax.block_until_ready(run(pack, carry))
+            c = jax.block_until_ready(run(pack, c))
             ts.append((time.time() - t0) / (K * per_iter_ops) * 1e6)
         record(name, float(np.median(ts)), float(np.mean(ts)),
-               args.trials, f"chained K={K}")
+               args.trials, f"chained K={K} x chained trials")
 
     def varied(name, make_call, trials=None):
         """Time per-dispatch with fresh inputs each trial (host verbs and
