@@ -193,6 +193,13 @@ def main():
         varied("encode", lambda i: lambda: enc.encode(rngs[i], s.scale).data)
         pts = [enc.encode(rngs[i], s.scale) for i in range(args.trials + 1)]
         varied("decode", lambda i: lambda: enc.decode(pts[i]))
+        # the production encoder: device double-float special FFT + NTT
+        # (ops/ckks_fft.py; reference encode_internal runs device-side too)
+        from phantom_tpu.schemes.ckks_encoder import CKKSDeviceEncoder
+        denc = CKKSDeviceEncoder(s.ctx)
+        varied("encode_device",
+               lambda i: lambda: denc.encode(rngs[i], s.scale).data)
+        varied("decode_device", lambda i: lambda: denc.decode(pts[i]))
     else:
         t_plain = ctx.params.plain_modulus
         rngs = [np.random.default_rng(i).integers(0, t_plain, args.n,
