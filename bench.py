@@ -182,11 +182,14 @@ def main():
                     dtype=np.uint64)
 
     def make_remix(dtype):
-        """Rebuild full-L canonical inputs from a step output: re-pad any
-        dropped limbs (row 0 csub'd into each missing modulus — valid
-        because q_0 < 2*q_j for the ~equal-width prime chains used here)
-        and fold into the previous inputs with a modular add.  This is the
-        data dependency that defeats the axon dispatch cache."""
+        """Rebuild a full-L canonical FIRST input from a step output:
+        re-pad any dropped limbs (row 0 csub'd into each missing modulus
+        — valid because q_0 < 2*q_j for the ~equal-width prime chains
+        used here) and feed it as the next iteration's d1; d2 stays
+        fixed.  This is the data dependency that defeats the axon
+        dispatch cache, at near-zero harness cost (the earlier
+        fold-into-both-inputs form added two full-array modular adds,
+        ~0.3-0.5 ms/op of measured 'step' time per the device trace)."""
         q = jnp.asarray(q_np.astype(dtype))[:, None]
 
         def remix(out, d1, d2):
@@ -198,11 +201,7 @@ def main():
                 full = jnp.concatenate([out, pads], axis=-2)
             else:
                 full = out
-            s1 = d1 + full
-            s1 = s1 - jnp.where(s1 >= q, q, 0).astype(dtype)
-            s2 = d2 + full
-            s2 = s2 - jnp.where(s2 >= q, q, 0).astype(dtype)
-            return s1, s2
+            return full, d2
 
         return remix
 
