@@ -82,12 +82,14 @@ def main():
     d2 = jnp.asarray(np.asarray(s.ct2.data).astype(np.uint32))
     is_ntt = scheme != Scheme.BFV
     # per-op chain lengths: cheap ops need long chains or the dispatch
-    # RTT (~15-26 ms, CLAUDE.md) dominates the reading
-    K_PER_OP = {"add": 256, "multiply_plain": 96, "decrypt": 64,
-                "rescale": 64, "rotate": 32, "multiply_relin": 32,
-                "multiply_relin_rescale": 32,
-                "multiply_relin_modswitch": 32, "hoisting_sum2": 24,
-                "encrypt": 16}
+    # RTT (~15-26 ms, CLAUDE.md) dominates the reading.  Sized so the
+    # RTT contributes < 10% of each u32-path row (RTT/K << K * t_op);
+    # trip count does not affect compile time.
+    K_PER_OP = {"add": 2048, "multiply_plain": 384, "decrypt": 256,
+                "rescale": 192, "rotate": 48, "multiply_relin": 48,
+                "multiply_relin_rescale": 48,
+                "multiply_relin_modswitch": 48, "hoisting_sum2": 32,
+                "encrypt": 32}
     rows = {}
 
     # honest timing mode before any measurement (CLAUDE.md)
@@ -209,35 +211,65 @@ def main():
         pts = [enc.encode(rngs[i]) for i in range(args.trials + 1)]
         varied("decode", lambda i: lambda: enc.decode(pts[i]))
 
-    # ---- encrypt / decrypt (u64 evaluator path, as the library does) ----
+    # ---- encrypt / decrypt (u32 device path — the library's production
+    # ingress, fast32.Fast32; bit-identical to the u64 evaluator) ----
     # encrypt chains through the PRNG key: the next key is derived from
     # the previous ciphertext's first word, a real data dependency
+    from phantom_tpu import fast32 as f32
+    from phantom_tpu.ops import scaleround32 as sr32
+    ev = f32.Fast32(ctx, rlk=rlk, use_pallas=use_pallas)
+    pk32, emult, emult_sh = ev._enc_consts32(pk, 1)
+    cd1 = ctx.get_context_data(1)
+    if scheme == Scheme.CKKS:
+        pt32 = jnp.asarray(s.pt.data).astype(jnp.uint32)
+    elif scheme == Scheme.BFV:
+        from phantom_tpu.ops import scaleround as sr
+        pt32 = sr.scale_plain_up(jnp.asarray(s.pt.data[0]),
+                                 cd1.plain_lift).astype(jnp.uint32)
+    else:
+        pt32 = ev._bgv_lift32(1, s.pt.data[0])
+
     def step_encrypt(pack, carry):
-        c, p_ = pack
+        ks_, pk_, m_, ms_, pt_ = pack
         key, _ = carry
-        data = keys.encrypt_asymmetric(c, p_, s.pt, key).data
-        nxt = jax.random.PRNGKey(data[0, 0, 0].astype(jnp.uint32)
-                                 .astype(jnp.int64))
+        zero = f32.encrypt_zero_core32(ks_, pk_, key, is_ntt, m_, ms_)
+        c0 = m32.add_mod32(zero[0], pt_, ks_.mv_ql.q[:, None])
+        data = jnp.stack([c0, zero[1]])
+        nxt = jax.random.PRNGKey(data[0, 0, 0].astype(jnp.int64))
         return (nxt, data)
 
-    chained("encrypt", (ctx, pk), step_encrypt,
-            (jax.random.PRNGKey(400), s.ct1.data))
+    chained("encrypt", (ks, pk32, emult, emult_sh, pt32), step_encrypt,
+            (jax.random.PRNGKey(400), d1))
 
-    qv64 = jnp.asarray(np.array(
-        [int(q) for q in s.params.coeff_modulus[:args.limbs]],
-        dtype=np.uint64))[:, None]
+    # decrypt: u32 sk-powers dot + the scheme tail; the decrypted
+    # plaintext folds back into the carry ciphertext (data dependency)
+    s32 = jnp.asarray(np.asarray(sk.data)[:args.limbs].astype(np.uint32))
+    dec_consts = ev._decrypt_consts(1)
 
     def step_decrypt(pack, d):
-        c, k_ = pack
-        pt = keys.decrypt(c, k_, s.ct1.replace(data=d)).data
-        if pt.ndim == 1:
-            pt = pt[None]
-        add = pt[: d.shape[1]] % qv64[: d.shape[1]]
-        new0 = d[0] + add
-        new0 = new0 - jnp.where(new0 >= qv64, qv64, np.uint64(0))
-        return d.at[0].set(new0)
+        ks_, s_, consts = pack
+        q = ks_.mv_ql.q[:, None]
+        rh = ks_.mv_ql.ratio_hi[:, None]
+        rl = ks_.mv_ql.ratio_lo[:, None]
+        polys = d if is_ntt else pp._fwd(ks_, d, ks_.t_ql)
+        acc = m32.add_mod32(polys[0],
+                            m32.mul_mod32(polys[1], s_, q, rh, rl), q)
+        if scheme == Scheme.CKKS:
+            m = acc                       # NTT-form plaintext (k, N)
+            return d.at[0].set(m32.add_mod32(d[0], m, q))
+        x = pp._inv(ks_, acc, ks_.t_ql)
+        if scheme == Scheme.BFV:
+            m = sr32.scale_and_round_exact32(x, consts)[0]
+        else:
+            q_to_t, qhalf_mod_q, qhalf_mod_t = consts
+            from phantom_tpu.ops import bconv32 as bc32
+            shifted = m32.add_mod32(x, qhalf_mod_q[:, None], q)
+            conv = bc32.bconv_exact32(shifted, q_to_t)
+            m = m32.sub_mod32(conv, qhalf_mod_t, q_to_t.obase.q[:, None])[0]
+        # m < t <= q_i: fold into row 0 as-is
+        return d.at[0].set(m32.add_mod32(d[0], m[None, :], q))
 
-    chained("decrypt", (ctx, sk), step_decrypt, s.ct1.data)
+    chained("decrypt", (ks, s32, dec_consts), step_decrypt, d1)
 
     # ---- u32 device verbs ----
     qcol = ks.mv_ql.q[:, None]

@@ -208,20 +208,30 @@ class Fast32:
 
         return scale(c1, m1), scale(c2, m2)
 
+    def _bgv_lift32(self, ci: int, m_row) -> jnp.ndarray:
+        """Mod-t plaintext (N,) -> u32 NTT residues over Ql (u32 mirror of
+        keys._bgv_lift_plain_ntt: recenter [ceil(t/2), t) to q - (t-m))."""
+        ks = self.keyswitch_at(ci)
+        t = self.ctx.params.plain_modulus
+        q = ks.mv_ql.q[:, None]
+        m = jnp.asarray(m_row).astype(jnp.uint32)[None, :]
+        thr = jnp.uint32((t + 1) >> 1)
+        lifted = jnp.where(m >= thr, q - (jnp.uint32(t) - m),
+                           jnp.broadcast_to(m, (ks.size_ql, m.shape[1])))
+        return pp._fwd(ks, lifted, ks.t_ql)
+
     def _plain_rns32(self, ci: int, plain) -> jnp.ndarray:
         """Lift a Plaintext to u32 (k, N) residues in the ct's domain
         (BFV: round(Q*m/t) coeff form; CKKS: NTT residues as-is; BGV:
-        mod-t lift in NTT form)."""
+        mod-t lift in NTT form) — all device-resident."""
         from .ops import scaleround as sr
         cd = self.ctx.get_context_data(ci)
         if self.scheme == Scheme.BFV:
-            lifted = sr.scale_plain_up(plain.data[0], cd.plain_lift)
-        elif self.scheme == Scheme.CKKS:
-            lifted = plain.data
-        else:
-            from .schemes.keys import _bgv_lift_plain_ntt
-            lifted = _bgv_lift_plain_ntt(self.ctx, cd, plain.data[0])
-        return jnp.asarray(np.asarray(lifted).astype(np.uint32))
+            return sr.scale_plain_up(jnp.asarray(plain.data[0]),
+                                     cd.plain_lift).astype(jnp.uint32)
+        if self.scheme == Scheme.CKKS:
+            return jnp.asarray(plain.data).astype(jnp.uint32)
+        return self._bgv_lift32(ci, plain.data[0])
 
     def add_plain(self, c: Ct32, plain) -> Ct32:
         """ct + pt (mirror of evaluate.add_plain; for BGV the plaintext
@@ -474,45 +484,34 @@ class Fast32:
         return jnp.asarray(np.asarray(arr64)[..., rows, :]
                            .astype(np.uint32))
 
-    def _encrypt_zero_asym32(self, pk, ci: int, rng, is_ntt: bool):
-        """u32 mirror of keys.encrypt_zero_asymmetric: sample at the key
-        level (same u64 threefry streams, cast — lossless for <2^30
-        primes), u32 NTTs/mults, u32 moddown QlP -> Ql."""
-        import jax
+    def _enc_consts32(self, pk, ci: int):
+        """Device-resident u32 encrypt constants, cached per level: the
+        QlP-row cast of the public key and the BGV noise multiplier
+        (t mod q with Shoup companions)."""
+        from .schemes.keyswitch import qlp_rows
+        if not hasattr(self, "_enc32"):
+            self._enc32 = {}
+        ent = self._enc32.get(ci)
+        if ent is not None and ent[0] is pk:
+            return ent[1], ent[2], ent[3]
+        rows = np.asarray(qlp_rows(self.ctx, self.keyswitch_at(ci).size_ql))
+        pk32 = jnp.asarray(pk.data)[:, rows, :].astype(jnp.uint32)
+        mult = mult_shoup = None
+        if self.scheme == Scheme.BGV:
+            t = int(self.ctx.params.plain_modulus)
+            qlp = [int(self.ctx.params.coeff_modulus[r]) for r in rows]
+            mult = jnp.asarray(np.array([t % q for q in qlp],
+                                        dtype=np.uint32))
+            mult_shoup = jnp.asarray(np.array(
+                [m32.compute_shoup32(t % q, q) for q in qlp],
+                dtype=np.uint32))
+        self._enc32[ci] = (pk, pk32, mult, mult_shoup)
+        return pk32, mult, mult_shoup
 
-        from .ops import ntt as nttmod
-        from .ops import sampling as smp
-        ctx = self.ctx
-        p = ctx.params
-        n = p.n
-        ks = self.keyswitch_at(ci)
-        k_u, k_e0, k_e1 = jax.random.split(rng, 3)
-        u_coeff = smp.sample_ternary_rns(k_u, n, ctx.key_mv)
-        u32_rows = self._qlp_cast32(u_coeff, ci)
-        u_ntt = pp._fwd(ks, u32_rows, ks.t_qlp)
-        mult = None
-        if p.scheme == Scheme.BGV:
-            t = p.plain_modulus
-            mult = jnp.asarray([t % q for q in p.coeff_modulus],
-                               dtype=jnp.uint64)
-        pk32 = self._qlp_cast32(pk.data, ci)
-        qlp_q = ks.mv_qlp.q[:, None]
-        out = []
-        for i, k_e in enumerate((k_e0, k_e1)):
-            e = smp.sample_error_rns(k_e, n, ctx.key_mv, multiplier=mult)
-            e32 = self._qlp_cast32(e, ci)
-            prod = m32.mul_mod32(u_ntt, pk32[i], qlp_q,
-                                 ks.mv_qlp.ratio_hi[:, None],
-                                 ks.mv_qlp.ratio_lo[:, None])
-            if is_ntt:
-                ci_poly = m32.add_mod32(prod, pp._fwd(ks, e32, ks.t_qlp),
-                                        qlp_q)
-                out.append(pp.moddown32(ks, ci_poly))
-            else:
-                ci_poly = m32.add_mod32(pp._inv(ks, prod, ks.t_qlp), e32,
-                                        qlp_q)
-                out.append(pp.moddown_coeff32(ks, ci_poly))
-        return jnp.stack(out)
+    def _encrypt_zero_asym32(self, pk, ci: int, rng, is_ntt: bool):
+        pk32, mult, mult_shoup = self._enc_consts32(pk, ci)
+        return encrypt_zero_core32(self.keyswitch_at(ci), pk32, rng,
+                                   is_ntt, mult, mult_shoup)
 
     def encrypt_asymmetric(self, pk, plain, rng) -> Ct32:
         """u32 asymmetric encryption; bit-identical to
@@ -524,9 +523,8 @@ class Fast32:
             ci = ctx.first_data_index
             cd = ctx.get_context_data(ci)
             zero = self._encrypt_zero_asym32(pk, ci, rng, is_ntt=False)
-            lifted = jnp.asarray(np.asarray(
-                sr.scale_plain_up(plain.data[0], cd.plain_lift)
-            ).astype(np.uint32))
+            lifted = sr.scale_plain_up(jnp.asarray(plain.data[0]),
+                                       cd.plain_lift).astype(jnp.uint32)
             q = self._mv(ci).q[:, None]
             c0 = m32.add_mod32(zero[0], lifted, q)
             return Ct32(data=jnp.stack([c0, zero[1]]), chain_index=ci,
@@ -534,19 +532,16 @@ class Fast32:
         if p.scheme == Scheme.CKKS:
             ci = plain.chain_index
             zero = self._encrypt_zero_asym32(pk, ci, rng, is_ntt=True)
-            pt32 = jnp.asarray(np.asarray(plain.data).astype(np.uint32))
+            pt32 = jnp.asarray(plain.data).astype(jnp.uint32)
             q = self._mv(ci).q[:, None]
             c0 = m32.add_mod32(zero[0], pt32, q)
             return Ct32(data=jnp.stack([c0, zero[1]]), chain_index=ci,
                         is_ntt_form=True, scale=plain.scale)
-        # BGV
-        from .schemes.keys import _bgv_lift_plain_ntt
+        # BGV: mod-t lift recentered into each q_i, u32 NTT over Ql
         ci = ctx.first_data_index
-        cd = ctx.get_context_data(ci)
         zero = self._encrypt_zero_asym32(pk, ci, rng, is_ntt=True)
-        pt32 = jnp.asarray(np.asarray(
-            _bgv_lift_plain_ntt(ctx, cd, plain.data[0])).astype(np.uint32))
         q = self._mv(ci).q[:, None]
+        pt32 = self._bgv_lift32(ci, plain.data[0])
         c0 = m32.add_mod32(zero[0], pt32, q)
         return Ct32(data=jnp.stack([c0, zero[1]]), chain_index=ci,
                     is_ntt_form=True)
@@ -630,6 +625,44 @@ class Fast32:
         return Plaintext(
             data=jnp.asarray(np.asarray(m).astype(np.uint64)),
             chain_index=c.chain_index)
+
+
+def encrypt_zero_core32(ks: pp.KeySwitch32, pk32: jnp.ndarray, rng,
+                        is_ntt: bool, mult=None, mult_shoup=None
+                        ) -> jnp.ndarray:
+    """Functional u32 body of asymmetric zero-encryption — tables ride as
+    arguments, so callers may jit/chain it directly (benchmarks/op_table).
+
+    Bit-identical to keys.encrypt_zero_asymmetric: the shared (N,)
+    ternary/CBD vectors consume the same threefry streams as the u64
+    samplers; every lift, NTT, multiply and moddown stays uint32 and
+    device-resident (reference: encrypt_asymmetric + the zero-encryption
+    chain, src/secretkey.cu:12-130)."""
+    import jax
+
+    from .ops import sampling as smp
+    n = ks.n
+    k_u, k_e0, k_e1 = jax.random.split(rng, 3)
+    u_rows = smp.lift_signed_to_rns32(
+        smp.sample_ternary_vec(k_u, n), ks.mv_qlp)
+    u_ntt = pp._fwd(ks, u_rows, ks.t_qlp)
+    qlp_q = ks.mv_qlp.q[:, None]
+    out = []
+    for i, k_e in enumerate((k_e0, k_e1)):
+        e = smp.sample_error_cbd(k_e, n)
+        e32 = smp.lift_signed_to_rns32(e, ks.mv_qlp, mult, mult_shoup)
+        prod = m32.mul_mod32(u_ntt, pk32[i], qlp_q,
+                             ks.mv_qlp.ratio_hi[:, None],
+                             ks.mv_qlp.ratio_lo[:, None])
+        if is_ntt:
+            ci_poly = m32.add_mod32(prod, pp._fwd(ks, e32, ks.t_qlp),
+                                    qlp_q)
+            out.append(pp.moddown32(ks, ci_poly))
+        else:
+            ci_poly = m32.add_mod32(pp._inv(ks, prod, ks.t_qlp), e32,
+                                    qlp_q)
+            out.append(pp.moddown_coeff32(ks, ci_poly))
+    return jnp.stack(out)
 
 
 def _pad_to(data: jnp.ndarray, size: int) -> jnp.ndarray:

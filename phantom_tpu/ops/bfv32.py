@@ -105,8 +105,9 @@ def bfv_mult32(p: BFVPipeline32, d1: jnp.ndarray,
             polys.append(jnp.concatenate([x_q, x_r], axis=0))
         return jnp.stack(polys)
 
-    a = _fwd(ks, lift(d1), p.t_d)
-    b = _fwd(ks, lift(d2), p.t_d)
+    # both operands' polys transform in ONE batched launch (4 x |D| rows)
+    ab = _fwd(ks, jnp.stack([lift(d1), lift(d2)]), p.t_d)
+    a, b = ab[0], ab[1]
     c0, c1, c2 = _tensor_2x2(p.mv_d, a, b)
     prod = _inv(ks, jnp.stack([c0, c1, c2]), p.t_d)
     return jnp.stack([_scale_and_round_hps32(p, prod[i]) for i in range(3)])
@@ -169,8 +170,8 @@ def bfv_mult_hps_overq32(p: BFVPipeline32, d1: jnp.ndarray,
             polys.append(jnp.concatenate([w_ql, w_rl], axis=0))
         return jnp.stack(polys)
 
-    a = _fwd(ks, lift_a(d1), p.t_d)
-    b = _fwd(ks, lift_b(d2), p.t_d)
+    ab = _fwd(ks, jnp.stack([lift_a(d1), lift_b(d2)]), p.t_d)
+    a, b = ab[0], ab[1]
     c0, c1, c2 = _tensor_2x2(p.mv_d, a, b)
     prod = _inv(ks, jnp.stack([c0, c1, c2]), p.t_d)
     return jnp.stack([sr32.scale_and_round_exact32(prod[i], p.sr_final_overq)
@@ -237,10 +238,10 @@ def bfv_mult_behz32(p: BFVBehz32, d1: jnp.ndarray,
 
     a_q, a_bsk = lift(d1)
     b_q, b_bsk = lift(d2)
-    a_q = _fwd(ks, a_q, ks.t_ql)
-    b_q = _fwd(ks, b_q, ks.t_ql)
-    a_bsk = _fwd(ks, a_bsk, p.t_bsk)
-    b_bsk = _fwd(ks, b_bsk, p.t_bsk)
+    ab_q = _fwd(ks, jnp.stack([a_q, b_q]), ks.t_ql)
+    ab_bsk = _fwd(ks, jnp.stack([a_bsk, b_bsk]), p.t_bsk)
+    a_q, b_q = ab_q[0], ab_q[1]
+    a_bsk, b_bsk = ab_bsk[0], ab_bsk[1]
     prod_q = jnp.stack(_tensor_2x2(ks.mv_ql, a_q, b_q))
     prod_bsk = jnp.stack(_tensor_2x2(mv_bsk, a_bsk, b_bsk))
     prod_q = _inv(ks, prod_q, ks.t_ql)
@@ -376,8 +377,9 @@ def bfv_mult_leveled32(p: BFVLeveled32, d1: jnp.ndarray,
         w_ql = bc32.bconv_exact32(w_rl, p.r_to_q)
         b_polys.append(jnp.concatenate([w_ql, w_rl], axis=0))
 
-    a = _fwd(ks, jnp.stack(a_polys), p.t_d)
-    b = _fwd(ks, jnp.stack(b_polys), p.t_d)
+    ab = _fwd(ks, jnp.stack([jnp.stack(a_polys), jnp.stack(b_polys)]),
+              p.t_d)
+    a, b = ab[0], ab[1]
     c0, c1, c2 = _tensor_2x2(p.mv_d, a, b)
     prod = _inv(ks, jnp.stack([c0, c1, c2]), p.t_d)
     out = [sr32.scale_and_round_exact32(prod[i], p.sr_final)

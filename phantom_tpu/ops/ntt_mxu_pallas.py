@@ -190,12 +190,20 @@ def _ntt_core(x, wa_ref, d_ref, ds_ref, wb_ref, q, pd_ref, pds_ref, lid,
                     q_bits)
 
 
-def _fwd_kernel(bits, q_bits, num_l, fused, x_ref, wa_ref, d_ref, ds_ref,
-                wb_ref, q_ref, pd_ref, pds_ref, *rest):
+def _fwd_kernel(bits, q_bits, num_l, fused, has_tadd, rh_rl, x_ref, wa_ref,
+                d_ref, ds_ref, wb_ref, q_ref, pd_ref, pds_ref, *rest):
+    rest = list(rest)
+    s_ref = sc_ref = scs_ref = None
+    rh_ref = rl_ref = None
+    ta0_ref = ta1_ref = tb0_ref = tb1_ref = None
     if fused:
-        s_ref, sc_ref, scs_ref, o_ref = rest
-    else:
-        (o_ref,) = rest
+        s_ref, sc_ref, scs_ref = rest.pop(0), rest.pop(0), rest.pop(0)
+    if rh_rl:
+        rh_ref, rl_ref = rest.pop(0), rest.pop(0)
+    if has_tadd:
+        ta0_ref, ta1_ref = rest.pop(0), rest.pop(0)
+        tb0_ref, tb1_ref = rest.pop(0), rest.pop(0)
+    (o_ref,) = rest
     lid = _mod(pl.program_id(0), num_l)
     cs = _csub_for(q_bits)
     q = q_ref[lid, 0]
@@ -206,17 +214,51 @@ def _fwd_kernel(bits, q_bits, num_l, fused, x_ref, wa_ref, d_ref, ds_ref,
         diff = s_ref[0] - out + q                # sub_from in [0, q)
         out = cs(mul_mod_shoup_lazy32(diff, sc_ref[lid, 0],
                                       scs_ref[lid, 0], q), q)
-    o_ref[0] = out
+    if not has_tadd:
+        o_ref[0] = out
+        return
+    # tensor-term epilogue add (groups of num_l rows): group 0 adds the
+    # dyadic c0 = a0 ∘ b0, group 1 the cross term a0 ∘ b1 + a1 ∘ b0 —
+    # the relin-output adds fused into the moddown fNTT, c0/c1 never in
+    # HBM (mirror of pipeline32._tensor_2x2)
+    gid = jax.lax.div(_i32(pl.program_id(0)), np.int32(num_l))
+    rh = rh_ref[lid, 0]
+    rl = rl_ref[lid, 0]
+
+    @pl.when(gid == 0)
+    def _add_c0():
+        c0 = m32.mul_mod32(ta0_ref[0], tb0_ref[0], q, rh, rl)
+        o_ref[0] = m32.add_mod32(out, c0, q)
+
+    @pl.when(gid > 0)
+    def _add_c1():
+        h1, l1 = m32.mul_wide32(ta0_ref[0], tb1_ref[0])
+        h2, l2 = m32.mul_wide32(ta1_ref[0], tb0_ref[0])
+        hs, ls = m32.add_wide32(h1, l1, h2, l2)
+        c1 = m32.barrett_reduce_u64_32(hs, ls, q, rh, rl)
+        o_ref[0] = m32.add_mod32(out, c1, q)
 
 
-def _inv_kernel(bits, q_bits, num_l, x_ref, wbi_ref, di_ref, dis_ref,
-                wai_ref, q_ref, pd_ref, pds_ref, pd2_ref, pds2_ref, o_ref):
+def _inv_kernel(bits, q_bits, num_l, has_mul, x_ref, *refs):
+    refs = list(refs)
+    m_ref = rh_ref = rl_ref = None
+    if has_mul:
+        m_ref, rh_ref, rl_ref = refs[:3]
+        refs = refs[3:]
+    (wbi_ref, di_ref, dis_ref, wai_ref, q_ref, pd_ref, pds_ref,
+     pd2_ref, pds2_ref, o_ref) = refs
     lid = _mod(pl.program_id(0), num_l)
     cs = _csub_for(q_bits)
     q = q_ref[lid, 0]
     n1 = x_ref.shape[1]
     n2 = x_ref.shape[2]
     x = cs(x_ref[0], q)
+    if has_mul:
+        # tensor-product prologue: x = x * mul_by mod q in VMEM — the
+        # dyadic c2 = a1 ∘ b1 (reference tensor_prod_2x2_rns_poly,
+        # polymath.cu:463) never exists in HBM when fused here
+        x = m32.mul_mod32(x, cs(m_ref[0], q), q, rh_ref[lid, 0],
+                          rl_ref[lid, 0])
     xps = _plane_list(x, bits, q_bits)
     wbips = _plane_list(wbi_ref[0], bits, q_bits)
     s = _mm_fold(xps, wbips, q, pd_ref, pds_ref, lid, bits, n2, cs, q_bits)
@@ -278,11 +320,16 @@ def _layout(x, t):
 
 def ntt_forward_mxu_pallas(x: jnp.ndarray, t: MXUNTTTables,
                            sub_from=None, epi_scale=None,
-                           epi_scale_shoup=None,
+                           epi_scale_shoup=None, tensor_add=None,
                            interpret=None) -> jnp.ndarray:
     """x: (..., L, N) uint32 in [0, q) -> NTT form in [0, q); with
     sub_from/epi_scale: (sub_from - NTT(x)) * epi_scale, the fused
-    moddown/rescale epilogue (reference: ntt_moddown.cu:222)."""
+    moddown/rescale epilogue (reference: ntt_moddown.cu:222).
+
+    tensor_add = (d1, d2), each (2, L, ...): requires x leading shape
+    (2, L, ...); the epilogue output of group g gets the tensor term
+    c_g added in-kernel (g=0: d1[0] ∘ d2[0]; g=1: the cross term) — the
+    moddown-pair + relin-output-add fusion."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n1, n2 = t.n1, t.n2
@@ -290,19 +337,39 @@ def ntt_forward_mxu_pallas(x: jnp.ndarray, t: MXUNTTTables,
     nrows = int(np.prod(lead)) if lead else 1
     assert t.q.shape[0] == num_l, (t.q.shape, num_l)
     fused = sub_from is not None
+    has_tadd = tensor_add is not None
+    assert not has_tadd or nrows == 2 * num_l
     kern = functools.partial(_fwd_kernel, t.plane_bits, t.q_bits, num_l,
-                             fused)
+                             fused, has_tadd, has_tadd)
     args = [xm, t.wa, t.d.reshape(-1, n1, n2),
             t.d_shoup.reshape(-1, n1, n2), t.wb, t.q.reshape(-1, 1),
             t.pow_diag, t.pow_diag_shoup]
+    specs = _specs(t, num_l, fused, inverse=False)
     if fused:
         args += [jnp.asarray(sub_from, jnp.uint32).reshape(nrows, n1, n2),
                  jnp.asarray(epi_scale, jnp.uint32).reshape(-1, 1),
                  jnp.asarray(epi_scale_shoup, jnp.uint32).reshape(-1, 1)]
+    if has_tadd:
+        scalar = pl.BlockSpec((num_l, 1), lambda l: (_I0, _I0),
+                              memory_space=pltpu.SMEM)
+        row0 = pl.BlockSpec((1, n1, n2),
+                            lambda l: (_mod(l, num_l), _I0, _I0),
+                            memory_space=pltpu.VMEM)
+        row1 = pl.BlockSpec((1, n1, n2),
+                            lambda l: (np.int32(num_l) + _mod(l, num_l),
+                                       _I0, _I0),
+                            memory_space=pltpu.VMEM)
+        d1m = jnp.asarray(tensor_add[0], jnp.uint32).reshape(2 * num_l,
+                                                             n1, n2)
+        d2m = jnp.asarray(tensor_add[1], jnp.uint32).reshape(2 * num_l,
+                                                             n1, n2)
+        args += [t.mv.ratio_hi.reshape(-1, 1), t.mv.ratio_lo.reshape(-1, 1),
+                 d1m, d1m, d2m, d2m]
+        specs += [scalar, scalar, row0, row1, row0, row1]
     out = pl.pallas_call(
         kern,
         grid=(nrows,),
-        in_specs=_specs(t, num_l, fused, inverse=False),
+        in_specs=specs,
         out_specs=pl.BlockSpec((1, n1, n2), lambda l: (l, _I0, _I0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nrows, n1, n2), jnp.uint32),
@@ -317,9 +384,13 @@ def ntt_forward_mxu_pallas(x: jnp.ndarray, t: MXUNTTTables,
 def ntt_inverse_mxu_pallas(x: jnp.ndarray, t: MXUNTTTables,
                            scale: Optional[jnp.ndarray] = None,
                            scale_shoup: Optional[jnp.ndarray] = None,
+                           mul_by: Optional[jnp.ndarray] = None,
                            interpret=None) -> jnp.ndarray:
     """x: (..., L, N) uint32 in [0, 2q) -> coefficients in [0, q).
-    `scale` (default inv_degree) REPLACES the 1/N normalization."""
+    `scale` (default inv_degree) REPLACES the 1/N normalization.
+    `mul_by` (same shape as x): transform x * mul_by mod q instead — the
+    in-kernel dyadic-product prologue (e.g. iNTT of the tensor term
+    c2 = a1 ∘ b1 without materializing c2)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n1, n2 = t.n1, t.n2
@@ -333,18 +404,33 @@ def ntt_inverse_mxu_pallas(x: jnp.ndarray, t: MXUNTTTables,
     from .ntt_mxu import scaled_diag
     pd2, pds2, _ = scaled_diag(t, scale,
                                (t.pow_diag, t.pow_diag_shoup, t.q_bits))
-    kern = functools.partial(_inv_kernel, t.plane_bits, t.q_bits, num_l)
+    has_mul = mul_by is not None
+    kern = functools.partial(_inv_kernel, t.plane_bits, t.q_bits, num_l,
+                             has_mul)
+    data = pl.BlockSpec((1, n1, n2), lambda l: (l, _I0, _I0),
+                        memory_space=pltpu.VMEM)
+    scalar = pl.BlockSpec((num_l, 1), lambda l: (_I0, _I0),
+                          memory_space=pltpu.SMEM)
+    args = [xm]
+    specs = [data]
+    if has_mul:
+        args += [jnp.asarray(mul_by, jnp.uint32).reshape(nrows, n1, n2),
+                 t.mv.ratio_hi.reshape(-1, 1), t.mv.ratio_lo.reshape(-1, 1)]
+        specs += [data, scalar, scalar]
+    args += [t.wbi, t.di.reshape(-1, n1, n2), t.di_shoup.reshape(-1, n1, n2),
+             t.wai, t.q.reshape(-1, 1), t.pow_diag, t.pow_diag_shoup,
+             pd2, pds2]
+    specs += _specs(t, num_l, fused=False, inverse=True)[1:]
     out = pl.pallas_call(
         kern,
         grid=(nrows,),
-        in_specs=_specs(t, num_l, fused=False, inverse=True),
+        in_specs=specs,
         out_specs=pl.BlockSpec((1, n1, n2), lambda l: (l, _I0, _I0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nrows, n1, n2), jnp.uint32),
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
-    )(xm, t.wbi, t.di.reshape(-1, n1, n2), t.di_shoup.reshape(-1, n1, n2),
-      t.wai, t.q.reshape(-1, 1), t.pow_diag, t.pow_diag_shoup, pd2, pds2)
+    )(*args)
     if blocked:
         return out.reshape(*lead, n1, n2)
     return out.reshape(*lead, n1 * n2)
@@ -354,12 +440,13 @@ def ntt_inverse_mxu_pallas(x: jnp.ndarray, t: MXUNTTTables,
 # base-conversion prologue fused into the forward NTT
 # ---------------------------------------------------------------------------
 
-def _bconv_fwd_kernel(bits, q_bits, alpha, k_out, has_v, has_post, has_self,
-                      fused, y_ref, mat_ref, wa_ref, d_ref, ds_ref, wb_ref,
-                      q_ref, rh_ref, rl_ref, p32_ref, p64_ref,
-                      pd_ref, pds_ref, *rest):
+def _bconv_fwd_kernel(bits, q_bits, alpha, k_out, k_data, has_v, has_post,
+                      has_self, fused, has_tadd, y_ref, mat_ref, wa_ref,
+                      d_ref, ds_ref, wb_ref, q_ref, rh_ref, rl_ref, p32_ref,
+                      p64_ref, pd_ref, pds_ref, *rest):
     rest = list(rest)
     v_ref = vm_ref = post_ref = self_ref = s_ref = sc_ref = scs_ref = None
+    ta0_ref = ta1_ref = tb0_ref = tb1_ref = None
     if has_v:
         v_ref = rest.pop(0)
         vm_ref = rest.pop(0)
@@ -369,6 +456,9 @@ def _bconv_fwd_kernel(bits, q_bits, alpha, k_out, has_v, has_post, has_self,
         self_ref = rest.pop(0)
     if fused:
         s_ref, sc_ref, scs_ref = rest.pop(0), rest.pop(0), rest.pop(0)
+    if has_tadd:
+        ta0_ref, ta1_ref = rest.pop(0), rest.pop(0)
+        tb0_ref, tb1_ref = rest.pop(0), rest.pop(0)
     (o_ref,) = rest
     gid = _i32(pl.program_id(0))
     jid = _i32(pl.program_id(1))
@@ -414,12 +504,39 @@ def _bconv_fwd_kernel(bits, q_bits, alpha, k_out, has_v, has_post, has_self,
                 diff, sc_ref[jid, 0], scs_ref[jid, 0], q), q)
         return out
 
+    def _emit(out):
+        if not has_tadd:
+            o_ref[0] = out
+            return
+        # in-kernel tensor-term epilogue add: group 0 adds the dyadic
+        # c0 = a0 ∘ b0; group 1 adds the cross term a0 ∘ b1 + a1 ∘ b0
+        # (one lazy 64-bit add, one Barrett — mirror of
+        # pipeline32._tensor_2x2; reference tensor_prod_2x2_rns_poly).
+        # The step's final adds out_i = c_i + moddown_i therefore happen
+        # here, and c0/c1 never exist in HBM.
+        @pl.when(gid == 0)
+        def _add_c0():
+            c0 = m32.mul_mod32(ta0_ref[0], tb0_ref[0], q, rh, rl)
+            o_ref[0] = m32.add_mod32(out, c0, q)
+
+        @pl.when(gid > 0)
+        def _add_c1():
+            h1, l1 = m32.mul_wide32(ta0_ref[0], tb1_ref[0])
+            h2, l2 = m32.mul_wide32(ta1_ref[0], tb0_ref[0])
+            hs, ls = m32.add_wide32(h1, l1, h2, l2)
+            c1 = m32.barrett_reduce_u64_32(hs, ls, q, rh, rl)
+            o_ref[0] = m32.add_mod32(out, c1, q)
+
     if has_self:
         # modup digit-own rows take the NTT-form input verbatim; the
         # bconv+NTT is SKIPPED for them (predicated, not just selected —
-        # alpha of every k_out programs per digit)
-        in_digit = ((jid >= gid * np.int32(alpha))
-                    & (jid < (gid + np.int32(1)) * np.int32(alpha)))
+        # alpha of every k_out programs per digit).  The upper bound
+        # clamps to k_data for the (possibly shorter) last digit of a
+        # non-divisible chain (k % alpha != 0: its pad rows are zeros
+        # that contribute nothing to the matmul and are NOT self rows).
+        hi_d = jnp.minimum((gid + np.int32(1)) * np.int32(alpha),
+                           np.int32(k_data))
+        in_digit = (jid >= gid * np.int32(alpha)) & (jid < hi_d)
 
         @pl.when(jnp.logical_not(in_digit))
         def _compute():
@@ -429,7 +546,7 @@ def _bconv_fwd_kernel(bits, q_bits, alpha, k_out, has_v, has_post, has_self,
         def _passthrough():
             o_ref[0] = _epi(self_ref[0])
     else:
-        o_ref[0] = _epi(_transform())
+        _emit(_epi(_transform()))
 
 
 def bconv_ntt_forward_mxu_pallas(y: jnp.ndarray, mat: jnp.ndarray,
@@ -438,6 +555,7 @@ def bconv_ntt_forward_mxu_pallas(y: jnp.ndarray, mat: jnp.ndarray,
                                  self_rows=None,
                                  sub_from=None, epi_scale=None,
                                  epi_scale_shoup=None,
+                                 tensor_add=None, k_data=None,
                                  interpret=None) -> jnp.ndarray:
     """Base conversion + forward NTT in ONE Pallas program per output row.
 
@@ -454,6 +572,11 @@ def bconv_ntt_forward_mxu_pallas(y: jnp.ndarray, mat: jnp.ndarray,
     self_rows (G*alpha, N): modup digit-own passthrough — output rows
     g*alpha <= j < (g+1)*alpha take self_rows[j] verbatim (they are already
     NTT-form), so the caller needs no scatter/concat afterwards.
+
+    tensor_add = (d1, d2), each (2, k_out, ...) NTT-form canonical: adds
+    the tensor term c_g to the epilogue output in-kernel — group 0 gets
+    c0 = d1[0] ∘ d2[0], group 1 the cross term d1[0] ∘ d2[1] + d1[1] ∘ d2[0]
+    (requires G == 2; the moddown-pair + post-keyswitch-add fusion).
 
     One HBM read of y per group, zero intermediate materialization — the
     fused form of modup's complement transform (reference ntt_modup.cu),
@@ -479,6 +602,9 @@ def bconv_ntt_forward_mxu_pallas(y: jnp.ndarray, mat: jnp.ndarray,
     has_post = post_sub is not None
     has_self = self_rows is not None
     fused = sub_from is not None
+    has_tadd = tensor_add is not None
+    assert not (has_tadd and has_self)
+    assert not has_tadd or G == 2
 
     y_spec = pl.BlockSpec((alpha, n1, n2), lambda g, j: (g, _I0, _I0),
                           memory_space=pltpu.VMEM)
@@ -524,9 +650,25 @@ def bconv_ntt_forward_mxu_pallas(y: jnp.ndarray, mat: jnp.ndarray,
         args += [jnp.asarray(sub_from, jnp.uint32).reshape(G * k_out, n1, n2),
                  col(epi_scale), col(epi_scale_shoup)]
         specs += [gdata, scalar, scalar]
+    if has_tadd:
+        d1m = jnp.asarray(tensor_add[0], jnp.uint32).reshape(2 * k_out,
+                                                             n1, n2)
+        d2m = jnp.asarray(tensor_add[1], jnp.uint32).reshape(2 * k_out,
+                                                             n1, n2)
+        row0 = pl.BlockSpec((1, n1, n2), lambda g, j: (j, _I0, _I0),
+                            memory_space=pltpu.VMEM)
+        row1 = pl.BlockSpec((1, n1, n2),
+                            lambda g, j: (np.int32(k_out) + _i32(j),
+                                          _I0, _I0),
+                            memory_space=pltpu.VMEM)
+        args += [d1m, d1m, d2m, d2m]
+        specs += [row0, row1, row0, row1]
 
+    if k_data is None:
+        k_data = G * alpha      # divisible chains: every digit is full
     kern = functools.partial(_bconv_fwd_kernel, t.plane_bits, t.q_bits,
-                             alpha, k_out, has_v, has_post, has_self, fused)
+                             alpha, k_out, k_data, has_v, has_post,
+                             has_self, fused, has_tadd)
     out = pl.pallas_call(
         kern,
         grid=(G, k_out),
@@ -547,10 +689,14 @@ def bconv_ntt_forward_mxu_pallas(y: jnp.ndarray, mat: jnp.ndarray,
 # modup + evaluation-key inner product in one program
 # ---------------------------------------------------------------------------
 
-def _modup_ip_kernel(bits, q_bits, alpha, beta, k_out, has_self,
-                     y_ref, mat_ref, *rest):
+def _modup_ip_kernel(bits, q_bits, alpha, beta, k_out, k_data, has_self,
+                     self_mul, resident_y, y_ref, mat_ref, *rest):
     rest = list(rest)
-    c2_ref = rest.pop(0) if has_self else None
+    c2_ref = c2b_ref = None
+    if has_self:
+        c2_ref = rest.pop(0)
+        if self_mul:
+            c2b_ref = rest.pop(0)
     (evk_ref, wa_ref, d_ref, ds_ref, wb_ref,
      q_ref, rh_ref, rl_ref, p32_ref, p64_ref,
      pd_ref, pds_ref, o_ref, acc_ref) = rest
@@ -567,16 +713,21 @@ def _modup_ip_kernel(bits, q_bits, alpha, beta, k_out, has_self,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     # digit `did`'s contribution to QlP row j: bconv + NTT (or the
-    # passthrough NTT-form row when j lies inside the digit).  The y block
-    # holds exactly this digit's alpha rows (grid-indexed), so every read
-    # is a static slice — dynamic VMEM slicing costs extra and the full
-    # (k, N) buffer crowded VMEM.
+    # passthrough NTT-form row when j lies inside the digit).
+    # resident_y: the WHOLE (beta, alpha, n1, n2) y buffer sits in VMEM
+    # once (constant block index) and rows are read at the dynamic digit
+    # offset.  The per-digit streaming variant re-DMAs the alpha-row
+    # block on EVERY program because the grid iterates digits fastest
+    # (block index alternates 0,1,0,1..), i.e. k_out*beta*alpha*N*4
+    # bytes of HBM traffic — ~730 MB per launch at the capability config
+    # vs ~11 MB resident (measured r5; the "crowds VMEM" concern that
+    # motivated streaming was mis-priced).
     def _transform(t_ref):
         c = jnp.zeros(shape, dtype=jnp.uint32)
         hi = jnp.zeros(shape, dtype=jnp.uint32)
         lo = jnp.zeros(shape, dtype=jnp.uint32)
         for i in range(alpha):
-            row = y_ref[0, i]
+            row = y_ref[did, i] if resident_y else y_ref[0, i]
             h, l = m32.mul_wide32(row, mat_ref[mrow, i])
             lo, cr = m32.add_u32_carry(lo, l)
             hi2, cr2 = m32.add_u32_carry(hi, h + cr)
@@ -594,9 +745,12 @@ def _modup_ip_kernel(bits, q_bits, alpha, beta, k_out, has_self,
     if has_self:
         # predicated: digit-own rows SKIP the bconv+NTT entirely (alpha
         # of every k_out programs per digit — a third of the grid at
-        # alpha = k/2) and take the NTT-form input verbatim
-        in_digit = ((jid >= did * np.int32(alpha))
-                    & (jid < (did + np.int32(1)) * np.int32(alpha)))
+        # alpha = k/2) and take the NTT-form input verbatim.  hi clamps
+        # to k_data so a short last digit's zero-pad rows are NOT
+        # treated as self rows (k % alpha != 0 chains).
+        hi_d = jnp.minimum((did + np.int32(1)) * np.int32(alpha),
+                           np.int32(k_data))
+        in_digit = (jid >= did * np.int32(alpha)) & (jid < hi_d)
         t_ref = acc_ref.at[6]
 
         @pl.when(jnp.logical_not(in_digit))
@@ -605,7 +759,14 @@ def _modup_ip_kernel(bits, q_bits, alpha, beta, k_out, has_self,
 
         @pl.when(in_digit)
         def _passthrough():
-            t_ref[...] = c2_ref[0]
+            if self_mul:
+                # in-kernel dyadic product: the self rows take
+                # a1 ∘ b1 mod q directly, so the tensor term c2 never
+                # exists in HBM (reference tensor product fused into the
+                # keyswitch the way evaluate.cu:769-796 chains them)
+                t_ref[...] = m32.mul_mod32(c2_ref[0], c2b_ref[0], q, rh, rl)
+            else:
+                t_ref[...] = c2_ref[0]
         t_dj = t_ref[...]
     else:
         t_ref = acc_ref.at[6]
@@ -648,7 +809,7 @@ MODUP_IP_MAX_Y_BYTES = (
 
 def modup_ip_mxu_pallas(y: jnp.ndarray, mats: jnp.ndarray,
                         c2_ntt: jnp.ndarray, evk: jnp.ndarray,
-                        t: MXUNTTTables, interpret=None):
+                        t: MXUNTTTables, k_data=None, interpret=None):
     """Fused modup + hybrid-keyswitch inner product: for each QlP row j,
     every digit's contribution (bconv + NTT, or the NTT-form passthrough
     inside the digit) is multiplied by evk[d, half, j] and accumulated in
@@ -664,7 +825,11 @@ def modup_ip_mxu_pallas(y: jnp.ndarray, mats: jnp.ndarray,
     c2_ntt=None is the coefficient-form variant: no passthrough rows —
     the caller's mats carry the digit qhat diagonal so the kernel's
     matmul recovers x_j = y_j * qhat_j for self rows (then transforms
-    them like every other row)."""
+    them like every other row).
+
+    c2_ntt may also be a PAIR (a, b) of NTT-form operands: passthrough
+    rows compute a ∘ b mod q in-kernel (the fused tensor product — c2
+    itself never materializes)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n1, n2 = t.n1, t.n2
@@ -680,13 +845,24 @@ def modup_ip_mxu_pallas(y: jnp.ndarray, mats: jnp.ndarray,
 
     ym = y.reshape(beta, alpha, n1, n2)
     matm = jnp.asarray(mats, jnp.uint32).reshape(beta * k_out, alpha)
+    self_mul = isinstance(c2_ntt, tuple)
     has_self = c2_ntt is not None
     # pass evk pre-blocked (beta, 2, k_out, n1, n2) to avoid re-tiling the
     # ~44 MB key stream on every step
     evkm = evk.reshape(beta, 2, k_out, n1, n2)
 
-    y_spec = pl.BlockSpec((1, alpha, n1, n2), lambda j, d: (d, _I0, _I0, _I0),
-                          memory_space=pltpu.VMEM)
+    # resident y: fetched ONCE (constant block index) instead of per
+    # program — see the kernel comment.  PHANTOM_MEGA_Y=stream restores
+    # the per-digit streaming blocks for A/B.
+    resident_y = _os.environ.get("PHANTOM_MEGA_Y", "resident") == "resident"
+    if resident_y:
+        y_spec = pl.BlockSpec((beta, alpha, n1, n2),
+                              lambda j, d: (_I0, _I0, _I0, _I0),
+                              memory_space=pltpu.VMEM)
+    else:
+        y_spec = pl.BlockSpec((1, alpha, n1, n2),
+                              lambda j, d: (d, _I0, _I0, _I0),
+                              memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((beta * k_out, alpha), lambda j, d: (_I0, _I0),
                             memory_space=pltpu.SMEM)
     c2_spec = pl.BlockSpec((1, n1, n2), lambda j, d: (_mod(j, k), _I0, _I0),
@@ -705,11 +881,17 @@ def modup_ip_mxu_pallas(y: jnp.ndarray, mats: jnp.ndarray,
                         memory_space=pltpu.SMEM)
 
     col = lambda a: jnp.asarray(a, jnp.uint32).reshape(-1, 1)
+    if k_data is None:
+        k_data = k
     kern = functools.partial(_modup_ip_kernel, t.plane_bits, t.q_bits,
-                             alpha, beta, k_out, has_self)
+                             alpha, beta, k_out, k_data, has_self, self_mul,
+                             resident_y)
     args = [ym, matm]
     specs = [y_spec, mat_spec]
-    if has_self:
+    if self_mul:
+        args += [c2_ntt[0].reshape(k, n1, n2), c2_ntt[1].reshape(k, n1, n2)]
+        specs += [c2_spec, c2_spec]
+    elif has_self:
         args += [c2_ntt.reshape(k, n1, n2)]
         specs += [c2_spec]
     args += [evkm, t.wa, t.d.reshape(-1, n1, n2),

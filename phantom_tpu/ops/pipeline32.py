@@ -23,6 +23,7 @@ Scheme-specific multiply pipelines: ops/bfv32.py (HPS), ops/bgv32.py.
 
 from __future__ import annotations
 
+import os as _os
 from typing import Optional, Tuple
 
 import flax.struct
@@ -114,6 +115,13 @@ class KeySwitch32:
     modup_mats_coeff: Optional[jnp.ndarray] = None
     modup_qhat_inv: Optional[jnp.ndarray] = None
     modup_qhat_inv_shoup: Optional[jnp.ndarray] = None
+    # xla-bconv modup: engine NTT tables for the CONCATENATED per-digit
+    # complement rows (digit-own rows ride through in NTT form, so only
+    # sum_d (size_qlp - nd) rows transform — the zeros-assembled variant
+    # wastes beta*alpha transforms); compl_sizes are the per-digit counts
+    t_qlp_compl: object = None
+    compl_sizes: Optional[Tuple[int, ...]] = flax.struct.field(
+        pytree_node=False, default=None)
     # BGV-only t-corrected moddown (reference: bgv_moddown_kernel)
     p_to_t: Optional[BaseConvConsts32] = None
     phalf_mod_p: Optional[jnp.ndarray] = None
@@ -184,7 +192,7 @@ def build_keyswitch32(ctx, chain_index: int = 1,
             t_mv=modulus_vec32([t]),
         )
 
-    fused = ks.modup_scale is not None and k % alpha == 0
+    fused = ks.modup_scale is not None
 
     engine = normalize_engine(use_pallas)
     modup_mats = modup_mats_coeff = None
@@ -192,24 +200,28 @@ def build_keyswitch32(ctx, chain_index: int = 1,
     moddown_scale = moddown_scale_shoup = None
     if engine == "mxu-pallas":
         if fused:
+            # digit d covers data rows [lo, hi); a non-divisible chain's
+            # last digit is SHORT (hi - lo < alpha): its missing matrix
+            # columns stay zero and the kernels feed zero-padded y rows,
+            # so the contraction is exact for any k (reference modup
+            # handles the short digit the same way, rns_bconv.cu:567)
             size_qlp = k + alpha
             mats = np.zeros((beta, size_qlp, alpha), dtype=np.uint32)
             for d in range(beta):
-                lo, hi = d * alpha, (d + 1) * alpha
-                qh = np.zeros((size_qlp - alpha, alpha), dtype=np.uint32)
+                lo, hi = d * alpha, min((d + 1) * alpha, k)
+                nd = hi - lo
                 src = np.asarray(digit_convs[d].qhat_mod_p)
-                qh[:, :src.shape[1]] = src
-                mats[d, :lo] = qh[:lo]
-                mats[d, hi:] = qh[lo:]
+                mats[d, :lo, :nd] = src[:lo]
+                mats[d, hi:, :nd] = src[lo:]
             modup_mats = jnp.asarray(mats)
             # coefficient-form variant: self rows get the digit qhat
             # diagonal so the kernel reconstructs x_j from the pre-scaled
             # y_j = x_j * qhat_inv_j
             mats_c = mats.copy()
             for d in range(beta):
-                lo = d * alpha
-                db = RNSBase(data_moduli[lo:lo + alpha])
-                for i in range(alpha):
+                lo, hi = d * alpha, min((d + 1) * alpha, k)
+                db = RNSBase(data_moduli[lo:hi])
+                for i in range(hi - lo):
                     mats_c[d, lo + i, i] = db.qhat_mod_qi[i]
             modup_mats_coeff = jnp.asarray(mats_c)
             modup_qhat_inv = jnp.concatenate(
@@ -226,6 +238,23 @@ def build_keyswitch32(ctx, chain_index: int = 1,
         moddown_scale_shoup = _u32([(s << 32) // int(p_)
                                     for s, p_ in zip(md, special)])
 
+    # engine tables for the concatenated per-digit complement rows (the
+    # xla-bconv modup variant transforms ONLY these)
+    t_qlp_compl = None
+    compl_sizes = None
+    if fused:
+        size_qlp = k + alpha
+        compl_rows = []
+        compl_sizes = []
+        for d in range(beta):
+            lo, hi = d * alpha, min((d + 1) * alpha, k)
+            r = list(range(lo)) + list(range(hi, size_qlp))
+            compl_rows += [rows[i] for i in r]
+            compl_sizes.append(len(r))
+        t_qlp_compl = _conv_tables(
+            ntt64mod._limb_gather(ctx.ntt, compl_rows), use_pallas)
+        compl_sizes = tuple(compl_sizes)
+
     return KeySwitch32(
         n=ctx.params.n,
         size_ql=k,
@@ -234,6 +263,8 @@ def build_keyswitch32(ctx, chain_index: int = 1,
         mv_ql=modulus_vec32(data_moduli),
         mv_qlp=modulus_vec32(qlp_moduli),
         t_qlp=_conv_tables(t_qlp64, use_pallas),
+        t_qlp_compl=t_qlp_compl,
+        compl_sizes=compl_sizes,
         t_ql=_conv_tables(ctx.tables_q(k), use_pallas),
         t_p=_conv_tables(ctx.tables_p(), use_pallas),
         digit_convs=tuple(digit_convs),
@@ -306,11 +337,68 @@ def slice_tables32(use_pallas, tables, lo, hi):
     return tables.limb_slice(np.arange(lo, hi))
 
 
+def _pad_digit_rows(ks: KeySwitch32, x: jnp.ndarray) -> jnp.ndarray:
+    """Zero-pad the leading (limb) axis from size_ql to beta*alpha rows —
+    the kernels' digit grid is uniform; a short last digit's pad rows are
+    zeros that contribute nothing (and are never self rows)."""
+    pad = len(ks.digit_convs) * ks.size_p - ks.size_ql
+    if pad == 0:
+        return x
+    z = jnp.zeros((pad,) + x.shape[1:], x.dtype)
+    return jnp.concatenate([x, z], axis=0)
+
+
 def _modup_coeff_prescale(ks: KeySwitch32, c2_coeff: jnp.ndarray):
     return m32.mul_mod_shoup32(
         c2_coeff, _qcol(ks.modup_qhat_inv, c2_coeff),
         _qcol(ks.modup_qhat_inv_shoup, c2_coeff),
         _qcol(ks.mv_ql.q, c2_coeff))
+
+
+# --- bconv placement selectors (consulted at trace time) -------------------
+# "kernel": base conversion fused INSIDE the Pallas NTT programs — a
+#     per-row (carry, hi, lo) VPU accumulation over alpha input rows.
+# "xla":    base conversion as an int8 MXU digit-plane matmul in XLA
+#     (ops/bconv32), with the NTT kernel taking the converted rows and
+#     keeping only the cheap epilogues fused.
+# Measured on the v5e (r5): the in-kernel accumulation costs ~10 us/row at
+# alpha=22 — more than the NTT itself (6.8 us/row) — while the MXU matmul
+# is ~free; at small alpha the extra launch/materialization dominates
+# instead.  "auto" picks by alpha; env knobs override for A/B.
+MODUP_VARIANT = _os.environ.get("PHANTOM_MODUP_VARIANT", "auto")
+MODDOWN_VARIANT = _os.environ.get("PHANTOM_MODDOWN_VARIANT", "auto")
+KERNEL_BCONV_ALPHA_MAX = int(_os.environ.get(
+    "PHANTOM_KERNEL_BCONV_ALPHA_MAX", "8"))
+
+
+def _use_kernel_bconv(ks: KeySwitch32, variant: str) -> bool:
+    if variant == "auto":
+        return ks.size_p <= KERNEL_BCONV_ALPHA_MAX
+    return variant in ("kernel", "mega")
+
+
+def modup_xla32(ks: KeySwitch32, y: jnp.ndarray,
+                c2_ntt: jnp.ndarray) -> jnp.ndarray:
+    """xla-bconv modup: y = pre-scaled iNTT rows (size_ql, ...), c2_ntt =
+    the NTT-form input.  Per digit, the complement rows convert via the
+    MXU digit-plane matmul (bconv32) and ONLY those transform (one
+    batched fNTT over the concatenated compl rows); digit-own rows splice
+    back in NTT form.  Bit-identical to the assembled variant."""
+    k = ks.size_ql
+    alpha = ks.size_p
+    beta = len(ks.digit_convs)
+    compl = [bc32.matmul_reduce32(y[d * alpha:min((d + 1) * alpha, k)],
+                                  ks.digit_convs[d]) for d in range(beta)]
+    tn = _fwd(ks, jnp.concatenate(compl, axis=0), ks.t_qlp_compl)
+    out = []
+    off = 0
+    for d in range(beta):
+        lo, hi = d * alpha, min((d + 1) * alpha, k)
+        cd_ = tn[off:off + ks.compl_sizes[d]]
+        off += ks.compl_sizes[d]
+        out.append(jnp.concatenate([cd_[:lo], c2_ntt[lo:hi], cd_[lo:]],
+                                   axis=0))
+    return jnp.stack(out)
 
 
 def modup32(ks: KeySwitch32, c2_coeff: jnp.ndarray) -> jnp.ndarray:
@@ -324,7 +412,7 @@ def modup32(ks: KeySwitch32, c2_coeff: jnp.ndarray) -> jnp.ndarray:
         # every QlP row (self rows recovered via the qhat diagonal) in
         # one Pallas program per row
         from . import ntt_mxu_pallas as nmp
-        y = _modup_coeff_prescale(ks, c2_coeff)
+        y = _pad_digit_rows(ks, _modup_coeff_prescale(ks, c2_coeff))
         return nmp.bconv_ntt_forward_mxu_pallas(
             y.reshape(beta, alpha, *y.shape[1:]), ks.modup_mats_coeff,
             ks.t_qlp)
@@ -357,15 +445,20 @@ def modup_from_ntt32(ks: KeySwitch32, c2_ntt: jnp.ndarray) -> jnp.ndarray:
     y = _inv(ks, c2_ntt, ks.t_ql, scale=ks.modup_scale,
              scale_shoup=ks.modup_scale_shoup)
     n = y.shape[-1]
+    if (ks.t_qlp_compl is not None
+            and not (ks.modup_mats is not None
+                     and _use_kernel_bconv(ks, MODUP_VARIANT))):
+        return modup_xla32(ks, y, c2_ntt)
     if ks.modup_mats is not None:
         # mxu-pallas: bconv + forward NTT of every complement row in ONE
         # Pallas program per row — no assembled (beta, size_qlp, N)
         # intermediate, y read from HBM once per digit, digit-own rows
         # passed through in-kernel (no scatter/concat afterwards)
         from . import ntt_mxu_pallas as nmp
+        yp = _pad_digit_rows(ks, y)
         return nmp.bconv_ntt_forward_mxu_pallas(
-            y.reshape(beta, alpha, *y.shape[1:]), ks.modup_mats, ks.t_qlp,
-            self_rows=c2_ntt)
+            yp.reshape(beta, alpha, *yp.shape[1:]), ks.modup_mats, ks.t_qlp,
+            self_rows=_pad_digit_rows(ks, c2_ntt), k_data=k)
     zeros = jnp.zeros((alpha, n), dtype=jnp.uint32)
     assembled = []
     for d in range(beta):
@@ -423,11 +516,14 @@ def modup_ip32(ks: KeySwitch32, c2_ntt: jnp.ndarray,
     n = (c2_ntt.shape[-2] * c2_ntt.shape[-1] if blocked
          else c2_ntt.shape[-1])
     if (ks.modup_mats is not None and c2_ntt.ndim == (3 if blocked else 2)
-            and ks.size_ql * n * 4 <= nmp.MODUP_IP_MAX_Y_BYTES):
+            and ks.size_ql * n * 4 <= nmp.MODUP_IP_MAX_Y_BYTES
+            and _use_kernel_bconv(ks, MODUP_VARIANT)):
         y = _inv(ks, c2_ntt, ks.t_ql, scale=ks.modup_scale,
                  scale_shoup=ks.modup_scale_shoup)
-        return nmp.modup_ip_mxu_pallas(y, ks.modup_mats, c2_ntt, evk,
-                                       ks.t_qlp)
+        return nmp.modup_ip_mxu_pallas(
+            _pad_digit_rows(ks, y), ks.modup_mats,
+            _pad_digit_rows(ks, c2_ntt), evk, ks.t_qlp,
+            k_data=ks.size_ql)
     t_up = modup_from_ntt32(ks, c2_ntt)
     return inner_product32(ks, t_up, _match_evk_layout(evk, t_up))
 
@@ -494,26 +590,53 @@ def moddown32(ks: KeySwitch32, x: jnp.ndarray) -> jnp.ndarray:
                 epi_scale=ks.pinv, epi_scale_shoup=ks.pinv_shoup)
 
 
-def moddown32_pair(ks: KeySwitch32, x0: jnp.ndarray, x1: jnp.ndarray):
+def moddown32_pair(ks: KeySwitch32, x0: jnp.ndarray, x1: jnp.ndarray,
+                   tensor_add=None):
     """moddown of BOTH keyswitch halves in ONE batched iNTT + ONE fused
     bconv+fNTT launch (G=2 groups).  Kernel-launch overhead through the
     axon runtime is ~1.4 ms each (CLAUDE.md), so halving the moddown
     launch count is worth ~3 ms per op.  Bit-identical to two moddown32
-    calls."""
+    calls.
+
+    tensor_add = (d1, d2): additionally add the 2x2 tensor terms in the
+    kernel epilogue — out0 += d1[0]∘d2[0], out1 += cross(d1, d2) — the
+    relin-output adds of mult_relin_rescale32 without materializing
+    c0/c1 (reference flow: evaluate.cu:994-1022 add_to_ct after
+    moddown)."""
     if ks.moddown_scale is None or ks.p_to_t is not None:
+        assert tensor_add is None
         return moddown32(ks, x0), moddown32(ks, x1)
     from . import ntt_mxu_pallas as nmp
     k = ks.size_ql
     xp = jnp.stack([x0[k:], x1[k:]])             # (2, alpha, N)
     y = _inv(ks, xp, ks.t_p, scale=ks.moddown_scale,
              scale_shoup=ks.moddown_scale_shoup)
+    sub = jnp.stack([x0[:k], x1[:k]])
+    if _use_kernel_bconv(ks, MODDOWN_VARIANT):
+        v = jax.vmap(bc32.floor_sum_div32, in_axes=(0, None))(y, ks.p_to_q)
+        mat = jnp.broadcast_to(ks.p_to_q.qhat_mod_p[None],
+                               (2,) + ks.p_to_q.qhat_mod_p.shape)
+        out = nmp.bconv_ntt_forward_mxu_pallas(
+            y, mat, ks.t_ql, v=v, vmul=ks.p_to_q.q_mod_p,
+            sub_from=sub,
+            epi_scale=ks.pinv, epi_scale_shoup=ks.pinv_shoup,
+            tensor_add=tensor_add)
+        return out[0], out[1]
+    # xla-bconv variant: exact delta (MXU matmul + v floor correction) in
+    # XLA, then ONE fused-epilogue fNTT launch computing
+    # (sub - NTT(delta)) * P^{-1} [+ tensor term] per row
+    c = ks.p_to_q
+    raw = jax.vmap(lambda yy: bc32.matmul_reduce32(yy, c))(y)
     v = jax.vmap(bc32.floor_sum_div32, in_axes=(0, None))(y, ks.p_to_q)
-    mat = jnp.broadcast_to(ks.p_to_q.qhat_mod_p[None],
-                           (2,) + ks.p_to_q.qhat_mod_p.shape)
-    out = nmp.bconv_ntt_forward_mxu_pallas(
-        y, mat, ks.t_ql, v=v, vmul=ks.p_to_q.q_mod_p,
-        sub_from=jnp.stack([x0[:k], x1[:k]]),
-        epi_scale=ks.pinv, epi_scale_shoup=ks.pinv_shoup)
+    qb = _qcol(c.obase.q, raw[0])[None]
+    rhb = _qcol(c.obase.ratio_hi, raw[0])[None]
+    rlb = _qcol(c.obase.ratio_lo, raw[0])[None]
+    corr = m32.mul_mod32(v[:, None], _qcol(c.q_mod_p, raw[0])[None],
+                         qb, rhb, rlb)
+    delta = m32.sub_mod32(raw, corr, qb)
+    out = nmp.ntt_forward_mxu_pallas(
+        delta, ks.t_ql, sub_from=sub, epi_scale=ks.pinv,
+        epi_scale_shoup=ks.pinv_shoup, tensor_add=tensor_add)
     return out[0], out[1]
 
 
@@ -541,7 +664,7 @@ def keyswitch32(ks: KeySwitch32, c2_coeff: jnp.ndarray,
     if (ks.modup_mats_coeff is not None
             and c2_coeff.ndim == (3 if blocked else 2)
             and ks.size_ql * n * 4 <= nmp.MODUP_IP_MAX_Y_BYTES):
-        y = _modup_coeff_prescale(ks, c2_coeff)
+        y = _pad_digit_rows(ks, _modup_coeff_prescale(ks, c2_coeff))
         s0, s1 = nmp.modup_ip_mxu_pallas(y, ks.modup_mats_coeff, None,
                                          evk, ks.t_qlp)
     else:
@@ -711,12 +834,50 @@ def mult_relin_rescale32(p: CKKSPipeline32, d1: jnp.ndarray,
     q = _qcol(ks.mv_ql.q, d1[0])
     debug.check_range(d1, q, "mult_relin_rescale32: d1 not canonical")
     debug.check_range(d2, q, "mult_relin_rescale32: d2 not canonical")
-    c0, c1, c2 = _tensor_2x2(ks.mv_ql, d1, d2)
-    s0, s1 = modup_ip32(ks, c2, p.evk)
-    m0, m1 = moddown32_pair(ks, s0, s1)
-    out0 = m32.add_mod32(c0, m0, q)
-    out1 = m32.add_mod32(c1, m1, q)
-    out = jnp.stack([out0, out1])
+    n_flat = (d1.shape[-2] * d1.shape[-1]) if blk else d1.shape[-1]
+    from . import ntt_mxu_pallas as nmp
+    fuse_tensor = (blk and _os.environ.get("PHANTOM_FUSE_TENSOR", "1")
+                   != "0")
+    use_mega = (ks.modup_mats is not None
+                and _use_kernel_bconv(ks, MODUP_VARIANT)
+                and ks.size_ql * n_flat * 4 <= nmp.MODUP_IP_MAX_Y_BYTES)
+    if fuse_tensor and use_mega:
+        # fully-fused step (kernel-bconv variant): the 2x2 tensor product
+        # never exists in HBM.  c2 = d1[1]∘d2[1] is computed in the
+        # modup-iNTT prologue and again in the mega-kernel's passthrough
+        # rows; c0/c1 ride the moddown-pair epilogue (tensor_add).
+        # Bit-identical to the composed path (tests/test_pipeline32.py).
+        y = nmp.ntt_inverse_mxu_pallas(
+            d1[1], ks.t_ql, scale=ks.modup_scale,
+            scale_shoup=ks.modup_scale_shoup, mul_by=d2[1])
+        s0, s1 = nmp.modup_ip_mxu_pallas(
+            _pad_digit_rows(ks, y), ks.modup_mats,
+            (_pad_digit_rows(ks, d1[1]), _pad_digit_rows(ks, d2[1])),
+            p.evk, ks.t_qlp, k_data=ks.size_ql)
+        m0, m1 = moddown32_pair(ks, s0, s1, tensor_add=(d1, d2))
+        out = jnp.stack([m0, m1])
+    elif fuse_tensor and ks.t_qlp_compl is not None:
+        # xla-bconv variant: base conversions on the MXU in XLA, only
+        # the complement rows transform, evk inner product in XLA; the
+        # moddown fNTT keeps the (sub - NTT(delta)) * P^-1 epilogue and
+        # the c0/c1 tensor adds fused in-kernel.
+        rh = _qcol(ks.mv_ql.ratio_hi, d1[0])
+        rl = _qcol(ks.mv_ql.ratio_lo, d1[0])
+        c2 = m32.mul_mod32(d1[1], d2[1], q, rh, rl)
+        y = _inv(ks, c2, ks.t_ql, scale=ks.modup_scale,
+                 scale_shoup=ks.modup_scale_shoup)
+        t_up = modup_xla32(ks, y, c2)
+        s0, s1 = inner_product32(ks, t_up,
+                                 _match_evk_layout(p.evk, t_up))
+        m0, m1 = moddown32_pair(ks, s0, s1, tensor_add=(d1, d2))
+        out = jnp.stack([m0, m1])
+    else:
+        c0, c1, c2 = _tensor_2x2(ks.mv_ql, d1, d2)
+        s0, s1 = modup_ip32(ks, c2, p.evk)
+        m0, m1 = moddown32_pair(ks, s0, s1)
+        out0 = m32.add_mod32(c0, m0, q)
+        out1 = m32.add_mod32(c1, m1, q)
+        out = jnp.stack([out0, out1])
     res = _rescale(p, out)
     debug.check_range(res, _qcol(ks.mv_ql.q[:-1], res[0]),
                       "rescale output not canonical")

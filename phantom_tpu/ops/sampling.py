@@ -89,3 +89,33 @@ def sample_error_rns(key, n: int, mv: ModulusVec,
                      multiplier: jnp.ndarray | None = None) -> jnp.ndarray:
     """(L, N) CBD noise, same noise vector across limbs."""
     return lift_signed_to_rns(sample_error_cbd(key, n), mv, multiplier)
+
+
+# ---------------------------------------------------------------------------
+# u32 fast-path lifts (primes < 2^30): same random draws as the u64
+# samplers above — the (N,) small-int vectors are drawn identically and
+# lifted directly to uint32 residues, so a u32 encrypt that uses these is
+# bit-identical to the u64 path at ~1/10 the emulated-arithmetic cost.
+# ---------------------------------------------------------------------------
+
+def lift_signed_to_rns32(e: jnp.ndarray, mv32,
+                         multiplier: jnp.ndarray | None = None,
+                         multiplier_shoup: jnp.ndarray | None = None
+                         ) -> jnp.ndarray:
+    """Signed (N,) small ints (|e| < min q) -> (L, N) uint32 residues.
+    Optional per-limb Shoup multiplier (BGV t*e noise)."""
+    from . import modmath32 as m32
+    q = mv32.q[:, None]
+    e32 = e.astype(jnp.int32)[None, :]            # (1, N)
+    r = jnp.where(e32 < 0, q - (-e32).astype(jnp.uint32),
+                  e32.astype(jnp.uint32))         # (L, N)
+    if multiplier is not None:
+        r = m32.mul_mod_shoup32(r, multiplier[:, None],
+                                multiplier_shoup[:, None], q)
+    return r
+
+
+def sample_ternary_vec(key, n: int) -> jnp.ndarray:
+    """(N,) ternary in {-1, 0, 1} — the shared secret/u vector (same draw
+    as sample_ternary_rns)."""
+    return jax.random.randint(key, (n,), 0, 3, dtype=jnp.int64) - 1

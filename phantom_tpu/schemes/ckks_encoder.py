@@ -137,6 +137,65 @@ class CKKSEncoder:
         return self._embed_forward(vals)
 
 
+def _encode_dev32(fftt, t32, mv32, re, im):
+    """Jitted device body of the u32 encode: double-float inverse FFT,
+    exact rounding to int64, centered reduction into u32 RNS residues and
+    the forward NTT on the fast engine — ONE dispatch end to end (the
+    reference chains the same stages on-stream, src/ckks.cu:68-135)."""
+    from ..ops import ckks_fft as cf
+    from ..ops import modmath32 as m32
+    from ..ops import pipeline32 as pp32
+    coeffs = cf.fft_inverse((re, im), fftt)
+    re_hi, re_lo = coeffs[0]
+    a = jnp.round(re_hi).astype(jnp.int64)
+    b = jnp.round(re_lo + (re_hi - a.astype(jnp.float32))).astype(jnp.int64)
+    ints = a + b
+    # signed int64 -> u32 residues: two's-complement words Barrett-reduced,
+    # minus 2^64 mod q for negatives (exact)
+    u = ints.astype(jnp.uint64)
+    hi = (u >> jnp.uint64(32)).astype(jnp.uint32)[None]
+    lo = u.astype(jnp.uint32)[None]
+    q = mv32.q[:, None]
+    r = m32.barrett_reduce_u64_32(hi, lo, q, mv32.ratio_hi[:, None],
+                                  mv32.ratio_lo[:, None])
+    r = jnp.where((ints < 0)[None],
+                  m32.sub_mod32(r, mv32.pow64[:, None], q), r)
+    return pp32._fwd(None, r, t32).astype(jnp.uint64)
+
+
+def _decode_dev32(fftt, t32, mv32, garner, data32, inv_scale):
+    """Jitted device body of the u32 decode: u32 inverse NTT, centered
+    2-limb Garner compose, double-float forward FFT."""
+    from ..ops import ckks_fft as cf
+    from ..ops import modmath32 as m32
+    from ..ops import pipeline32 as pp32
+    x = pp32._inv(None, data32, t32)
+    q0, q0_inv_q1 = garner
+    if x.shape[0] >= 2:
+        q1 = mv32.q[1]
+        rh1 = mv32.ratio_hi[1]
+        rl1 = mv32.ratio_lo[1]
+        x0 = x[0]
+        diff = m32.sub_mod32(x[1], m32.barrett_reduce_u32(x0, q1, rh1), q1)
+        t_ = m32.mul_mod32(diff, q0_inv_q1, q1, rh1, rl1)
+        # center the Garner digit: |m| << 2^60 for any decodable value
+        t_c = jnp.where(t_ > q1 // jnp.uint32(2),
+                        t_.astype(jnp.int64) - q1.astype(jnp.int64),
+                        t_.astype(jnp.int64))
+        m = x0.astype(jnp.int64) + q0.astype(jnp.int64) * t_c
+    else:
+        q0v = mv32.q[0]
+        m = jnp.where(x[0] > q0v // jnp.uint32(2),
+                      x[0].astype(jnp.int64) - q0v.astype(jnp.int64),
+                      x[0].astype(jnp.int64))
+    hi = m.astype(jnp.float32)
+    lo = (m - hi.astype(jnp.int64)).astype(jnp.float32)
+    hi = hi * inv_scale
+    lo = lo * inv_scale
+    zero = jnp.zeros_like(hi)
+    return cf.fft_forward(((hi, lo), (zero, zero)), fftt)
+
+
 class CKKSDeviceEncoder:
     """Device-side encode/decode using the double-float special FFT
     (ops/ckks_fft.py) — the TPU-native analogue of the reference's
@@ -146,30 +205,48 @@ class CKKSDeviceEncoder:
     2^-52 doubles; both are far below fresh-encryption noise at standard
     scales.  Decode composes the centered value from the first two RNS
     limbs exactly (Garner), valid while |value| < q0*q1/2 — amply true for
-    any decodable plaintext."""
+    any decodable plaintext.
 
-    def __init__(self, ctx: Context):
+    When every prime is < 2^30 (the fast-path chains), the whole device
+    body — FFT, rounding, RNS reduction, NTT — runs as ONE jitted u32
+    dispatch on the selected engine (default mxu-pallas); the generic
+    u64 stack is only used for wide-prime contexts."""
+
+    def __init__(self, ctx: Context, engine: str = "mxu-pallas"):
         from ..ops import ckks_fft as cf
         if ctx.params.scheme != Scheme.CKKS:
             raise ValueError("CKKSDeviceEncoder requires a CKKS context")
         self.ctx = ctx
         self.tables = cf.make_fft_tables(ctx.params.n)
         self.slots = ctx.params.n // 2
+        self.engine = engine
+        self._u32 = all(int(q) < (1 << 30) for q in ctx.params.coeff_modulus)
+        self._t32 = {}
+        self._mv32 = {}
+        self._garner = {}
 
-    def encode(self, values, scale: float,
-               chain_index: Optional[int] = None) -> Plaintext:
-        import jax
-        from ..ops import ckks_fft as cf
-        from ..ops import modmath as mm
-        ctx = self.ctx
-        n = ctx.params.n
-        ci = ctx.first_data_index if chain_index is None else chain_index
-        cd = ctx.get_context_data(ci)
+    def _fast_consts(self, ci: int):
+        from ..host.numth import invert_mod
+        from ..ops import bconv32 as bc32
+        from ..ops import pipeline32 as pp32
+        cd = self.ctx.get_context_data(ci)
+        k = cd.size_ql
+        if k not in self._t32:
+            self._t32[k] = pp32._conv_tables(self.ctx.tables_q(k),
+                                             self.engine)
+            self._mv32[k] = bc32.modulus_vec32([int(q) for q in cd.moduli])
+            q0 = int(cd.moduli[0])
+            inv = invert_mod(q0 % int(cd.moduli[1]),
+                             int(cd.moduli[1])) if k >= 2 else 0
+            self._garner[k] = (jnp.uint32(q0), jnp.uint32(inv))
+        return self._t32[k], self._mv32[k], self._garner[k]
+
+    def _scatter(self, values, scale: float):
+        n = self.ctx.params.n
         z = np.zeros(self.slots, dtype=np.complex128)
         v = np.asarray(values, dtype=np.complex128).ravel()
         z[: v.shape[0]] = v
         z = z * scale  # scale on host (f64), FFT on device
-
         ev_re = np.zeros(n, dtype=np.float64)
         ev_im = np.zeros(n, dtype=np.float64)
         sp = np.asarray(self.tables.slot_pos)
@@ -178,9 +255,25 @@ class CKKSDeviceEncoder:
         ev_im[sp] = z.imag
         ev_re[sc] = z.real
         ev_im[sc] = -z.imag
+        from ..ops import ckks_fft as cf
         re = tuple(jnp.asarray(p) for p in cf.df_from_f64(ev_re))
         im = tuple(jnp.asarray(p) for p in cf.df_from_f64(ev_im))
+        return re, im
 
+    def encode(self, values, scale: float,
+               chain_index: Optional[int] = None) -> Plaintext:
+        import jax
+        from ..ops import ckks_fft as cf
+        from ..ops import modmath as mm
+        ctx = self.ctx
+        ci = ctx.first_data_index if chain_index is None else chain_index
+        cd = ctx.get_context_data(ci)
+        re, im = self._scatter(values, scale)
+        if self._u32:
+            t32, mv32, _ = self._fast_consts(ci)
+            data = jax.jit(_encode_dev32)(self.tables, t32, mv32, re, im)
+            return Plaintext(data=data, chain_index=ci, is_ntt_form=True,
+                             scale=scale)
         coeffs = cf.fft_inverse((re, im), self.tables)
         re_hi, re_lo = coeffs[0]
         # round the double-float real part to int64 exactly enough
@@ -193,44 +286,53 @@ class CKKSDeviceEncoder:
                          scale=scale)
 
     def decode(self, plain: Plaintext) -> np.ndarray:
+        import jax
         from ..host.numth import invert_mod
         from ..ops import ckks_fft as cf
         from ..ops import modmath as mm
         ctx = self.ctx
         cd = ctx.get_context_data(plain.chain_index)
-        x = nttmod.ntt_inverse(plain.data, ctx.tables_q(cd.size_ql))
-        q0 = int(cd.moduli[0])
-        if cd.size_ql >= 2:
-            # Garner 2-limb compose, centered (|value| << q0*q1/2)
-            q1 = int(cd.moduli[1])
-            q0_inv_q1 = invert_mod(q0 % q1, q1)
-            x0 = x[0]
-            x1 = x[1]
-            mv1_q = cd.mv.q[1]
-            diff = mm.sub_mod(mm.barrett_reduce_u64(
-                x1, mv1_q, cd.mv.ratio_hi[1]),
-                mm.barrett_reduce_u64(x0, mv1_q, cd.mv.ratio_hi[1]), mv1_q)
-            t_ = mm.mul_mod(diff, jnp.uint64(q0_inv_q1), mv1_q,
-                            cd.mv.ratio_lo[1], cd.mv.ratio_hi[1])
-            # center the Garner digit first: for any decodable magnitude
-            # |m| << 2^62, so m = x0 + q0 * t_centered fits int64 even
-            # though q0*q1 itself does not
-            t_c = jnp.where(t_ > jnp.uint64(q1 // 2),
-                            t_.astype(jnp.int64) - jnp.int64(q1),
-                            t_.astype(jnp.int64))
-            m = x0.astype(jnp.int64) + jnp.int64(q0) * t_c
+        if self._u32:
+            t32, mv32, garner = self._fast_consts(plain.chain_index)
+            ev = jax.jit(_decode_dev32)(
+                self.tables, t32, mv32, garner,
+                jnp.asarray(plain.data).astype(jnp.uint32),
+                jnp.float32(1.0 / plain.scale))
         else:
-            half = q0 // 2
-            m = jnp.where(x[0] > jnp.uint64(half),
-                          x[0].astype(jnp.int64) - jnp.int64(q0),
-                          x[0].astype(jnp.int64))
-        inv_scale = 1.0 / plain.scale
-        hi = (m.astype(jnp.float32))
-        lo = (m - hi.astype(jnp.int64)).astype(jnp.float32)
-        hi = hi * jnp.float32(inv_scale)
-        lo = lo * jnp.float32(inv_scale)
-        zero = jnp.zeros_like(hi)
-        ev = cf.fft_forward(((hi, lo), (zero, zero)), self.tables)
+            x = nttmod.ntt_inverse(plain.data, ctx.tables_q(cd.size_ql))
+            q0 = int(cd.moduli[0])
+            if cd.size_ql >= 2:
+                # Garner 2-limb compose, centered (|value| << q0*q1/2)
+                q1 = int(cd.moduli[1])
+                q0_inv_q1 = invert_mod(q0 % q1, q1)
+                x0 = x[0]
+                x1 = x[1]
+                mv1_q = cd.mv.q[1]
+                diff = mm.sub_mod(mm.barrett_reduce_u64(
+                    x1, mv1_q, cd.mv.ratio_hi[1]),
+                    mm.barrett_reduce_u64(x0, mv1_q, cd.mv.ratio_hi[1]),
+                    mv1_q)
+                t_ = mm.mul_mod(diff, jnp.uint64(q0_inv_q1), mv1_q,
+                                cd.mv.ratio_lo[1], cd.mv.ratio_hi[1])
+                # center the Garner digit first: for any decodable
+                # magnitude |m| << 2^62, so m = x0 + q0 * t_centered fits
+                # int64 even though q0*q1 itself does not
+                t_c = jnp.where(t_ > jnp.uint64(q1 // 2),
+                                t_.astype(jnp.int64) - jnp.int64(q1),
+                                t_.astype(jnp.int64))
+                m = x0.astype(jnp.int64) + jnp.int64(q0) * t_c
+            else:
+                half = q0 // 2
+                m = jnp.where(x[0] > jnp.uint64(half),
+                              x[0].astype(jnp.int64) - jnp.int64(q0),
+                              x[0].astype(jnp.int64))
+            inv_scale = 1.0 / plain.scale
+            hi = (m.astype(jnp.float32))
+            lo = (m - hi.astype(jnp.int64)).astype(jnp.float32)
+            hi = hi * jnp.float32(inv_scale)
+            lo = lo * jnp.float32(inv_scale)
+            zero = jnp.zeros_like(hi)
+            ev = cf.fft_forward(((hi, lo), (zero, zero)), self.tables)
         sp = self.tables.slot_pos
         re = np.asarray(ev[0][0])[sp].astype(np.float64) + \
             np.asarray(ev[0][1])[sp].astype(np.float64)
