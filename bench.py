@@ -129,6 +129,16 @@ def main():
                     default="ckks",
                     help="headline step: ckks = mult+relin+rescale, "
                          "bfv = mult+relin, bgv = mult+relin+modswitch")
+    ap.add_argument("--hiprec", action="store_true",
+                    help="precision-matched CKKS mode: working scale 2^44 "
+                         "on the paired-prime chain (q0 + 22-bit pairs, "
+                         "examples/9_hiprec_ckks.py); the step is "
+                         "mult+relin+DOUBLE rescale.  Matches the "
+                         "reference bench's scale-2^40 workload class "
+                         "(ckks_bench.cu:9-120) instead of the 2^22 "
+                         "modulus-budget-matched default.  Defaults "
+                         "--limbs to 53 (logQ=1172) and --alpha to 27 "
+                         "(dnum 2)")
     ap.add_argument("--multech", choices=["hps", "behz", "overq", "leveled"],
                     default="hps",
                     help="BFV multiplication technique (reference "
@@ -144,6 +154,15 @@ def main():
     # default 100 MiB scoped-vmem request overflows the 128 MiB cap
     # (measured: 136 MB peak -> SIGABRT in memory assignment)
     os.environ.setdefault("PHANTOM_VMEM_LIMIT", str(64 << 20))
+
+    if args.hiprec:
+        if args.scheme != "ckks" or args.path == "u64":
+            ap.error("--hiprec is a CKKS u32-path mode")
+        # paired-prime defaults unless explicitly overridden
+        if args.limbs == 43:
+            args.limbs = 53          # q0 + 26 pairs of 22-bit primes
+        if args.alpha == 22:
+            args.alpha = 27          # dnum = 2 over the 53-limb chain
 
     backend_error = None
     plat = probe_backend()
@@ -167,14 +186,16 @@ def main():
     n = args.n
     bits = 28 if args.path != "u64" else 50
     s = setup_bench(scheme=args.scheme, n=n, limbs=args.limbs,
-                    alpha=args.alpha, bits=bits, multech=args.multech)
+                    alpha=args.alpha, bits=bits, multech=args.multech,
+                    hiprec=args.hiprec)
     ctx, rlk, ct1, ct2 = s.ctx, s.rlk, s.ct1, s.ct2
     scheme = {"ckks": Scheme.CKKS, "bfv": Scheme.BFV,
               "bgv": Scheme.BGV}[args.scheme]
     logq_bits = sum(int(q).bit_length()
                     for q in s.params.coeff_modulus[:args.limbs])
 
-    metric_step = {"ckks": "mult+relin+rescale",
+    metric_step = {"ckks": ("mult+relin+rescale2 scale=2^44" if args.hiprec
+                            else "mult+relin+rescale"),
                    "bfv": f"mult+relin ({args.multech.upper()})",
                    "bgv": "mult+relin+modswitch"}[args.scheme]
 
@@ -189,16 +210,20 @@ def main():
         fixed.  This is the data dependency that defeats the axon
         dispatch cache, at near-zero harness cost (the earlier
         fold-into-both-inputs form added two full-array modular adds,
-        ~0.3-0.5 ms/op of measured 'step' time per the device trace)."""
-        q = jnp.asarray(q_np.astype(dtype))[:, None]
+        ~0.3-0.5 ms/op of measured 'step' time per the device trace).
+        Layout-agnostic: the limb axis is -2 for flat (.., L, N) carries
+        and -3 for blocked (.., L, n1, n2) ones."""
 
         def remix(out, d1, d2):
-            lout = out.shape[-2]
+            ax = -3 if d1.ndim >= 3 and d1.shape[-3] == len(q_np) else -2
+            q = jnp.asarray(q_np.astype(dtype)).reshape(
+                (-1,) + (1,) * (-ax - 1))
+            lout = out.shape[ax]
             if lout < len(q_np):
-                row0 = out[..., :1, :]
-                qm = q[lout:]
+                row0 = jax.lax.slice_in_dim(out, 0, 1, axis=ax)
+                qm = jax.lax.slice_in_dim(q, lout, len(q_np), axis=0)
                 pads = row0 - jnp.where(row0 >= qm, qm, 0).astype(dtype)
-                full = jnp.concatenate([out, pads], axis=-2)
+                full = jnp.concatenate([out, pads], axis=ax)
             else:
                 full = out
             return full, d2
@@ -224,6 +249,18 @@ def main():
                 from phantom_tpu.ops import pipeline32 as pp
                 pipe = pp.build_pipeline32(ctx, rlk, use_pallas=use_pallas)
                 fn = pp.mult_relin_rescale32
+                if args.hiprec:
+                    # one multiplicative level = a PAIR of 22-bit
+                    # rescales; the second runs at the next chain level
+                    # (both pipelines ride as jit arguments)
+                    pipe2 = pp.build_pipeline32(ctx, None, 2,
+                                                use_pallas=use_pallas)
+                    pipe = (pipe, pipe2)
+
+                    def fn(ps_, a, b):
+                        p1_, p2_ = ps_
+                        return pp._rescale(
+                            p2_, pp.mult_relin_rescale32(p1_, a, b))
             elif scheme == Scheme.BFV:
                 from phantom_tpu.ops import bfv32
                 if args.multech == "behz":
@@ -246,6 +283,15 @@ def main():
                 fn = bgv32.bgv_mult_relin_modswitch32
             d1 = jnp.asarray(np.asarray(ct1.data).astype(np.uint32))
             d2 = jnp.asarray(np.asarray(ct2.data).astype(np.uint32))
+            # keep the chained carry in the kernels' blocked tiling so no
+            # iteration pays the flat<->blocked relayout (a full VPU pass
+            # per array per step at T(2,128)<->T(8,128))
+            if scheme == Scheme.CKKS and use_pallas == "mxu-pallas":
+                from phantom_tpu.ops import ntt_mxu as _nm
+                t_ = (pipe[0] if isinstance(pipe, tuple) else pipe).ks.t_ql
+                if isinstance(t_, _nm.MXUNTTTables) and t_.fused_kernel:
+                    d1 = d1.reshape(*d1.shape[:-1], t_.n1, t_.n2)
+                    d2 = d2.reshape(*d2.shape[:-1], t_.n1, t_.n2)
             remix = make_remix(np.uint32)
             step = fn
             if batch > 1:
@@ -376,8 +422,10 @@ def main():
         "unit": "ops/s",
         "vs_baseline": round(headline / A100_BASELINE_OPS, 4),
         "logq_bits": logq_bits,
-        "scale_bits": bits - 6,
+        "scale_bits": 44 if args.hiprec else bits - 6,
     }
+    if args.hiprec:
+        rec["hiprec"] = True
     if single_ops is not None:
         rec["single_op_s"] = round(single_ops, 3)
         rec["vs_baseline_latency"] = round(single_ops / A100_BASELINE_OPS, 4)

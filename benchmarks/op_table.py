@@ -171,21 +171,43 @@ def main():
         record(name, float(np.median(ts)), float(np.mean(ts)),
                trials, "varied inputs")
 
-    # ---- keygen (host+device hybrid; fresh rng per trial) ----
-    gen_sk = jax.jit(keys.gen_secret_key)
-    gen_pk = jax.jit(keys.gen_public_key)
-    gen_rlk = jax.jit(keys.gen_relin_key)
+    # ---- keygen (u32 fast path, jitted with tables as args; fresh rng
+    # per trial — bit-identical to the u64 keygen, tests/test_fast32) ----
+    from phantom_tpu import fast32 as f32k
+    evk_gen = f32k.Fast32(ctx, use_pallas=use_pallas)
+    t32key, mvkey = evk_gen._key32()
+    kmult, kmult_sh = evk_gen._bgv_key_mult32()
+    pm, pm_shoup, kmask, dnum = evk_gen._kswitch_consts32()
+    s32key = jnp.asarray(sk.data).astype(jnp.uint32)
+    n_ = args.n
+
+    kg_sk = jax.jit(lambda t, mv, key: f32k.gen_secret_core32(
+        t, mv, key, n_))
+    kg_pk = jax.jit(lambda t, mv, kmv, s_, key: jnp.stack(
+        f32k.encrypt_zero_sym_core32(t, mv, kmv, s_, key, n_,
+                                     kmult, kmult_sh)))
+
+    def _rlk(t, mv, kmv, s_, key):
+        q = mv.q[:, None]
+        s_sq = m32.mul_mod32(s_, s_, q, mv.ratio_hi[:, None],
+                             mv.ratio_lo[:, None])
+        return f32k.gen_kswitch_core32(t, mv, kmv, s_, s_sq, key, n_,
+                                       dnum, pm, pm_shoup, kmask,
+                                       kmult, kmult_sh)
+
+    kg_rlk = jax.jit(_rlk)
     varied("keygen_secret",
-           lambda i: lambda: gen_sk(ctx, jax.random.PRNGKey(100 + i)).data,
+           lambda i: lambda: kg_sk(t32key, mvkey,
+                                   jax.random.PRNGKey(100 + i)),
            trials=3)
     varied("keygen_public",
-           lambda i: lambda: gen_pk(ctx, sk,
-                                    jax.random.PRNGKey(200 + i)).data,
+           lambda i: lambda: kg_pk(t32key, mvkey, ctx.key_mv, s32key,
+                                   jax.random.PRNGKey(200 + i)),
            trials=3)
     varied("keygen_relin",
-           lambda i: lambda: gen_rlk(ctx, sk,
-                                     jax.random.PRNGKey(300 + i)).data,
-           trials=2)
+           lambda i: lambda: kg_rlk(t32key, mvkey, ctx.key_mv, s32key,
+                                    jax.random.PRNGKey(300 + i)),
+           trials=3)
 
     # ---- encode / decode (host oracle paths, like the reference's) ----
     enc = s.enc

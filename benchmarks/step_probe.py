@@ -65,6 +65,13 @@ def main():
     pipe = pp.build_pipeline32(ctx, rlk, use_pallas=use_pallas)
     d = jnp.asarray(np.asarray(s.ct1.data).astype(np.uint32))
     d2_ = jnp.asarray(np.asarray(s.ct2.data).astype(np.uint32))
+    from phantom_tpu.ops import ntt_mxu as _nm
+    if isinstance(pipe.ks.t_ql, _nm.MXUNTTTables) \
+            and pipe.ks.t_ql.fused_kernel:
+        # blocked carry: no flat<->blocked relayout inside the chain
+        t_ = pipe.ks.t_ql
+        d = d.reshape(*d.shape[:-1], t_.n1, t_.n2)
+        d2_ = d2_.reshape(*d2_.shape[:-1], t_.n1, t_.n2)
     if args.batch > 1:
         d = jnp.broadcast_to(d[None], (args.batch,) + d.shape)
         d2_ = jnp.broadcast_to(d2_[None], (args.batch,) + d2_.shape)
@@ -83,10 +90,12 @@ def main():
         """Rebuild full-L canonical ciphertexts from the (L-1)-limb step
         output: re-pad the dropped limb (row 0 reduced mod q_last) and fold
         into the previous inputs — a real data dependency, canonical
-        ranges preserved."""
-        pad = m32.barrett_reduce_u32(out[..., :1, :], qlast, rh_last)
-        full = jnp.concatenate([out, pad], axis=-2)
-        q = ks.mv_ql.q[:, None]
+        ranges preserved.  Limb axis is -3 for blocked carries."""
+        ax = -3 if d1.ndim >= 3 and d1.shape[-3] == L else -2
+        row0 = jax.lax.slice_in_dim(out, 0, 1, axis=ax)
+        pad = m32.barrett_reduce_u32(row0, qlast, rh_last)
+        full = jnp.concatenate([out, pad], axis=ax)
+        q = ks.mv_ql.q.reshape((-1,) + (1,) * (-ax - 1))
         nd1 = m32.add_mod32(d1, full, q)
         nd2 = m32.add_mod32(d2, full, q)
         return nd1, nd2

@@ -476,6 +476,117 @@ class Fast32:
         out = pp.hoisted_linear_combo32(ks, g, c.data, steps, pts32)
         return c.replace(data=out, scale=c.scale * pts_scale)
 
+    # -- key generation (u32 fast path) ---------------------------------------
+    def _key32(self):
+        """Key-level u32 state: engine NTT tables + ModulusVec32 over the
+        full QP base (cached)."""
+        from .ops import bconv32 as bc32
+        if not hasattr(self, "_keyt"):
+            self._keyt = (
+                pp._conv_tables(self.ctx.ntt, self.use_pallas),
+                bc32.modulus_vec32(
+                    [int(q) for q in self.ctx.params.coeff_modulus]))
+        return self._keyt
+
+    def _bgv_key_mult32(self):
+        if self.scheme != Scheme.BGV:
+            return None, None
+        t = int(self.ctx.params.plain_modulus)
+        qs = [int(q) for q in self.ctx.params.coeff_modulus]
+        mult = jnp.asarray(np.array([t % q for q in qs], dtype=np.uint32))
+        mult_shoup = jnp.asarray(np.array(
+            [m32.compute_shoup32(t % q, q) for q in qs], dtype=np.uint32))
+        return mult, mult_shoup
+
+    def _kswitch_consts32(self):
+        """Static consts for u32 kswitch keygen: (P mod q, Shoup, digit
+        mask) over the key base (cached)."""
+        if not hasattr(self, "_ksc32"):
+            p = self.ctx.params
+            alpha = p.size_p
+            dnum = -(-p.size_q // alpha)
+            big_p = 1
+            for q in p.special_moduli:
+                big_p *= q
+            qs = [int(q) for q in p.coeff_modulus]
+            pm = jnp.asarray(np.array([big_p % q for q in qs],
+                                      dtype=np.uint32))
+            pm_shoup = jnp.asarray(np.array(
+                [m32.compute_shoup32(big_p % q, q) for q in qs],
+                dtype=np.uint32))
+            mask = np.zeros((dnum, p.size_qp, 1), dtype=bool)
+            for d in range(dnum):
+                mask[d, d * alpha: min((d + 1) * alpha, p.size_q)] = True
+            self._ksc32 = (pm, pm_shoup, jnp.asarray(mask), dnum)
+        return self._ksc32
+
+    def gen_secret_key(self, rng):
+        """Ternary secret in NTT form over QP, u32 NTT engine —
+        bit-identical to keys.gen_secret_key (same ternary draw, exact
+        transform).  Reference: gen_secretkey, src/secretkey.cu:343."""
+        from .schemes.keys import SecretKey
+        t32, mv = self._key32()
+        return SecretKey(data=gen_secret_core32(
+            t32, mv, rng, self.ctx.params.n).astype(jnp.uint64))
+
+    def _encrypt_zero_sym32(self, s32_ntt, rng, mult, mult_shoup):
+        t32, mv = self._key32()
+        return encrypt_zero_sym_core32(t32, mv, self.ctx.key_mv, s32_ntt,
+                                       rng, self.ctx.params.n, mult,
+                                       mult_shoup)
+
+    def gen_public_key(self, sk, rng):
+        """u32 mirror of keys.gen_public_key (bit-identical)."""
+        from .schemes.keys import PublicKey
+        mult, mult_shoup = self._bgv_key_mult32()
+        s32 = jnp.asarray(sk.data).astype(jnp.uint32)
+        c0, c1 = self._encrypt_zero_sym32(s32, rng, mult, mult_shoup)
+        return PublicKey(data=jnp.stack([c0, c1]).astype(jnp.uint64))
+
+    def _gen_kswitch_key32(self, s32, new_key32, rng):
+        t32, mv = self._key32()
+        mult, mult_shoup = self._bgv_key_mult32()
+        pm, pm_shoup, mask, dnum = self._kswitch_consts32()
+        return gen_kswitch_core32(t32, mv, self.ctx.key_mv, s32, new_key32,
+                                  rng, self.ctx.params.n, dnum, pm,
+                                  pm_shoup, mask, mult, mult_shoup)
+
+    def gen_relin_key(self, sk, rng):
+        """u32 mirror of keys.gen_relin_key (bit-identical)."""
+        from .schemes.keys import RelinKey
+        _, mv = self._key32()
+        s32 = jnp.asarray(sk.data).astype(jnp.uint32)
+        s_sq = m32.mul_mod32(s32, s32, mv.q[:, None],
+                             mv.ratio_hi[:, None], mv.ratio_lo[:, None])
+        return RelinKey(
+            data=self._gen_kswitch_key32(s32, s_sq, rng
+                                         ).astype(jnp.uint64))
+
+    def create_galois_keys(self, sk, rng, steps=None, elts=None):
+        """u32 mirror of keys.create_galois_keys: one kswitch key per
+        element, switching sigma_elt(s) -> s (bit-identical)."""
+        import jax
+
+        from .schemes import galois as gal
+        from .schemes.keys import GaloisKeys
+        n = self.ctx.params.n
+        if elts is None:
+            if steps is not None:
+                elts = gal.get_elts_from_steps(steps, n)
+            elif self.ctx.params.galois_elts:
+                elts = list(self.ctx.params.galois_elts)
+            else:
+                elts = gal.default_elts(n)
+        s32 = jnp.asarray(sk.data).astype(jnp.uint32)
+        all_keys = []
+        for elt in elts:
+            rng, sub = jax.random.split(rng)
+            perm = jnp.asarray(gal.make_ntt_perm(elt, n).astype(np.int32))
+            all_keys.append(self._gen_kswitch_key32(s32, s32[..., perm],
+                                                    sub))
+        return GaloisKeys(data=jnp.stack(all_keys).astype(jnp.uint64),
+                          elts=tuple(int(e) for e in elts))
+
     # -- encrypt / decrypt ----------------------------------------------------
     def _qlp_cast32(self, arr64, ci: int) -> jnp.ndarray:
         from .schemes.keyswitch import qlp_rows
@@ -625,6 +736,55 @@ class Fast32:
         return Plaintext(
             data=jnp.asarray(np.asarray(m).astype(np.uint64)),
             chain_index=c.chain_index)
+
+
+def gen_secret_core32(t32, mv, rng, n: int) -> jnp.ndarray:
+    """Functional u32 secret keygen body (tables as args, jit-safe):
+    same ternary draw as keys.gen_secret_key, u32 NTT over QP."""
+    from .ops import sampling as smp
+    s32 = smp.lift_signed_to_rns32(smp.sample_ternary_vec(rng, n), mv)
+    return pp._fwd(None, s32, t32)
+
+
+def encrypt_zero_sym_core32(t32, mv, key_mv, s32_ntt, rng, n: int,
+                            mult=None, mult_shoup=None):
+    """(c0, c1) = (-(a s + e), a) in NTT form at the key level, all u32
+    (same threefry draws as keys._encrypt_zero_symmetric_ntt; reference:
+    encrypt_zero_symmetric, src/secretkey.cu:232)."""
+    import jax
+
+    from .ops import sampling as smp
+    k_a, k_e = jax.random.split(rng)
+    # same 128-bit uniform draws as the u64 sampler; residues < 2^30
+    # cast losslessly
+    a = smp.sample_uniform_rns(k_a, n, key_mv).astype(jnp.uint32)
+    e32 = smp.lift_signed_to_rns32(smp.sample_error_cbd(k_e, n), mv,
+                                   mult, mult_shoup)
+    e_ntt = pp._fwd(None, e32, t32)
+    q = mv.q[:, None]
+    a_s = m32.mul_mod32(a, s32_ntt, q, mv.ratio_hi[:, None],
+                        mv.ratio_lo[:, None])
+    c0 = m32.neg_mod32(m32.add_mod32(a_s, e_ntt, q), q)
+    return c0, a
+
+
+def gen_kswitch_core32(t32, mv, key_mv, s32, new_key32, rng, n: int,
+                       dnum: int, pm, pm_shoup, mask,
+                       mult=None, mult_shoup=None) -> jnp.ndarray:
+    """(dnum, 2, K, N) u32 key-switching key for new_key (NTT form) —
+    mirror of keys._gen_kswitch_key (reference: generate_one_kswitch_key,
+    src/secretkey.cu:297)."""
+    import jax
+    subkeys = jax.random.split(rng, dnum)
+    c0s, c1s = jax.vmap(
+        lambda k: encrypt_zero_sym_core32(t32, mv, key_mv, s32, k,
+                                          n, mult, mult_shoup)
+    )(subkeys)
+    term = m32.mul_mod_shoup32(new_key32, pm[:, None],
+                               pm_shoup[:, None], mv.q[:, None])
+    c0s = jnp.where(mask, m32.add_mod32(c0s, term[None], mv.q[:, None]),
+                    c0s)
+    return jnp.stack([c0s, c1s], axis=1)
 
 
 def encrypt_zero_core32(ks: pp.KeySwitch32, pk32: jnp.ndarray, rng,

@@ -100,23 +100,28 @@ def cdf_mul(a, b):
 
 # -- tables -----------------------------------------------------------------
 
-class CKKSFFTTables(NamedTuple):
+import flax.struct
+
+
+@flax.struct.dataclass
+class CKKSFFTTables:
     """Bit-reversed psi-power tables as complex double-float planes, plus
     slot scatter/gather indices (generator-5 order composed with the
-    rev-indexed evaluation domain)."""
+    rev-indexed evaluation domain).  flax struct (not NamedTuple) so the
+    int geometry survives jit as a static (CLAUDE.md invariant)."""
 
-    n: int
+    n: int = flax.struct.field(pytree_node=False, default=0)
     # (N,) f32 planes: forward table psi^bitrev, inverse psi^-bitrev
-    fwd_re_hi: jnp.ndarray
-    fwd_re_lo: jnp.ndarray
-    fwd_im_hi: jnp.ndarray
-    fwd_im_lo: jnp.ndarray
-    inv_re_hi: jnp.ndarray
-    inv_re_lo: jnp.ndarray
-    inv_im_hi: jnp.ndarray
-    inv_im_lo: jnp.ndarray
-    slot_pos: jnp.ndarray    # (N/2,) position of slot j in the eval vector
-    slot_conj: jnp.ndarray   # (N/2,) position of conj(slot j)
+    fwd_re_hi: jnp.ndarray = None
+    fwd_re_lo: jnp.ndarray = None
+    fwd_im_hi: jnp.ndarray = None
+    fwd_im_lo: jnp.ndarray = None
+    inv_re_hi: jnp.ndarray = None
+    inv_re_lo: jnp.ndarray = None
+    inv_im_hi: jnp.ndarray = None
+    inv_im_lo: jnp.ndarray = None
+    slot_pos: jnp.ndarray = None  # (N/2,) position of slot j in eval vec
+    slot_conj: jnp.ndarray = None  # (N/2,) position of conj(slot j)
 
 
 def make_fft_tables(n: int) -> CKKSFFTTables:

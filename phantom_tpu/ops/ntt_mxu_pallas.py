@@ -239,14 +239,22 @@ def _fwd_kernel(bits, q_bits, num_l, fused, has_tadd, rh_rl, x_ref, wa_ref,
         o_ref[0] = m32.add_mod32(out, c1, q)
 
 
-def _inv_kernel(bits, q_bits, num_l, has_mul, x_ref, *refs):
+def _inv_kernel(bits, q_bits, num_l, has_mul, emit_v, x_ref, *refs):
     refs = list(refs)
     m_ref = rh_ref = rl_ref = None
+    u_ref = vv_ref = None
     if has_mul:
         m_ref, rh_ref, rl_ref = refs[:3]
         refs = refs[3:]
+    if emit_v:
+        u_ref, vv_ref, rh_ref, rl_ref = refs[:4]
+        refs = refs[4:]
     (wbi_ref, di_ref, dis_ref, wai_ref, q_ref, pd_ref, pds_ref,
-     pd2_ref, pds2_ref, o_ref) = refs
+     pd2_ref, pds2_ref, o_ref) = refs[:10]
+    refs = refs[10:]
+    v_ref = acc_ref = None
+    if emit_v:
+        v_ref, acc_ref = refs
     lid = _mod(pl.program_id(0), num_l)
     cs = _csub_for(q_bits)
     q = q_ref[lid, 0]
@@ -267,8 +275,50 @@ def _inv_kernel(bits, q_bits, num_l, has_mul, x_ref, *refs):
     v = cs(mul_mod_shoup_lazy32(s, di_ref[0], dis_ref[0], q), q)
     vps = _plane_list(v, bits, q_bits)
     waips = _plane_list(wai_ref[0], bits, q_bits)
-    o_ref[0] = _mm_fold(waips, vps, q, pd2_ref, pds2_ref, lid, bits, n1, cs,
-                        q_bits)
+    out = _mm_fold(waips, vps, q, pd2_ref, pds2_ref, lid, bits, n1, cs,
+                   q_bits)
+    o_ref[0] = out
+    if not emit_v:
+        return
+    # fused floor-sum: accumulate this row's v = floor(sum y/q) terms
+    # across the group's rows (sequential grid + VMEM scratch; mirror of
+    # bconv32.floor_sum_div32's three-level 2^32 cascade) and emit the
+    # group's v plane at the last row — the exact-bconv correction for
+    # moddown never touches XLA
+    rh = rh_ref[lid, 0]
+    rl = rl_ref[lid, 0]
+
+    @pl.when(lid == 0)
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    yU = out * u_ref[lid, 0]                     # < 2^32: y < q, U <= 2^32/q
+    h, l_ = m32.mul_wide32(out, vv_ref[lid, 0])
+    q1, r1 = m32.barrett_div_mod_u64_32(h, l_, q, rh, rl)
+    s2, r2 = m32.barrett_div_mod_u64_32(r1, jnp.zeros_like(r1), q, rh, rl)
+    s3, _ = m32.barrett_div_mod_u64_32(r2, jnp.zeros_like(r2), q, rh, rl)
+    a_lo, cr = m32.add_u32_carry(acc_ref[1], yU)
+    a_hi = acc_ref[0] + cr
+    a_lo, cr = m32.add_u32_carry(a_lo, q1)
+    a_hi = a_hi + cr
+    b_lo, cr = m32.add_u32_carry(acc_ref[3], s2)
+    b_hi = acc_ref[2] + cr
+    c_lo, cr = m32.add_u32_carry(acc_ref[5], s3)
+    c_hi = acc_ref[4] + cr
+    acc_ref[0] = a_hi
+    acc_ref[1] = a_lo
+    acc_ref[2] = b_hi
+    acc_ref[3] = b_lo
+    acc_ref[4] = c_hi
+    acc_ref[5] = c_lo
+
+    @pl.when(lid == num_l - 1)
+    def _emit_v():
+        p1, cr1 = m32.add_u32_carry(b_lo, c_hi)
+        del p1
+        p2, cr2 = m32.add_u32_carry(a_lo, b_hi + cr1)
+        del p2
+        v_ref[0] = a_hi + cr2
 
 
 def _specs(t: MXUNTTTables, num_l: int, fused: bool, inverse: bool):
@@ -385,12 +435,17 @@ def ntt_inverse_mxu_pallas(x: jnp.ndarray, t: MXUNTTTables,
                            scale: Optional[jnp.ndarray] = None,
                            scale_shoup: Optional[jnp.ndarray] = None,
                            mul_by: Optional[jnp.ndarray] = None,
-                           interpret=None) -> jnp.ndarray:
+                           emit_floor_div=None,
+                           interpret=None):
     """x: (..., L, N) uint32 in [0, 2q) -> coefficients in [0, q).
     `scale` (default inv_degree) REPLACES the 1/N normalization.
     `mul_by` (same shape as x): transform x * mul_by mod q instead — the
     in-kernel dyadic-product prologue (e.g. iNTT of the tensor term
-    c2 = a1 ∘ b1 without materializing c2)."""
+    c2 = a1 ∘ b1 without materializing c2).
+    `emit_floor_div` = (U, V) per-limb consts (bconv32.BaseConvConsts32
+    .U/.V): additionally return v = floor(sum_rows y/q) per leading
+    group — the exact-bconv correction fused into the transform (the
+    caller's y rows must be the pre-scaled x*QhatInv moddown input)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n1, n2 = t.n1, t.n2
@@ -405,8 +460,10 @@ def ntt_inverse_mxu_pallas(x: jnp.ndarray, t: MXUNTTTables,
     pd2, pds2, _ = scaled_diag(t, scale,
                                (t.pow_diag, t.pow_diag_shoup, t.q_bits))
     has_mul = mul_by is not None
+    emit_v = emit_floor_div is not None
+    assert not (has_mul and emit_v)
     kern = functools.partial(_inv_kernel, t.plane_bits, t.q_bits, num_l,
-                             has_mul)
+                             has_mul, emit_v)
     data = pl.BlockSpec((1, n1, n2), lambda l: (l, _I0, _I0),
                         memory_space=pltpu.VMEM)
     scalar = pl.BlockSpec((num_l, 1), lambda l: (_I0, _I0),
@@ -417,20 +474,46 @@ def ntt_inverse_mxu_pallas(x: jnp.ndarray, t: MXUNTTTables,
         args += [jnp.asarray(mul_by, jnp.uint32).reshape(nrows, n1, n2),
                  t.mv.ratio_hi.reshape(-1, 1), t.mv.ratio_lo.reshape(-1, 1)]
         specs += [data, scalar, scalar]
+    if emit_v:
+        u_c, v_c = emit_floor_div
+        args += [jnp.asarray(u_c, jnp.uint32).reshape(-1, 1),
+                 jnp.asarray(v_c, jnp.uint32).reshape(-1, 1),
+                 t.mv.ratio_hi.reshape(-1, 1), t.mv.ratio_lo.reshape(-1, 1)]
+        specs += [scalar, scalar, scalar, scalar]
     args += [t.wbi, t.di.reshape(-1, n1, n2), t.di_shoup.reshape(-1, n1, n2),
              t.wai, t.q.reshape(-1, 1), t.pow_diag, t.pow_diag_shoup,
              pd2, pds2]
     specs += _specs(t, num_l, fused=False, inverse=True)[1:]
+    out_specs = pl.BlockSpec((1, n1, n2), lambda l: (l, _I0, _I0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((nrows, n1, n2), jnp.uint32)
+    scratch = []
+    if emit_v:
+        n_grp = nrows // num_l
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, n1, n2),
+                                  lambda l: (jax.lax.div(_i32(l),
+                                                         np.int32(num_l)),
+                                             _I0, _I0),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((n_grp, n1, n2), jnp.uint32))
+        scratch = [pltpu.VMEM((6, n1, n2), jnp.uint32)]
     out = pl.pallas_call(
         kern,
         grid=(nrows,),
         in_specs=specs,
-        out_specs=pl.BlockSpec((1, n1, n2), lambda l: (l, _I0, _I0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nrows, n1, n2), jnp.uint32),
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
     )(*args)
+    if emit_v:
+        out, v = out
+        out = (out.reshape(*lead, n1, n2) if blocked
+               else out.reshape(*lead, n1 * n2))
+        return out, (v if blocked else v.reshape(v.shape[0], n1 * n2))
     if blocked:
         return out.reshape(*lead, n1, n2)
     return out.reshape(*lead, n1 * n2)
@@ -690,7 +773,7 @@ def bconv_ntt_forward_mxu_pallas(y: jnp.ndarray, mat: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _modup_ip_kernel(bits, q_bits, alpha, beta, k_out, k_data, has_self,
-                     self_mul, resident_y, y_ref, mat_ref, *rest):
+                     self_mul, resident_y, preconv, y_ref, mat_ref, *rest):
     rest = list(rest)
     c2_ref = c2b_ref = None
     if has_self:
@@ -723,6 +806,13 @@ def _modup_ip_kernel(bits, q_bits, alpha, beta, k_out, k_data, has_self,
     # vs ~11 MB resident (measured r5; the "crowds VMEM" concern that
     # motivated streaming was mis-priced).
     def _transform(t_ref):
+        if preconv:
+            # base conversion already done (int8 MXU matmul in XLA);
+            # this program only transforms its row
+            t_ref[...] = _ntt_core(y_ref[0, 0], wa_ref, d_ref, ds_ref,
+                                   wb_ref, q, pd_ref, pds_ref, jid, bits,
+                                   q_bits)
+            return
         c = jnp.zeros(shape, dtype=jnp.uint32)
         hi = jnp.zeros(shape, dtype=jnp.uint32)
         lo = jnp.zeros(shape, dtype=jnp.uint32)
@@ -797,6 +887,86 @@ def _modup_ip_kernel(bits, q_bits, alpha, beta, k_out, k_data, has_self,
                 m32.add_mod32(t_c2, t_h2, q), t_l2, q)
 
 
+def _ip_kernel(beta, t_ref, evk_ref, q_ref, rh_ref, rl_ref, p32_ref,
+               p64_ref, o_ref, acc_ref):
+    """Evaluation-key inner product over the digit axis: per QlP row j,
+    accumulate sum_d t[d,j] * evk[d,half,j] in two VMEM-resident 96-bit
+    triples across the (sequential) digit grid axis, reduce once at the
+    last digit (reference: key_switch_inner_prod_c2_and_evk,
+    eval_key_switch.cu:14-69)."""
+    jid = _i32(pl.program_id(0))
+    did = _i32(pl.program_id(1))
+    q = q_ref[jid, 0]
+    rh = rh_ref[jid, 0]
+    rl = rl_ref[jid, 0]
+
+    @pl.when(did == 0)
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    t_dj = t_ref[0, 0]
+    for half in range(2):
+        h, l = m32.mul_wide32(t_dj, evk_ref[0, half, 0])
+        lo_a, cr = m32.add_u32_carry(acc_ref[3 * half + 2], l)
+        hi_a, cr2 = m32.add_u32_carry(acc_ref[3 * half + 1], h + cr)
+        acc_ref[3 * half] = acc_ref[3 * half] + cr2
+        acc_ref[3 * half + 1] = hi_a
+        acc_ref[3 * half + 2] = lo_a
+
+    @pl.when(did == beta - 1)
+    def _emit():
+        for half in range(2):
+            cc = acc_ref[3 * half]
+            hh = acc_ref[3 * half + 1]
+            ll = acc_ref[3 * half + 2]
+            t_c = m32.mul_mod32(m32.barrett_reduce_u32(cc, q, rh),
+                                p64_ref[jid, 0], q, rh, rl)
+            t_h = m32.mul_mod32(m32.barrett_reduce_u32(hh, q, rh),
+                                p32_ref[jid, 0], q, rh, rl)
+            t_l = m32.barrett_reduce_u32(ll, q, rh)
+            o_ref[half, 0] = m32.add_mod32(
+                m32.add_mod32(t_c, t_h, q), t_l, q)
+
+
+def ip_mxu_pallas(t_up: jnp.ndarray, evk: jnp.ndarray, mv,
+                  t: MXUNTTTables, interpret=None):
+    """Pure inner-product kernel on the blocked layout: t_up
+    (beta, k_out, n1, n2), evk (beta, 2, k_out, [n1, n2]) ->
+    (s0, s1) each (k_out, n1, n2) in [0, q).  Bit-identical to
+    pipeline32.inner_product32 (the XLA triple path) but keeps the
+    per-row accumulators in VMEM and streams evk through the grid —
+    the 500+ us of XLA select/subtract fusions the triple path costs at
+    L=43 collapse into the kernel (r5 trace)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n1, n2 = t.n1, t.n2
+    beta, k_out = t_up.shape[:2]
+    assert t_up.shape[-2:] == (n1, n2)
+    evkm = evk.reshape(beta, 2, k_out, n1, n2)
+    col = lambda a: jnp.asarray(a, jnp.uint32).reshape(-1, 1)
+    t_spec = pl.BlockSpec((1, 1, n1, n2), lambda j, d: (d, j, _I0, _I0),
+                          memory_space=pltpu.VMEM)
+    evk_spec = pl.BlockSpec((1, 2, 1, n1, n2),
+                            lambda j, d: (d, _I0, j, _I0, _I0),
+                            memory_space=pltpu.VMEM)
+    scalar = pl.BlockSpec((k_out, 1), lambda j, d: (_I0, _I0),
+                          memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        functools.partial(_ip_kernel, beta),
+        grid=(k_out, beta),
+        in_specs=[t_spec, evk_spec, scalar, scalar, scalar, scalar, scalar],
+        out_specs=pl.BlockSpec((2, 1, n1, n2),
+                               lambda j, d: (_I0, j, _I0, _I0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, k_out, n1, n2), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((6, n1, n2), jnp.uint32)],
+        interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(t_up, evkm, col(mv.q), col(mv.ratio_hi), col(mv.ratio_lo),
+      col(mv.pow32), col(mv.pow64))
+    return out[0], out[1]
+
+
 # fall back to the split modup + XLA inner product when the resident
 # y buffer would crowd VMEM (~16 MB/core; tables + evk blocks + scratch
 # need the rest); PHANTOM_MODUP_IP=0 disables the mega-kernel entirely,
@@ -809,7 +979,8 @@ MODUP_IP_MAX_Y_BYTES = (
 
 def modup_ip_mxu_pallas(y: jnp.ndarray, mats: jnp.ndarray,
                         c2_ntt: jnp.ndarray, evk: jnp.ndarray,
-                        t: MXUNTTTables, k_data=None, interpret=None):
+                        t: MXUNTTTables, k_data=None, preconv=False,
+                        alpha=None, interpret=None):
     """Fused modup + hybrid-keyswitch inner product: for each QlP row j,
     every digit's contribution (bconv + NTT, or the NTT-form passthrough
     inside the digit) is multiplied by evk[d, half, j] and accumulated in
@@ -829,42 +1000,63 @@ def modup_ip_mxu_pallas(y: jnp.ndarray, mats: jnp.ndarray,
 
     c2_ntt may also be a PAIR (a, b) of NTT-form operands: passthrough
     rows compute a ∘ b mod q in-kernel (the fused tensor product — c2
-    itself never materializes)."""
+    itself never materializes).
+
+    preconv=True: y is the PRE-CONVERTED (beta, k_out, n1, n2) delta
+    tensor (base conversion already done as an int8 MXU matmul in XLA —
+    ~free vs ~10us/row for the in-kernel VPU accumulation at alpha=22;
+    self rows arbitrary, never read).  Each program only transforms its
+    row and MACs it against evk; `alpha` must be given (digit width for
+    the passthrough predicate) and mats is ignored."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n1, n2 = t.n1, t.n2
-    blocked = y.ndim == 3 and y.shape[-2:] == (n1, n2)
-    k = y.shape[0]
     n = n1 * n2
-    beta, k_out, alpha = mats.shape
-    assert k == beta * alpha
-    assert blocked or y.shape == (k, n), y.shape
-    assert t.q.shape[0] == k_out, (t.q.shape, k_out)
     mv = t.mv
     n_diag = t.pow_diag.shape[1]
-
-    ym = y.reshape(beta, alpha, n1, n2)
-    matm = jnp.asarray(mats, jnp.uint32).reshape(beta * k_out, alpha)
     self_mul = isinstance(c2_ntt, tuple)
     has_self = c2_ntt is not None
+    resident_y = False
+    if preconv:
+        assert alpha is not None
+        beta, k_out = y.shape[:2]
+        assert y.shape[-2:] == (n1, n2), y.shape
+        k = beta * alpha
+        ym = y
+        matm = jnp.zeros((1, 1), jnp.uint32)         # unused in preconv
+        y_spec = pl.BlockSpec((1, 1, n1, n2),
+                              lambda j, d: (d, j, _I0, _I0),
+                              memory_space=pltpu.VMEM)
+        mat_spec = pl.BlockSpec((1, 1), lambda j, d: (_I0, _I0),
+                                memory_space=pltpu.SMEM)
+    else:
+        blocked_y = y.ndim == 3 and y.shape[-2:] == (n1, n2)
+        k = y.shape[0]
+        beta, k_out, alpha = mats.shape
+        assert k == beta * alpha
+        assert blocked_y or y.shape == (k, n), y.shape
+        ym = y.reshape(beta, alpha, n1, n2)
+        matm = jnp.asarray(mats, jnp.uint32).reshape(beta * k_out, alpha)
+        # resident y: fetched ONCE (constant block index) instead of per
+        # program — see the kernel comment.  PHANTOM_MEGA_Y=stream
+        # restores the per-digit streaming blocks for A/B.
+        resident_y = _os.environ.get("PHANTOM_MEGA_Y",
+                                     "resident") == "resident"
+        if resident_y:
+            y_spec = pl.BlockSpec((beta, alpha, n1, n2),
+                                  lambda j, d: (_I0, _I0, _I0, _I0),
+                                  memory_space=pltpu.VMEM)
+        else:
+            y_spec = pl.BlockSpec((1, alpha, n1, n2),
+                                  lambda j, d: (d, _I0, _I0, _I0),
+                                  memory_space=pltpu.VMEM)
+        mat_spec = pl.BlockSpec((beta * k_out, alpha),
+                                lambda j, d: (_I0, _I0),
+                                memory_space=pltpu.SMEM)
+    assert t.q.shape[0] == k_out, (t.q.shape, k_out)
     # pass evk pre-blocked (beta, 2, k_out, n1, n2) to avoid re-tiling the
     # ~44 MB key stream on every step
     evkm = evk.reshape(beta, 2, k_out, n1, n2)
-
-    # resident y: fetched ONCE (constant block index) instead of per
-    # program — see the kernel comment.  PHANTOM_MEGA_Y=stream restores
-    # the per-digit streaming blocks for A/B.
-    resident_y = _os.environ.get("PHANTOM_MEGA_Y", "resident") == "resident"
-    if resident_y:
-        y_spec = pl.BlockSpec((beta, alpha, n1, n2),
-                              lambda j, d: (_I0, _I0, _I0, _I0),
-                              memory_space=pltpu.VMEM)
-    else:
-        y_spec = pl.BlockSpec((1, alpha, n1, n2),
-                              lambda j, d: (d, _I0, _I0, _I0),
-                              memory_space=pltpu.VMEM)
-    mat_spec = pl.BlockSpec((beta * k_out, alpha), lambda j, d: (_I0, _I0),
-                            memory_space=pltpu.SMEM)
     c2_spec = pl.BlockSpec((1, n1, n2), lambda j, d: (_mod(j, k), _I0, _I0),
                            memory_space=pltpu.VMEM)
     evk_spec = pl.BlockSpec((1, 2, 1, n1, n2), lambda j, d: (d, _I0, j, _I0, _I0),
@@ -885,7 +1077,7 @@ def modup_ip_mxu_pallas(y: jnp.ndarray, mats: jnp.ndarray,
         k_data = k
     kern = functools.partial(_modup_ip_kernel, t.plane_bits, t.q_bits,
                              alpha, beta, k_out, k_data, has_self, self_mul,
-                             resident_y)
+                             resident_y, preconv)
     args = [ym, matm]
     specs = [y_spec, mat_spec]
     if self_mul:
@@ -913,7 +1105,8 @@ def modup_ip_mxu_pallas(y: jnp.ndarray, mats: jnp.ndarray,
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
     )(*args)
-    if blocked:
+    blocked_out = preconv or (y.ndim == 3 and y.shape[-2:] == (n1, n2))
+    if blocked_out:
         out = out.reshape(2, k_out, n1, n2)
     else:
         out = out.reshape(2, k_out, n)

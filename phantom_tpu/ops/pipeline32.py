@@ -377,6 +377,23 @@ def _use_kernel_bconv(ks: KeySwitch32, variant: str) -> bool:
     return variant in ("kernel", "mega")
 
 
+def modup_delta_xla32(ks: KeySwitch32, y: jnp.ndarray) -> jnp.ndarray:
+    """Per-digit MXU bconv of the pre-scaled iNTT rows, zero rows at the
+    digit-own positions: (beta, size_qlp, ...) — the preconv mega-kernel's
+    input (it transforms + MACs these; self rows ride through as the c2
+    passthrough and never read the zeros)."""
+    k = ks.size_ql
+    alpha = ks.size_p
+    beta = len(ks.digit_convs)
+    out = []
+    for d in range(beta):
+        lo, hi = d * alpha, min((d + 1) * alpha, k)
+        compl = bc32.matmul_reduce32(y[lo:hi], ks.digit_convs[d])
+        z = jnp.zeros((hi - lo,) + y.shape[1:], y.dtype)
+        out.append(jnp.concatenate([compl[:lo], z, compl[lo:]], axis=0))
+    return jnp.stack(out)
+
+
 def modup_xla32(ks: KeySwitch32, y: jnp.ndarray,
                 c2_ntt: jnp.ndarray) -> jnp.ndarray:
     """xla-bconv modup: y = pre-scaled iNTT rows (size_ql, ...), c2_ntt =
@@ -481,13 +498,23 @@ def inner_product32(ks: KeySwitch32, t_modup: jnp.ndarray,
     (carry, hi, lo) u32 triple, one reduction at the end (reference:
     key_switch_inner_prod_c2_and_evk, eval_key_switch.cu:14-69)."""
     beta = t_modup.shape[0]
-    # (a dedicated Pallas inner-product kernel was tried and retired: its
-    # (beta, 1, n) blocks violate Mosaic's block-shape rule, and this XLA
-    # triple path already measures at the HBM roofline for the op —
-    # ~190us per half at L=28 N=65536, evk-stream bound)
-    # both halves in ONE sweep over the digits so each t_modup[d] row is
-    # read from HBM once (the evk stream is the roofline term; t_modup is
-    # the next-largest and this halves its traffic)
+    t = ks.t_qlp
+    if (isinstance(t, ntt_mxu.MXUNTTTables) and t.fused_kernel
+            and t_modup.ndim == 4 and t_modup.shape[-2:] == (t.n1, t.n2)
+            and _os.environ.get("PHANTOM_IP_KERNEL", "0") == "1"):
+        # the dedicated Pallas IP kernel (legal on (1, 1, n1, n2) blocks,
+        # unlike the flat formulation Mosaic once rejected) — measured
+        # SLOWER than the XLA triple path on the v5e (6.84 vs 6.27 ms
+        # step at L=43, r5): the tiny per-program MAC cannot hide the
+        # evk block DMA, while XLA pipelines the same streams through
+        # one fused loop.  Kept selectable for future Mosaic versions.
+        from . import ntt_mxu_pallas as nmp
+        return list(nmp.ip_mxu_pallas(
+            t_modup, _match_evk_layout(evk, t_modup), ks.mv_qlp, t))
+    # XLA triple path: both halves in ONE sweep over the digits so each
+    # t_modup[d] row is read from HBM once (the evk stream is the
+    # roofline term; t_modup is the next-largest and this halves its
+    # traffic)
     acc = [[jnp.zeros(t_modup.shape[1:], dtype=jnp.uint32)
             for _ in range(3)] for _ in range(2)]
     for d in range(beta):
@@ -609,11 +636,20 @@ def moddown32_pair(ks: KeySwitch32, x0: jnp.ndarray, x1: jnp.ndarray,
     from . import ntt_mxu_pallas as nmp
     k = ks.size_ql
     xp = jnp.stack([x0[k:], x1[k:]])             # (2, alpha, N)
-    y = _inv(ks, xp, ks.t_p, scale=ks.moddown_scale,
-             scale_shoup=ks.moddown_scale_shoup)
     sub = jnp.stack([x0[:k], x1[:k]])
-    if _use_kernel_bconv(ks, MODDOWN_VARIANT):
+    if isinstance(ks.t_p, ntt_mxu.MXUNTTTables) and ks.t_p.fused_kernel:
+        # the exact-bconv floor correction v rides the iNTT kernel
+        # (per-row cascade terms accumulate in VMEM scratch across the
+        # group's sequential grid rows) — no XLA floor-sum pass
+        y, v = nmp.ntt_inverse_mxu_pallas(
+            xp, ks.t_p, scale=ks.moddown_scale,
+            scale_shoup=ks.moddown_scale_shoup,
+            emit_floor_div=(ks.p_to_q.U, ks.p_to_q.V))
+    else:
+        y = _inv(ks, xp, ks.t_p, scale=ks.moddown_scale,
+                 scale_shoup=ks.moddown_scale_shoup)
         v = jax.vmap(bc32.floor_sum_div32, in_axes=(0, None))(y, ks.p_to_q)
+    if _use_kernel_bconv(ks, MODDOWN_VARIANT):
         mat = jnp.broadcast_to(ks.p_to_q.qhat_mod_p[None],
                                (2,) + ks.p_to_q.qhat_mod_p.shape)
         out = nmp.bconv_ntt_forward_mxu_pallas(
@@ -627,7 +663,6 @@ def moddown32_pair(ks: KeySwitch32, x0: jnp.ndarray, x1: jnp.ndarray,
     # (sub - NTT(delta)) * P^{-1} [+ tensor term] per row
     c = ks.p_to_q
     raw = jax.vmap(lambda yy: bc32.matmul_reduce32(yy, c))(y)
-    v = jax.vmap(bc32.floor_sum_div32, in_axes=(0, None))(y, ks.p_to_q)
     qb = _qcol(c.obase.q, raw[0])[None]
     rhb = _qcol(c.obase.ratio_hi, raw[0])[None]
     rlb = _qcol(c.obase.ratio_lo, raw[0])[None]
@@ -822,13 +857,17 @@ def mult_relin_rescale32(p: CKKSPipeline32, d1: jnp.ndarray,
         raise ValueError("multiply+relin needs a relin key (Fast32 was "
                          "built with rlk=None)")
     ks = p.ks
-    lead = d1.shape[:-1]
     # mxu-pallas: run the whole step in the BLOCKED (L, n1, n2) layout —
     # one tiling relayout in and one out instead of one per kernel call
-    # (each is a full VPU pass over the ciphertext; see CLAUDE.md)
+    # (each is a full VPU pass over the ciphertext; see CLAUDE.md).
+    # Pre-blocked (2, L, n1, n2) input stays blocked end to end, so a
+    # chained caller's loop carry never relayouts at all.
     t = ks.t_ql
     blk = isinstance(t, ntt_mxu.MXUNTTTables) and t.fused_kernel
-    if blk:
+    pre_blocked = (blk and d1.ndim >= 3
+                   and d1.shape[-2:] == (t.n1, t.n2))
+    lead = d1.shape[:-2] if pre_blocked else d1.shape[:-1]
+    if blk and not pre_blocked:
         d1 = d1.reshape(*lead, t.n1, t.n2)
         d2 = d2.reshape(*lead, t.n1, t.n2)
     q = _qcol(ks.mv_ql.q, d1[0])
@@ -857,18 +896,29 @@ def mult_relin_rescale32(p: CKKSPipeline32, d1: jnp.ndarray,
         m0, m1 = moddown32_pair(ks, s0, s1, tensor_add=(d1, d2))
         out = jnp.stack([m0, m1])
     elif fuse_tensor and ks.t_qlp_compl is not None:
-        # xla-bconv variant: base conversions on the MXU in XLA, only
-        # the complement rows transform, evk inner product in XLA; the
-        # moddown fNTT keeps the (sub - NTT(delta)) * P^-1 epilogue and
-        # the c0/c1 tensor adds fused in-kernel.
+        # xla-bconv variant: base conversions as int8 MXU matmuls in
+        # XLA; the complement rows' forward NTT and the evk inner
+        # product run fused in ONE kernel (preconv mega), with the
+        # tensor c2 product in the passthrough rows; the moddown fNTT
+        # keeps the (sub - NTT(delta)) * P^-1 epilogue and the c0/c1
+        # tensor adds fused in-kernel.
         rh = _qcol(ks.mv_ql.ratio_hi, d1[0])
         rl = _qcol(ks.mv_ql.ratio_lo, d1[0])
         c2 = m32.mul_mod32(d1[1], d2[1], q, rh, rl)
         y = _inv(ks, c2, ks.t_ql, scale=ks.modup_scale,
                  scale_shoup=ks.modup_scale_shoup)
-        t_up = modup_xla32(ks, y, c2)
-        s0, s1 = inner_product32(ks, t_up,
-                                 _match_evk_layout(p.evk, t_up))
+        if MODUP_VARIANT == "xla-split":
+            # two-stage form: batched compl fNTT kernel + XLA IP
+            t_up = modup_xla32(ks, y, c2)
+            s0, s1 = inner_product32(ks, t_up,
+                                     _match_evk_layout(p.evk, t_up))
+        else:
+            delta = modup_delta_xla32(ks, y)
+            s0, s1 = nmp.modup_ip_mxu_pallas(
+                delta, None, (_pad_digit_rows(ks, d1[1]),
+                              _pad_digit_rows(ks, d2[1])),
+                p.evk, ks.t_qlp, k_data=ks.size_ql, preconv=True,
+                alpha=ks.size_p)
         m0, m1 = moddown32_pair(ks, s0, s1, tensor_add=(d1, d2))
         out = jnp.stack([m0, m1])
     else:
@@ -881,7 +931,7 @@ def mult_relin_rescale32(p: CKKSPipeline32, d1: jnp.ndarray,
     res = _rescale(p, out)
     debug.check_range(res, _qcol(ks.mv_ql.q[:-1], res[0]),
                       "rescale output not canonical")
-    if blk:
+    if blk and not pre_blocked:
         res = res.reshape(*lead[:-1], ks.size_ql - 1, t.n1 * t.n2)
     return res
 

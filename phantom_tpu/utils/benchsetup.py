@@ -31,8 +31,15 @@ def _ct_meta(ct):
 
 def setup_bench(scheme: str = "ckks", n: int = 65536, limbs: int = 28,
                 alpha: int = 14, bits: int = 28, multech: str = "hps",
-                galois_steps=(), seed: int = 0, verbose: bool = True):
+                galois_steps=(), seed: int = 0, verbose: bool = True,
+                hiprec: bool = False):
     """Build (or load) the standard bench setup.
+
+    hiprec (CKKS only): the paired-prime high-precision chain — one
+    28-bit q0 + `limbs` 22-bit data primes, working scale 2^44, each
+    multiplicative level rescaling by a PAIR of 22-bit primes
+    (examples/9_hiprec_ckks.py construction; matches the reference CKKS
+    bench's scale-2^40 workload class on u32 words).
 
     Returns a SimpleNamespace with: params, ctx, sk, pk, rlk, glk (None
     unless galois_steps), pt, ct1, ct2, enc, values (the encoded payload),
@@ -52,9 +59,17 @@ def setup_bench(scheme: str = "ckks", n: int = 65536, limbs: int = 28,
 
     t0 = time.time()
     sch = {"ckks": Scheme.CKKS, "bfv": Scheme.BFV, "bgv": Scheme.BGV}[scheme]
-    qs = numth.get_primes(2 * n, bits, limbs + 1)
-    ps = numth.get_primes(2 * n, bits + 1, alpha)
-    coeff = [qs[0]] + qs[1:limbs] + ps  # q0 + rest + special
+    if hiprec:
+        assert sch == Scheme.CKKS, "hiprec is a CKKS mode"
+        assert (limbs - 1) % 2 == 0, "hiprec: limbs = q0 + prime pairs"
+        q0 = numth.get_primes(2 * n, 28, 1)
+        rs = numth.get_primes(2 * n, 22, limbs - 1)
+        ps = numth.get_primes(2 * n, 29, alpha)
+        coeff = q0 + rs + ps           # q0 + 22-bit pairs + special
+    else:
+        qs = numth.get_primes(2 * n, bits, limbs + 1)
+        ps = numth.get_primes(2 * n, bits + 1, alpha)
+        coeff = [qs[0]] + qs[1:limbs] + ps  # q0 + rest + special
     extra = {}
     if sch != Scheme.CKKS:
         # batching primes are == 1 mod 2n, so they need > log2(2n) bits
@@ -73,7 +88,7 @@ def setup_bench(scheme: str = "ckks", n: int = 65536, limbs: int = 28,
 
     if sch == Scheme.CKKS:
         enc = CKKSEncoder(ctx)
-        scale = 2.0 ** (bits - 6)
+        scale = 2.0 ** 44 if hiprec else 2.0 ** (bits - 6)
         values = np.random.default_rng(seed).standard_normal(enc.slots)
     else:
         enc = BatchEncoder(ctx)
@@ -81,8 +96,10 @@ def setup_bench(scheme: str = "ckks", n: int = 65536, limbs: int = 28,
         values = np.random.default_rng(seed).integers(
             0, params.plain_modulus, n, dtype=np.uint64)
 
-    cfg = dict(scheme=scheme, n=n, limbs=limbs, alpha=alpha, bits=bits,
-               multech=multech if sch == Scheme.BFV else "",
+    cfg = dict(scheme=scheme, n=n, limbs=limbs, alpha=alpha,
+               bits=(22 if hiprec else bits),
+               multech=(multech if sch == Scheme.BFV else
+                        "hiprec" if hiprec else ""),
                galois_steps=list(galois_steps), seed=seed)
     hit = benchcache.load_setup(**cfg)
     import jax.numpy as jnp

@@ -287,3 +287,44 @@ def test_multiply_then_relinearize_u32_bit_match(scheme):
     c2 = ev.relinearize(c3)
     np.testing.assert_array_equal(np.asarray(c2.data),
                                   np.asarray(ref2.data).astype(np.uint32))
+
+
+@pytest.mark.parametrize("scheme", ["ckks", "bgv"])
+def test_keygen_u32_bit_match(scheme):
+    """Fast32 keygen (u32 engine) produces the exact key bits of the u64
+    path: same threefry draws, exact u32 transforms."""
+    if scheme == "ckks":
+        qs = numth.get_primes(2 * N, 28, 4)
+        ps = numth.get_primes(2 * N, 29, 2)
+        params = EncryptionParameters.create(
+            Scheme.CKKS, N, qs + ps, special_modulus_size=2)
+    else:
+        qs = numth.get_primes(2 * N, 28, 4)
+        ps = numth.get_primes(2 * N, 29, 2)
+        params = EncryptionParameters.create(
+            Scheme.BGV, N, qs + ps, special_modulus_size=2,
+            plain_modulus=PlainModulus.batching(N, 17).value)
+    ctx = make_context(params)
+    k = jax.random.split(jax.random.PRNGKey(77), 4)
+    ev = Fast32(ctx)
+
+    sk64 = keys.gen_secret_key(ctx, k[0])
+    sk32 = ev.gen_secret_key(k[0])
+    np.testing.assert_array_equal(np.asarray(sk32.data),
+                                  np.asarray(sk64.data))
+
+    pk64 = keys.gen_public_key(ctx, sk64, k[1])
+    pk32 = ev.gen_public_key(sk64, k[1])
+    np.testing.assert_array_equal(np.asarray(pk32.data),
+                                  np.asarray(pk64.data))
+
+    rlk64 = keys.gen_relin_key(ctx, sk64, k[2])
+    rlk32 = ev.gen_relin_key(sk64, k[2])
+    np.testing.assert_array_equal(np.asarray(rlk32.data),
+                                  np.asarray(rlk64.data))
+
+    glk64 = keys.create_galois_keys(ctx, sk64, k[3], steps=[1, 2])
+    glk32 = ev.create_galois_keys(sk64, k[3], steps=[1, 2])
+    assert glk32.elts == glk64.elts
+    np.testing.assert_array_equal(np.asarray(glk32.data),
+                                  np.asarray(glk64.data))

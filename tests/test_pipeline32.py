@@ -174,13 +174,14 @@ def test_rotate_uneven_digits(setup_uneven):
     np.testing.assert_array_equal(out, ref_rot.astype(np.uint32))
 
 
+@pytest.mark.parametrize("variant", ["xla", "xla-split"])
 @pytest.mark.parametrize("fixture", ["setup", "setup_uneven"])
-def test_bit_match_xla_bconv_variant(request, fixture, monkeypatch):
+def test_bit_match_xla_bconv_variant(request, fixture, variant, monkeypatch):
     """The xla-bconv structure (MXU matmul base conversions + compl-only
     modup transforms + fused-epilogue fNTT moddown with in-kernel tensor
     adds) bit-matches the u64 evaluator on even and uneven chains."""
     ctx, rlk, ct1, ct2, ref = request.getfixturevalue(fixture)
-    monkeypatch.setattr(pp, "MODUP_VARIANT", "xla")
+    monkeypatch.setattr(pp, "MODUP_VARIANT", variant)
     monkeypatch.setattr(pp, "MODDOWN_VARIANT", "xla")
     p = pp.build_pipeline32(ctx, rlk, use_pallas="mxu-pallas")
     assert p.ks.t_qlp_compl is not None
