@@ -25,7 +25,8 @@ def main():
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--variants", default="kernel,xla,xla-split",
                     help="comma list of MODUP_VARIANT values to compare "
-                         "(moddown pairs with it: kernel->kernel, else xla)")
+                         "(moddown pairs with it: kernel->kernel, else "
+                         "xla); an entry 'MU:MD' sets the pair explicitly")
     args = ap.parse_args()
 
     os.environ.setdefault("PHANTOM_VMEM_LIMIT", str(48 << 20))
@@ -57,8 +58,16 @@ def main():
 
     runners = {}
     for v in args.variants.split(","):
-        pp.MODUP_VARIANT = v
-        pp.MODDOWN_VARIANT = "kernel" if v == "kernel" else "xla"
+        parts = v.split(":")
+        if len(parts) >= 2:
+            pp.MODUP_VARIANT = parts[0]
+            pp.MODDOWN_VARIANT = parts[1]
+        else:
+            pp.MODUP_VARIANT = v
+            pp.MODDOWN_VARIANT = "kernel" if v == "kernel" else "xla"
+        if len(parts) >= 3:   # "merged" | "pair" (moddown+rescale fusion)
+            os.environ["PHANTOM_MERGED_EPILOGUE"] = (
+                "1" if parts[2] == "merged" else "0")
         pipe = pp.build_pipeline32(ctx, rlk, use_pallas="mxu-pallas")
         t_ = pipe.ks.t_ql
         blk = isinstance(t_, ntt_mxu.MXUNTTTables) and t_.fused_kernel
@@ -87,19 +96,16 @@ def main():
 
             return chained
 
-        runners[v] = [make(), pipe, d, e]
-
-    # honest mode before any timing (CLAUDE.md)
-    np.asarray(jnp.arange(8).sum())
-
-    # compile + warm
-    for v, r in runners.items():
+        # trace+compile NOW, while the module variant flags still hold
+        # this variant's values (they are consulted at trace time)
+        np.asarray(jnp.arange(8).sum())   # honest mode (CLAUDE.md)
+        fn = make()
         t0 = time.time()
-        a, b = r[0](r[1], r[2], r[3])
+        a, b = fn(pipe, d, e)
         jax.block_until_ready(a)
-        r[2], r[3] = a, b
         print(f"# {v}: compile+first {time.time()-t0:.1f}s",
               file=sys.stderr, flush=True)
+        runners[v] = [fn, pipe, a, b]
 
     times = {v: [] for v in runners}
     for _ in range(args.reps):

@@ -769,6 +769,232 @@ def bconv_ntt_forward_mxu_pallas(y: jnp.ndarray, mat: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# moddown + relin-add + rescale in one launch (CKKS epilogue mega-kernel)
+# ---------------------------------------------------------------------------
+
+def _intt_core(x, wbi_ref, di_ref, dis_ref, wai_ref, q, pd_ref, pds_ref,
+               pd2_ref, pds2_ref, bits, q_bits):
+    """Four-step inverse NTT of one canonical (n1, n2) block in VMEM with
+    scale-in-fold (single-limb tables at SMEM row 0)."""
+    n1, n2 = x.shape
+    cs = _csub_for(q_bits)
+    xps = _plane_list(x, bits, q_bits)
+    wbips = _plane_list(wbi_ref[0], bits, q_bits)
+    s = _mm_fold(xps, wbips, q, pd_ref, pds_ref, _I0, bits, n2, cs, q_bits)
+    v = cs(mul_mod_shoup_lazy32(s, di_ref[0], dis_ref[0], q), q)
+    vps = _plane_list(v, bits, q_bits)
+    waips = _plane_list(wai_ref[0], bits, q_bits)
+    return _mm_fold(waips, vps, q, pd2_ref, pds2_ref, _I0, bits, n1, cs,
+                    q_bits)
+
+
+def _moddown_rescale_kernel(bits, q_bits, alpha, k, y_ref, mat_ref, v_ref,
+                            vm_ref, s_ref, ta0_ref, ta1_ref, tb0_ref,
+                            tb1_ref, wa_ref, d_ref, ds_ref, wb_ref,
+                            q_ref, rh_ref, rl_ref, p32_ref, p64_ref,
+                            pd_ref, pds_ref, pinv_ref, pinvs_ref,
+                            hmq_ref, qinv_ref, qinvs_ref, half_ref,
+                            wbi_ref, di_ref, dis_ref, wai_ref,
+                            pdl_ref, pdsl_ref, pd2l_ref, pds2l_ref,
+                            o_ref, scr_ref):
+    """Per program (g, j'): moddown row j = (j'+k-1) mod k of keyswitch
+    half g, the relin tensor add, and (for j < k-1) the rescale — the
+    last limb transforms FIRST so its inverse transform (+half) sits in
+    VMEM scratch for every later row of the group.  One forward NTT per
+    row: by linearity (mod q, exact),
+        out_j = (s_j*P^-1 + c_g - NTT_j(delta_j*P^-1 + delta2_j)) * qlast^-1
+    Bit-identical to moddown32_pair + _rescale composed
+    (tests/test_pipeline32.py)."""
+    gid = _i32(pl.program_id(0))
+    jp = _i32(pl.program_id(1))
+    jid = jax.lax.rem(jp + np.int32(k - 1), np.int32(k))
+    q = q_ref[jid, 0]
+    rh = rh_ref[jid, 0]
+    rl = rl_ref[jid, 0]
+    cs = _csub_for(q_bits)
+    shape = y_ref.shape[2:]
+
+    # exact bconv delta for row j (96-bit triple + v floor correction)
+    c = jnp.zeros(shape, dtype=jnp.uint32)
+    hi = jnp.zeros(shape, dtype=jnp.uint32)
+    lo = jnp.zeros(shape, dtype=jnp.uint32)
+    for i in range(alpha):
+        h, l = m32.mul_wide32(y_ref[0, i], mat_ref[jid, i])
+        lo, cr = m32.add_u32_carry(lo, l)
+        hi2, cr2 = m32.add_u32_carry(hi, h + cr)
+        hi = hi2
+        c = c + cr2
+    t_c = m32.mul_mod32(m32.barrett_reduce_u32(c, q, rh),
+                        p64_ref[jid, 0], q, rh, rl)
+    t_h = m32.mul_mod32(m32.barrett_reduce_u32(hi, q, rh),
+                        p32_ref[jid, 0], q, rh, rl)
+    t_l = m32.barrett_reduce_u32(lo, q, rh)
+    delta = m32.add_mod32(m32.add_mod32(t_c, t_h, q), t_l, q)
+    delta = m32.sub_mod32(delta, m32.mul_mod32(v_ref[0], vm_ref[jid, 0],
+                                               q, rh, rl), q)
+
+    # tensor term c_g staged via scratch plane 1 (branchy per half)
+    @pl.when(gid == 0)
+    def _c0():
+        scr_ref[1] = m32.mul_mod32(ta0_ref[0], tb0_ref[0], q, rh, rl)
+
+    @pl.when(gid > 0)
+    def _c1():
+        h1, l1 = m32.mul_wide32(ta0_ref[0], tb1_ref[0])
+        h2, l2 = m32.mul_wide32(ta1_ref[0], tb0_ref[0])
+        hs, ls = m32.add_wide32(h1, l1, h2, l2)
+        scr_ref[1] = m32.barrett_reduce_u64_32(hs, ls, q, rh, rl)
+    c_g = scr_ref[1]
+    pinv = pinv_ref[jid, 0]
+    pinvs = pinvs_ref[jid, 0]
+
+    @pl.when(jp == 0)
+    def _last_limb():
+        # full moddown of the last limb, then its inverse transform + half
+        tn = _ntt_core(delta, wa_ref, d_ref, ds_ref, wb_ref, q, pd_ref,
+                       pds_ref, jid, bits, q_bits)
+        diff = s_ref[0] - tn + q
+        m = m32.add_mod32(cs(mul_mod_shoup_lazy32(diff, pinv, pinvs, q), q),
+                          c_g, q)
+        o_ref[0] = m
+        xl = _intt_core(m, wbi_ref, di_ref, dis_ref, wai_ref, q,
+                        pdl_ref, pdsl_ref, pd2l_ref, pds2l_ref, bits,
+                        q_bits)
+        scr_ref[0] = cs(xl + half_ref[0, 0], q)      # q == qlast here
+
+    @pl.when(jp > 0)
+    def _rescaled_row():
+        red = m32.barrett_reduce_u32(scr_ref[0], q, rh)
+        delta2 = m32.sub_mod32(red, hmq_ref[jid, 0], q)
+        w = m32.add_mod32(
+            cs(mul_mod_shoup_lazy32(delta, pinv, pinvs, q), q), delta2, q)
+        tn = _ntt_core(w, wa_ref, d_ref, ds_ref, wb_ref, q, pd_ref,
+                       pds_ref, jid, bits, q_bits)
+        s_term = cs(mul_mod_shoup_lazy32(s_ref[0], pinv, pinvs, q), q)
+        a = m32.add_mod32(s_term, c_g, q)
+        diff = a - tn + q
+        o_ref[0] = cs(mul_mod_shoup_lazy32(diff, qinv_ref[jid, 0],
+                                           qinvs_ref[jid, 0], q), q)
+
+
+def moddown_rescale_mxu_pallas(y, mat, v, vmul, sub_from, tensor_add,
+                               t: MXUNTTTables, pinv, pinv_shoup,
+                               half, half_mod_q, qlast_inv,
+                               qlast_inv_shoup, interpret=None):
+    """Fused CKKS step epilogue: moddown of both keyswitch halves + the
+    relin tensor adds + rescale, ONE launch, one forward NTT per row.
+
+    y: (2, alpha, n1, n2) pre-scaled P-row iNTT output; mat: (k, alpha)
+    qhat_mod_p; v: (2, n1, n2); sub_from: (2, k, n1, n2) s halves;
+    tensor_add = (d1, d2) each (2, k, n1, n2).  Returns (2, k, n1, n2)
+    whose rows [0, k-1) are the RESCALED result and row k-1 is the
+    unrescaled moddown output (callers slice it off).  Reference flow:
+    moddown_from_NTT + add_to_ct + divide_and_round_q_last_ntt
+    (rns_bconv.cu:776, evaluate.cu:1545)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n1, n2 = t.n1, t.n2
+    k = int(t.q.shape[0])
+    alpha = y.shape[1]
+    assert y.shape == (2, alpha, n1, n2), y.shape
+    n_diag = t.pow_diag.shape[1]
+    kk = np.int32(k)
+
+    def jrow(g, jp):  # actual limb row for program (g, jp)
+        return jax.lax.rem(_i32(jp) + np.int32(k - 1), kk)
+
+    ydata = pl.BlockSpec((1, alpha, n1, n2),
+                         lambda g, jp: (g, _I0, _I0, _I0),
+                         memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((k, alpha), lambda g, jp: (_I0, _I0),
+                            memory_space=pltpu.SMEM)
+    vspec = pl.BlockSpec((1, n1, n2), lambda g, jp: (g, _I0, _I0),
+                         memory_space=pltpu.VMEM)
+    grow = pl.BlockSpec((1, n1, n2),
+                        lambda g, jp: (_i32(g) * kk + jrow(g, jp),
+                                       _I0, _I0),
+                        memory_space=pltpu.VMEM)
+    row0 = pl.BlockSpec((1, n1, n2), lambda g, jp: (jrow(g, jp), _I0, _I0),
+                        memory_space=pltpu.VMEM)
+    row1 = pl.BlockSpec((1, n1, n2),
+                        lambda g, jp: (kk + jrow(g, jp), _I0, _I0),
+                        memory_space=pltpu.VMEM)
+    left = pl.BlockSpec((1, n1, n1), lambda g, jp: (jrow(g, jp), _I0, _I0),
+                        memory_space=pltpu.VMEM)
+    right = pl.BlockSpec((1, n2, n2), lambda g, jp: (jrow(g, jp), _I0, _I0),
+                         memory_space=pltpu.VMEM)
+    tw = pl.BlockSpec((1, n1, n2), lambda g, jp: (jrow(g, jp), _I0, _I0),
+                      memory_space=pltpu.VMEM)
+    scalar = pl.BlockSpec((k, 1), lambda g, jp: (_I0, _I0),
+                          memory_space=pltpu.SMEM)
+    diag = pl.BlockSpec((k, n_diag), lambda g, jp: (_I0, _I0),
+                        memory_space=pltpu.SMEM)
+    one = pl.BlockSpec((1, 1), lambda g, jp: (_I0, _I0),
+                       memory_space=pltpu.SMEM)
+    diag1 = pl.BlockSpec((1, n_diag), lambda g, jp: (_I0, _I0),
+                         memory_space=pltpu.SMEM)
+    cleft = pl.BlockSpec((1, n1, n1), lambda g, jp: (_I0, _I0, _I0),
+                         memory_space=pltpu.VMEM)
+    cright = pl.BlockSpec((1, n2, n2), lambda g, jp: (_I0, _I0, _I0),
+                          memory_space=pltpu.VMEM)
+    ctw = pl.BlockSpec((1, n1, n2), lambda g, jp: (_I0, _I0, _I0),
+                       memory_space=pltpu.VMEM)
+
+    mv = t.mv
+    col = lambda a: jnp.asarray(a, jnp.uint32).reshape(-1, 1)
+
+    def pad_k(a):  # (k-1,) rescale consts padded to k rows (row k-1 unused)
+        a = jnp.asarray(a, jnp.uint32).reshape(-1)
+        return jnp.concatenate([a, a[-1:]]).reshape(-1, 1)
+
+    # last-limb inverse tables (single limb, scale-in-fold = 1/N)
+    from .ntt_mxu import scaled_diag
+    t_last = t.limb_slice(np.array([k - 1]))
+    pd2l, pds2l, _ = scaled_diag(
+        t_last, t_last.inv_degree,
+        (t_last.pow_diag, t_last.pow_diag_shoup, t_last.q_bits))
+
+    d1m = jnp.asarray(tensor_add[0], jnp.uint32).reshape(2 * k, n1, n2)
+    d2m = jnp.asarray(tensor_add[1], jnp.uint32).reshape(2 * k, n1, n2)
+    args = [y, jnp.asarray(mat, jnp.uint32), v.reshape(2, n1, n2),
+            col(vmul),
+            jnp.asarray(sub_from, jnp.uint32).reshape(2 * k, n1, n2),
+            d1m, d1m, d2m, d2m,
+            t.wa, t.d.reshape(-1, n1, n2), t.d_shoup.reshape(-1, n1, n2),
+            t.wb, col(mv.q), col(mv.ratio_hi), col(mv.ratio_lo),
+            col(mv.pow32), col(mv.pow64), t.pow_diag, t.pow_diag_shoup,
+            col(pinv), col(pinv_shoup), pad_k(half_mod_q),
+            pad_k(qlast_inv), pad_k(qlast_inv_shoup),
+            jnp.asarray(half, jnp.uint32).reshape(1, 1),
+            t_last.wbi, t_last.di.reshape(1, n1, n2),
+            t_last.di_shoup.reshape(1, n1, n2), t_last.wai,
+            t_last.pow_diag, t_last.pow_diag_shoup, pd2l, pds2l]
+    specs = [ydata, mat_spec, vspec, scalar, grow,
+             row0, row1, row0, row1,
+             left, tw, tw, right, scalar, scalar, scalar, scalar, scalar,
+             diag, diag, scalar, scalar, scalar, scalar, scalar, one,
+             cright, ctw, ctw, cleft, diag1, diag1, diag1, diag1]
+    kern = functools.partial(_moddown_rescale_kernel, t.plane_bits,
+                             t.q_bits, alpha, k)
+    out = pl.pallas_call(
+        kern,
+        grid=(2, k),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((1, n1, n2),
+                               lambda g, jp: (_i32(g) * kk + jrow(g, jp),
+                                              _I0, _I0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2 * k, n1, n2), jnp.uint32),
+        # plane 0: the group's xl2 = iNTT(m_{k-1}) + half; plane 1: the
+        # per-program tensor term staging
+        scratch_shapes=[pltpu.VMEM((2, n1, n2), jnp.uint32)],
+        interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(*args)
+    return out.reshape(2, k, n1, n2)
+
+
+# ---------------------------------------------------------------------------
 # modup + evaluation-key inner product in one program
 # ---------------------------------------------------------------------------
 
@@ -974,7 +1200,7 @@ def ip_mxu_pallas(t_up: jnp.ndarray, evk: jnp.ndarray, mv,
 # has size_ql*N*4 = 11.3 MB and still fits with the 100 MB vmem limit)
 MODUP_IP_MAX_Y_BYTES = (
     0 if _os.environ.get("PHANTOM_MODUP_IP") == "0"
-    else int(float(_os.environ.get("PHANTOM_MODUP_IP_MB", "8")) * (1 << 20)))
+    else int(float(_os.environ.get("PHANTOM_MODUP_IP_MB", "14")) * (1 << 20)))
 
 
 def modup_ip_mxu_pallas(y: jnp.ndarray, mats: jnp.ndarray,

@@ -358,22 +358,36 @@ def _modup_coeff_prescale(ks: KeySwitch32, c2_coeff: jnp.ndarray):
 # --- bconv placement selectors (consulted at trace time) -------------------
 # "kernel": base conversion fused INSIDE the Pallas NTT programs — a
 #     per-row (carry, hi, lo) VPU accumulation over alpha input rows.
-# "xla":    base conversion as an int8 MXU digit-plane matmul in XLA
-#     (ops/bconv32), with the NTT kernel taking the converted rows and
-#     keeping only the cheap epilogues fused.
-# Measured on the v5e (r5): the in-kernel accumulation costs ~10 us/row at
-# alpha=22 — more than the NTT itself (6.8 us/row) — while the MXU matmul
-# is ~free; at small alpha the extra launch/materialization dominates
-# instead.  "auto" picks by alpha; env knobs override for A/B.
+# "xla"/"xla-split": base conversion as an int8 MXU digit-plane matmul in
+#     XLA (ops/bconv32), the NTT kernel taking the converted rows ("xla"
+#     = preconv mega, "xla-split" = separate fNTT + XLA inner product).
+# Interleaved pair A/B on the v5e at L=43 alpha=22
+# (benchmarks/variant_ab.py, r5, K=25 chained):
+#   xla-split:kernel 6.77 ms < kernel:kernel 6.88 < xla:kernel 7.43
+#   < kernel:xla 7.50 < xla:xla 7.70
+# Pattern: any structure where XLA materializes a large delta tensor
+# that a kernel then consumes loses ~0.6-0.9 ms to badly-tiled
+# {2,0,1:T(2,128)} stages and scheduling gaps, even when its device-busy
+# sum is lower.  Defaults: modup = split fNTT + XLA inner product at
+# large alpha (in-kernel bconv mega at small alpha, where the per-row
+# accumulation is short); moddown = in-kernel bconv always.
 MODUP_VARIANT = _os.environ.get("PHANTOM_MODUP_VARIANT", "auto")
 MODDOWN_VARIANT = _os.environ.get("PHANTOM_MODDOWN_VARIANT", "auto")
 KERNEL_BCONV_ALPHA_MAX = int(_os.environ.get(
     "PHANTOM_KERNEL_BCONV_ALPHA_MAX", "8"))
 
 
+def _resolve_modup(ks: KeySwitch32) -> str:
+    v = MODUP_VARIANT
+    if v == "auto":
+        return ("kernel" if ks.size_p <= KERNEL_BCONV_ALPHA_MAX
+                else "xla-split")
+    return "kernel" if v in ("kernel", "mega") else v
+
+
 def _use_kernel_bconv(ks: KeySwitch32, variant: str) -> bool:
     if variant == "auto":
-        return ks.size_p <= KERNEL_BCONV_ALPHA_MAX
+        return True                      # moddown: kernel bconv wins
     return variant in ("kernel", "mega")
 
 
@@ -464,7 +478,7 @@ def modup_from_ntt32(ks: KeySwitch32, c2_ntt: jnp.ndarray) -> jnp.ndarray:
     n = y.shape[-1]
     if (ks.t_qlp_compl is not None
             and not (ks.modup_mats is not None
-                     and _use_kernel_bconv(ks, MODUP_VARIANT))):
+                     and _resolve_modup(ks) == "kernel")):
         return modup_xla32(ks, y, c2_ntt)
     if ks.modup_mats is not None:
         # mxu-pallas: bconv + forward NTT of every complement row in ONE
@@ -544,7 +558,7 @@ def modup_ip32(ks: KeySwitch32, c2_ntt: jnp.ndarray,
          else c2_ntt.shape[-1])
     if (ks.modup_mats is not None and c2_ntt.ndim == (3 if blocked else 2)
             and ks.size_ql * n * 4 <= nmp.MODUP_IP_MAX_Y_BYTES
-            and _use_kernel_bconv(ks, MODUP_VARIANT)):
+            and _resolve_modup(ks) == "kernel"):
         y = _inv(ks, c2_ntt, ks.t_ql, scale=ks.modup_scale,
                  scale_shoup=ks.modup_scale_shoup)
         return nmp.modup_ip_mxu_pallas(
@@ -847,6 +861,35 @@ def _rescale(p: CKKSPipeline32, x):
                 epi_scale=p.qlast_inv, epi_scale_shoup=p.qlast_inv_shoup)
 
 
+def _moddown_rescale_or_pair(p: CKKSPipeline32, ks: KeySwitch32,
+                             s0, s1, d1, d2):
+    """Finish the CKKS step from the keyswitch halves: moddown + relin
+    tensor adds + rescale.  On the fused engine (CKKS moddown, kernel
+    bconv) the whole epilogue runs as ONE launch with a single forward
+    NTT per row (ntt_mxu_pallas.moddown_rescale_mxu_pallas); otherwise
+    compose moddown32_pair + _rescale.  Returns the RESCALED (2, k-1, ..)
+    result."""
+    from . import ntt_mxu_pallas as nmp
+    k = ks.size_ql
+    merged = (ks.moddown_scale is not None and ks.p_to_t is None
+              and _use_kernel_bconv(ks, MODDOWN_VARIANT)
+              and _os.environ.get("PHANTOM_MERGED_EPILOGUE", "1") != "0")
+    if not merged:
+        m0, m1 = moddown32_pair(ks, s0, s1, tensor_add=(d1, d2))
+        return _rescale(p, jnp.stack([m0, m1]))
+    xp = jnp.stack([s0[k:], s1[k:]])
+    y, v = nmp.ntt_inverse_mxu_pallas(
+        xp, ks.t_p, scale=ks.moddown_scale,
+        scale_shoup=ks.moddown_scale_shoup,
+        emit_floor_div=(ks.p_to_q.U, ks.p_to_q.V))
+    sub = jnp.stack([s0[:k], s1[:k]])
+    out = nmp.moddown_rescale_mxu_pallas(
+        y, ks.p_to_q.qhat_mod_p, v, ks.p_to_q.q_mod_p, sub, (d1, d2),
+        ks.t_ql, ks.pinv, ks.pinv_shoup, p.half, p.half_mod_q,
+        p.qlast_inv, p.qlast_inv_shoup)
+    return out[:, :k - 1]
+
+
 def mult_relin_rescale32(p: CKKSPipeline32, d1: jnp.ndarray,
                          d2: jnp.ndarray) -> jnp.ndarray:
     """d1, d2: (2, size_ql, N) uint32 NTT form -> (2, size_ql-1, N).
@@ -878,7 +921,7 @@ def mult_relin_rescale32(p: CKKSPipeline32, d1: jnp.ndarray,
     fuse_tensor = (blk and _os.environ.get("PHANTOM_FUSE_TENSOR", "1")
                    != "0")
     use_mega = (ks.modup_mats is not None
-                and _use_kernel_bconv(ks, MODUP_VARIANT)
+                and _resolve_modup(ks) == "kernel"
                 and ks.size_ql * n_flat * 4 <= nmp.MODUP_IP_MAX_Y_BYTES)
     if fuse_tensor and use_mega:
         # fully-fused step (kernel-bconv variant): the 2x2 tensor product
@@ -893,8 +936,8 @@ def mult_relin_rescale32(p: CKKSPipeline32, d1: jnp.ndarray,
             _pad_digit_rows(ks, y), ks.modup_mats,
             (_pad_digit_rows(ks, d1[1]), _pad_digit_rows(ks, d2[1])),
             p.evk, ks.t_qlp, k_data=ks.size_ql)
-        m0, m1 = moddown32_pair(ks, s0, s1, tensor_add=(d1, d2))
-        out = jnp.stack([m0, m1])
+        out = None
+        res = _moddown_rescale_or_pair(p, ks, s0, s1, d1, d2)
     elif fuse_tensor and ks.t_qlp_compl is not None:
         # xla-bconv variant: base conversions as int8 MXU matmuls in
         # XLA; the complement rows' forward NTT and the evk inner
@@ -907,7 +950,7 @@ def mult_relin_rescale32(p: CKKSPipeline32, d1: jnp.ndarray,
         c2 = m32.mul_mod32(d1[1], d2[1], q, rh, rl)
         y = _inv(ks, c2, ks.t_ql, scale=ks.modup_scale,
                  scale_shoup=ks.modup_scale_shoup)
-        if MODUP_VARIANT == "xla-split":
+        if _resolve_modup(ks) == "xla-split":
             # two-stage form: batched compl fNTT kernel + XLA IP
             t_up = modup_xla32(ks, y, c2)
             s0, s1 = inner_product32(ks, t_up,
@@ -919,8 +962,8 @@ def mult_relin_rescale32(p: CKKSPipeline32, d1: jnp.ndarray,
                               _pad_digit_rows(ks, d2[1])),
                 p.evk, ks.t_qlp, k_data=ks.size_ql, preconv=True,
                 alpha=ks.size_p)
-        m0, m1 = moddown32_pair(ks, s0, s1, tensor_add=(d1, d2))
-        out = jnp.stack([m0, m1])
+        out = None
+        res = _moddown_rescale_or_pair(p, ks, s0, s1, d1, d2)
     else:
         c0, c1, c2 = _tensor_2x2(ks.mv_ql, d1, d2)
         s0, s1 = modup_ip32(ks, c2, p.evk)
@@ -928,7 +971,8 @@ def mult_relin_rescale32(p: CKKSPipeline32, d1: jnp.ndarray,
         out0 = m32.add_mod32(c0, m0, q)
         out1 = m32.add_mod32(c1, m1, q)
         out = jnp.stack([out0, out1])
-    res = _rescale(p, out)
+    if out is not None:
+        res = _rescale(p, out)
     debug.check_range(res, _qcol(ks.mv_ql.q[:-1], res[0]),
                       "rescale output not canonical")
     if blk and not pre_blocked:
