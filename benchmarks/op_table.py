@@ -89,7 +89,8 @@ def main():
                 "rescale": 192, "rotate": 48, "multiply_relin": 48,
                 "multiply_relin_rescale": 48,
                 "multiply_relin_modswitch": 48, "hoisting_sum2": 32,
-                "encrypt": 32}
+                "encrypt": 32, "keygen_secret": 64, "keygen_public": 32,
+                "keygen_relin": 16}
     rows = {}
 
     # honest timing mode before any measurement (CLAUDE.md)
@@ -181,33 +182,44 @@ def main():
     s32key = jnp.asarray(sk.data).astype(jnp.uint32)
     n_ = args.n
 
-    kg_sk = jax.jit(lambda t, mv, key: f32k.gen_secret_core32(
-        t, mv, key, n_))
-    kg_pk = jax.jit(lambda t, mv, kmv, s_, key: jnp.stack(
-        f32k.encrypt_zero_sym_core32(t, mv, kmv, s_, key, n_,
-                                     kmult, kmult_sh)))
+    # chained keygen: each iteration's PRNG key derives from the previous
+    # key's bits (real data dependency; single-dispatch keygen latency on
+    # this runtime is RTT-bound at ~15-25 ms regardless of device time)
+    def step_kg_sk(pack, carry):
+        t, mv = pack
+        key, _ = carry
+        data = f32k.gen_secret_core32(t, mv, key, n_)
+        return (jax.random.PRNGKey(data[0, 0].astype(jnp.int64)), data)
 
-    def _rlk(t, mv, kmv, s_, key):
+    chained("keygen_secret", (t32key, mvkey), step_kg_sk,
+            (jax.random.PRNGKey(100), s32key))
+
+    def step_kg_pk(pack, carry):
+        t, mv, kmv, s_ = pack
+        key, _ = carry
+        data = jnp.stack(f32k.encrypt_zero_sym_core32(
+            t, mv, kmv, s_, key, n_, kmult, kmult_sh))
+        return (jax.random.PRNGKey(data[0, 0, 0].astype(jnp.int64)), data)
+
+    chained("keygen_public", (t32key, mvkey, ctx.key_mv, s32key),
+            step_kg_pk,
+            (jax.random.PRNGKey(200), jnp.stack([s32key, s32key])))
+
+    def step_kg_rlk(pack, carry):
+        t, mv, kmv, s_ = pack
+        key, _ = carry
         q = mv.q[:, None]
         s_sq = m32.mul_mod32(s_, s_, q, mv.ratio_hi[:, None],
                              mv.ratio_lo[:, None])
-        return f32k.gen_kswitch_core32(t, mv, kmv, s_, s_sq, key, n_,
+        data = f32k.gen_kswitch_core32(t, mv, kmv, s_, s_sq, key, n_,
                                        dnum, pm, pm_shoup, kmask,
                                        kmult, kmult_sh)
+        return (jax.random.PRNGKey(data[0, 0, 0, 0].astype(jnp.int64)),
+                data)
 
-    kg_rlk = jax.jit(_rlk)
-    varied("keygen_secret",
-           lambda i: lambda: kg_sk(t32key, mvkey,
-                                   jax.random.PRNGKey(100 + i)),
-           trials=3)
-    varied("keygen_public",
-           lambda i: lambda: kg_pk(t32key, mvkey, ctx.key_mv, s32key,
-                                   jax.random.PRNGKey(200 + i)),
-           trials=3)
-    varied("keygen_relin",
-           lambda i: lambda: kg_rlk(t32key, mvkey, ctx.key_mv, s32key,
-                                    jax.random.PRNGKey(300 + i)),
-           trials=3)
+    rlk_init = jnp.zeros((dnum, 2) + s32key.shape, jnp.uint32)
+    chained("keygen_relin", (t32key, mvkey, ctx.key_mv, s32key),
+            step_kg_rlk, (jax.random.PRNGKey(300), rlk_init))
 
     # ---- encode / decode (host oracle paths, like the reference's) ----
     enc = s.enc

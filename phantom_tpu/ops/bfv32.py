@@ -11,6 +11,8 @@ Bit-identical to the u64 evaluator path (tested in tests/test_fastpath32.py).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import flax.struct
 import jax.numpy as jnp
 import numpy as np
@@ -41,6 +43,11 @@ class BFVPipeline32:
     # HPSoverQ: 1/Ql moves onto ct2 before the product
     sr_ql_to_rl: sr32.ExactScaleRound32 = None  # round(Rl/Ql): Ql -> Rl
     sr_final_overq: sr32.ExactScaleRound32 = None  # round(t/Rl): D -> Ql
+    # fused lift: (size_d, size_ql) matrix [qhat_i mod d_j] over ALL D
+    # rows — for the Ql rows the v floor term vanishes (Q = 0 mod q_j),
+    # so one bconv+NTT kernel lifts AND transforms every D row
+    lift_mats: Optional[jnp.ndarray] = None
+    lift_vmul: Optional[jnp.ndarray] = None
 
 
 def build_bfv32(ctx, rlk, chain_index: int = 1,
@@ -61,7 +68,20 @@ def build_bfv32(ctx, rlk, chain_index: int = 1,
     for r in rl:
         big_rl *= r
     t_d64 = ntt64mod.concat_tables(ctx.tables_q(k), ctx.tables_r(k + 1))
+    # fused-lift matrix over ALL D rows: conv of x = sum_i y_i*qhat_i - v*Q
+    # with Q = 0 mod q_j on the Ql rows (exact recombine, no correction)
+    ql_to_ql = BaseConverter(RNSBase(ql), RNSBase(ql))
+    lift_mats = np.concatenate(
+        [np.array(ql_to_ql.qhat_mod_p, dtype=np.uint32),
+         np.array(BaseConverter(RNSBase(ql), RNSBase(rl)).qhat_mod_p,
+                  dtype=np.uint32)], axis=0)
+    lift_vmul = np.concatenate(
+        [np.zeros(k, dtype=np.uint32),
+         np.array(BaseConverter(RNSBase(ql),
+                                RNSBase(rl)).q_mod_p, dtype=np.uint32)])
     return BFVPipeline32(
+        lift_mats=jnp.asarray(lift_mats),
+        lift_vmul=jnp.asarray(lift_vmul),
         ks=build_keyswitch32(ctx, chain_index, use_pallas),
         evk=convert_key32(ctx, rlk.data, chain_index),
         mv_d=modulus_vec32(d_moduli),
@@ -90,24 +110,60 @@ def _scale_and_round_hps32(p: BFVPipeline32, x_d: jnp.ndarray) -> jnp.ndarray:
                          _qcol(p.r_to_q.obase.q, conv))
 
 
+def _lift_ntt_fused(p: BFVPipeline32, polys: jnp.ndarray) -> jnp.ndarray:
+    """(P, size_ql, [n1, n2]) coeff form -> (P, size_d, ..) NTT over D in
+    ONE bconv+NTT launch: every D row is the exact conversion
+    sum_i y_i*qhat_i - v*Q of the pre-scaled y = x*QhatInv — on the Ql
+    rows Q = 0 mod q_j, so the same contraction reproduces x exactly
+    (no identity/passthrough special case).  Replaces the XLA
+    bconv_exact per poly + separate fNTT (their plane-extract/recombine
+    fusions dominated the BFV step's device time, r5 trace)."""
+    import jax
+
+    from . import ntt_mxu_pallas as nmp
+    ks = p.ks
+    c = p.q_to_r
+    bb = (slice(None),) + (None,) * (polys.ndim - 2)
+    y = m32.mul_mod_shoup32(polys, c.qhat_inv[bb], c.qhat_inv_shoup[bb],
+                            c.ibase.q[bb])
+    v = jax.vmap(lambda yy: bc32.floor_sum_div32(yy, c))(y)
+    np_ = polys.shape[0]
+    mats = jnp.broadcast_to(p.lift_mats[None],
+                            (np_,) + p.lift_mats.shape)
+    return nmp.bconv_ntt_forward_mxu_pallas(y, mats, p.t_d, v=v,
+                                            vmul=p.lift_vmul)
+
+
 def bfv_mult32(p: BFVPipeline32, d1: jnp.ndarray,
                d2: jnp.ndarray) -> jnp.ndarray:
     """d1, d2: (2, size_ql, N) u32 coefficient form -> (3, size_ql, N).
 
     Mirror of evaluate.bfv_multiply_hps; bit-identical to the u64 path."""
     ks = p.ks
+    t_ = ks.t_ql
 
-    def lift(d):
-        polys = []
-        for i in range(d.shape[0]):
-            x_q = d[i]
-            x_r = bc32.bconv_exact32(x_q, p.q_to_r)
-            polys.append(jnp.concatenate([x_q, x_r], axis=0))
-        return jnp.stack(polys)
+    import os as _os
+    # v5e A/B (L=28 alpha=14, chained K=48): fused lift 15.5 ms vs XLA
+    # lift 14.9 — the in-kernel 28-row accumulation costs slightly MORE
+    # than the XLA plane-extract/recombine it replaces (same tradeoff as
+    # the CKKS kernel-vs-xla bconv at large alpha).  Off by default.
+    if (p.lift_mats is not None
+            and isinstance(t_, ntt_mxu.MXUNTTTables) and t_.fused_kernel
+            and _os.environ.get("PHANTOM_BFV_LIFT", "xla") == "kernel"):
+        ab = _lift_ntt_fused(p, jnp.concatenate([d1, d2], axis=0))
+        a, b = ab[:2], ab[2:]
+    else:
+        def lift(d):
+            polys = []
+            for i in range(d.shape[0]):
+                x_q = d[i]
+                x_r = bc32.bconv_exact32(x_q, p.q_to_r)
+                polys.append(jnp.concatenate([x_q, x_r], axis=0))
+            return jnp.stack(polys)
 
-    # both operands' polys transform in ONE batched launch (4 x |D| rows)
-    ab = _fwd(ks, jnp.stack([lift(d1), lift(d2)]), p.t_d)
-    a, b = ab[0], ab[1]
+        # both operands' polys transform in ONE batched launch
+        ab = _fwd(ks, jnp.stack([lift(d1), lift(d2)]), p.t_d)
+        a, b = ab[0], ab[1]
     c0, c1, c2 = _tensor_2x2(p.mv_d, a, b)
     prod = _inv(ks, jnp.stack([c0, c1, c2]), p.t_d)
     return jnp.stack([_scale_and_round_hps32(p, prod[i]) for i in range(3)])

@@ -871,9 +871,15 @@ def _moddown_rescale_or_pair(p: CKKSPipeline32, ks: KeySwitch32,
     result."""
     from . import ntt_mxu_pallas as nmp
     k = ks.size_ql
+    # interleaved A/B on the v5e (L=43 alpha=22, K=25 chained): composed
+    # pair 6.69 ms vs merged 7.08 — the single-NTT-per-row merged kernel
+    # LOSES ~0.4 ms despite ~half the transforms (its per-program operand
+    # set is ~2x larger, throttling Mosaic's prefetch pipelining).  Off
+    # by default; PHANTOM_MERGED_EPILOGUE=1 re-enables for future
+    # Mosaic versions.
     merged = (ks.moddown_scale is not None and ks.p_to_t is None
               and _use_kernel_bconv(ks, MODDOWN_VARIANT)
-              and _os.environ.get("PHANTOM_MERGED_EPILOGUE", "1") != "0")
+              and _os.environ.get("PHANTOM_MERGED_EPILOGUE", "0") == "1")
     if not merged:
         m0, m1 = moddown32_pair(ks, s0, s1, tensor_add=(d1, d2))
         return _rescale(p, jnp.stack([m0, m1]))

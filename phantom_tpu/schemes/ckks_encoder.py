@@ -193,7 +193,16 @@ def _decode_dev32(fftt, t32, mv32, garner, data32, inv_scale):
     hi = hi * inv_scale
     lo = lo * inv_scale
     zero = jnp.zeros_like(hi)
-    return cf.fft_forward(((hi, lo), (zero, zero)), fftt)
+    ev = cf.fft_forward(((hi, lo), (zero, zero)), fftt)
+    # ONE stacked output = one device->host pull for the caller (each
+    # separate pull pays a full tunnel RTT on the axon runtime)
+    return jnp.stack([ev[0][0], ev[0][1], ev[1][0], ev[1][1]])
+
+
+import jax as _jax
+
+_encode_dev32_jit = _jax.jit(_encode_dev32)
+_decode_dev32_jit = _jax.jit(_decode_dev32)
 
 
 class CKKSDeviceEncoder:
@@ -271,7 +280,7 @@ class CKKSDeviceEncoder:
         re, im = self._scatter(values, scale)
         if self._u32:
             t32, mv32, _ = self._fast_consts(ci)
-            data = jax.jit(_encode_dev32)(self.tables, t32, mv32, re, im)
+            data = _encode_dev32_jit(self.tables, t32, mv32, re, im)
             return Plaintext(data=data, chain_index=ci, is_ntt_form=True,
                              scale=scale)
         coeffs = cf.fft_inverse((re, im), self.tables)
@@ -294,10 +303,16 @@ class CKKSDeviceEncoder:
         cd = ctx.get_context_data(plain.chain_index)
         if self._u32:
             t32, mv32, garner = self._fast_consts(plain.chain_index)
-            ev = jax.jit(_decode_dev32)(
+            evs = np.asarray(_decode_dev32_jit(
                 self.tables, t32, mv32, garner,
                 jnp.asarray(plain.data).astype(jnp.uint32),
-                jnp.float32(1.0 / plain.scale))
+                jnp.float32(1.0 / plain.scale)))
+            sp = np.asarray(self.tables.slot_pos)
+            re = evs[0][sp].astype(np.float64) + evs[1][sp].astype(
+                np.float64)
+            im = evs[2][sp].astype(np.float64) + evs[3][sp].astype(
+                np.float64)
+            return re + 1j * im
         else:
             x = nttmod.ntt_inverse(plain.data, ctx.tables_q(cd.size_ql))
             q0 = int(cd.moduli[0])

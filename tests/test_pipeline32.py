@@ -206,3 +206,48 @@ def test_rotate_xla_bconv_variant(setup_uneven, monkeypatch):
     d1 = jnp.asarray(np.asarray(ct1.data).astype(np.uint32))
     out = np.asarray(pp.rotate32(ks, g, d1, 1))
     np.testing.assert_array_equal(out, ref_rot.astype(np.uint32))
+
+
+def test_bit_match_merged_epilogue(setup_uneven, monkeypatch):
+    """The single-NTT-per-row merged moddown+rescale kernel (off by
+    default after losing its hardware A/B, kept selectable) stays
+    bit-identical to the composed pair."""
+    monkeypatch.setenv("PHANTOM_MERGED_EPILOGUE", "1")
+    ctx, rlk, ct1, ct2, ref = setup_uneven
+    p = pp.build_pipeline32(ctx, rlk, use_pallas="mxu-pallas")
+    d1 = jnp.asarray(np.asarray(ct1.data).astype(np.uint32))
+    d2 = jnp.asarray(np.asarray(ct2.data).astype(np.uint32))
+    out = np.asarray(pp.mult_relin_rescale32(p, d1, d2))
+    np.testing.assert_array_equal(out, ref.astype(np.uint32))
+
+
+def test_bfv_fused_lift_bit_match(monkeypatch):
+    """The fused lift+fNTT kernel (off by default after its hardware A/B;
+    PHANTOM_BFV_LIFT=kernel) bit-matches the u64 BFV HPS multiply."""
+    from phantom_tpu.host.modulus import PlainModulus
+    from phantom_tpu.ops import bfv32
+    from phantom_tpu.schemes import BatchEncoder
+    monkeypatch.setenv("PHANTOM_BFV_LIFT", "kernel")
+    n = 128
+    qs = numth.get_primes(2 * n, 28, 4)
+    ps = numth.get_primes(2 * n, 29, 2)
+    params = EncryptionParameters.create(
+        Scheme.BFV, n, qs + ps, special_modulus_size=2,
+        plain_modulus=PlainModulus.batching(n, 17).value)
+    ctx = make_context(params)
+    k = jax.random.split(jax.random.PRNGKey(5), 5)
+    sk = keys.gen_secret_key(ctx, k[0])
+    pk = keys.gen_public_key(ctx, sk, k[1])
+    rlk = keys.gen_relin_key(ctx, sk, k[2])
+    enc = BatchEncoder(ctx)
+    vals = np.random.default_rng(2).integers(
+        0, ctx.params.plain_modulus, n, dtype=np.uint64)
+    pt = enc.encode(vals)
+    ct1 = keys.encrypt_asymmetric(ctx, pk, pt, k[3])
+    ct2 = keys.encrypt_asymmetric(ctx, pk, pt, k[4])
+    ref = np.asarray(evaluate.multiply_and_relin(ctx, ct1, ct2, rlk).data)
+    p = bfv32.build_bfv32(ctx, rlk, use_pallas="mxu-pallas")
+    d1 = jnp.asarray(np.asarray(ct1.data).astype(np.uint32))
+    d2 = jnp.asarray(np.asarray(ct2.data).astype(np.uint32))
+    out = np.asarray(bfv32.bfv_mult_relin32(p, d1, d2))
+    np.testing.assert_array_equal(out, ref.astype(np.uint32))
