@@ -130,15 +130,15 @@ def main():
                     help="headline step: ckks = mult+relin+rescale, "
                          "bfv = mult+relin, bgv = mult+relin+modswitch")
     ap.add_argument("--hiprec", action="store_true",
-                    help="precision-matched CKKS mode: working scale 2^44 "
-                         "on the paired-prime chain (q0 + 22-bit pairs, "
-                         "examples/9_hiprec_ckks.py); the step is "
-                         "mult+relin+DOUBLE rescale.  Matches the "
-                         "reference bench's scale-2^40 workload class "
-                         "(ckks_bench.cu:9-120) instead of the 2^22 "
-                         "modulus-budget-matched default.  Defaults "
-                         "--limbs to 53 (logQ=1172) and --alpha to 27 "
-                         "(dnum 2)")
+                    help="precision-matched CKKS mode: working scale 2^54 "
+                         "on the paired-prime chain (q0 + 27-bit pairs, "
+                         "the examples/9_hiprec_ckks.py construction); "
+                         "the step is mult+relin+DOUBLE rescale.  "
+                         "Exceeds the reference bench's scale-2^40 "
+                         "precision (ckks_bench.cu:9-120); the 2^22 "
+                         "default is modulus-budget-matched instead.  "
+                         "Defaults --limbs to 43 (logQ=1162) and "
+                         "--alpha to 22 (dnum 2)")
     ap.add_argument("--multech", choices=["hps", "behz", "overq", "leveled"],
                     default="hps",
                     help="BFV multiplication technique (reference "
@@ -158,11 +158,8 @@ def main():
     if args.hiprec:
         if args.scheme != "ckks" or args.path == "u64":
             ap.error("--hiprec is a CKKS u32-path mode")
-        # paired-prime defaults unless explicitly overridden
-        if args.limbs == 43:
-            args.limbs = 53          # q0 + 26 pairs of 22-bit primes
-        if args.alpha == 22:
-            args.alpha = 27          # dnum = 2 over the 53-limb chain
+        # paired-prime defaults: 43 = q0 + 21 pairs of 27-bit primes
+        # (logQ = 28 + 42*27 = 1162); alpha=22 keeps dnum = 2
 
     backend_error = None
     plat = probe_backend()
@@ -194,7 +191,7 @@ def main():
     logq_bits = sum(int(q).bit_length()
                     for q in s.params.coeff_modulus[:args.limbs])
 
-    metric_step = {"ckks": ("mult+relin+rescale2 scale=2^44" if args.hiprec
+    metric_step = {"ckks": ("mult+relin+rescale2 scale=2^54" if args.hiprec
                             else "mult+relin+rescale"),
                    "bfv": f"mult+relin ({args.multech.upper()})",
                    "bgv": "mult+relin+modswitch"}[args.scheme]
@@ -422,7 +419,7 @@ def main():
         "unit": "ops/s",
         "vs_baseline": round(headline / A100_BASELINE_OPS, 4),
         "logq_bits": logq_bits,
-        "scale_bits": 44 if args.hiprec else bits - 6,
+        "scale_bits": 54 if args.hiprec else bits - 6,
     }
     if args.hiprec:
         rec["hiprec"] = True

@@ -69,6 +69,36 @@ def hiprec_demo(n=8192):
     print(f"  x^4 @ ~2^44, second paired rescale: ok (max err {err4:.2e})")
 
 
+def hiprec54_demo(n=8192):
+    """The bench.py --hiprec construction: 27-bit pairs, scale 2^54
+    (the n=2^16 prime pool has no 22-bit NTT-friendly primes, so the
+    capability-scale high-precision chain pairs 27-bit primes)."""
+    print(f"[hiprec54] CKKS n={n}, scale 2^54 (paired 27-bit primes)")
+    q0 = numth.get_primes(2 * n, 28, 1)
+    rs = numth.get_primes(2 * n, 27, 4)     # two pairs
+    ps = numth.get_primes(2 * n, 29, 2)
+    params = EncryptionParameters.create(
+        Scheme.CKKS, n, q0 + rs + ps, special_modulus_size=2)
+    ctx = make_context(params)
+    k = jax.random.split(jax.random.PRNGKey(11), 4)
+    sk = keys.gen_secret_key(ctx, k[0])
+    pk = keys.gen_public_key(ctx, sk, k[1])
+    rlk = keys.gen_relin_key(ctx, sk, k[2])
+    enc = CKKSEncoder(ctx)
+    scale = float(2.0 ** 54)
+    ev = Fast32(ctx, rlk=rlk)
+    rg = np.random.default_rng(3)
+    x = rg.uniform(-1.0, 1.0, enc.slots)
+    c = ev.encrypt_asymmetric(pk, enc.encode(x, scale), k[3])
+    c = ev.multiply_and_relin(c, c)
+    c = ev.rescale_to_next(ev.rescale_to_next(c))
+    got = enc.decode(ev.decrypt(sk, c)).real
+    err = float(np.max(np.abs(got - x ** 2)))
+    assert err < 1e-9, f"x^2 at scale 2^54: err {err}"
+    print(f"  x^2 @ 2^54, double 27-bit rescale: ok (max err {err:.2e})")
+
+
 if __name__ == "__main__":
     hiprec_demo(8192)
+    hiprec54_demo(8192)
     print("all high-precision examples passed")

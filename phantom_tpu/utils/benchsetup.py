@@ -36,10 +36,12 @@ def setup_bench(scheme: str = "ckks", n: int = 65536, limbs: int = 28,
     """Build (or load) the standard bench setup.
 
     hiprec (CKKS only): the paired-prime high-precision chain — one
-    28-bit q0 + `limbs` 22-bit data primes, working scale 2^44, each
-    multiplicative level rescaling by a PAIR of 22-bit primes
-    (examples/9_hiprec_ckks.py construction; matches the reference CKKS
-    bench's scale-2^40 workload class on u32 words).
+    28-bit q0 + (limbs-1) 27-bit data primes, working scale 2^54, each
+    multiplicative level rescaling by a PAIR of 27-bit primes (the
+    examples/9_hiprec_ckks.py construction; EXCEEDS the reference CKKS
+    bench's scale-2^40 precision on u32 words).  27-bit pairs because
+    NTT-friendly primes at n=2^16 must be == 1 mod 2^17: only ~2
+    22-bit candidates exist, vs ~52 at 27 bits.
 
     Returns a SimpleNamespace with: params, ctx, sk, pk, rlk, glk (None
     unless galois_steps), pt, ct1, ct2, enc, values (the encoded payload),
@@ -63,9 +65,9 @@ def setup_bench(scheme: str = "ckks", n: int = 65536, limbs: int = 28,
         assert sch == Scheme.CKKS, "hiprec is a CKKS mode"
         assert (limbs - 1) % 2 == 0, "hiprec: limbs = q0 + prime pairs"
         q0 = numth.get_primes(2 * n, 28, 1)
-        rs = numth.get_primes(2 * n, 22, limbs - 1)
+        rs = numth.get_primes(2 * n, 27, limbs - 1)
         ps = numth.get_primes(2 * n, 29, alpha)
-        coeff = q0 + rs + ps           # q0 + 22-bit pairs + special
+        coeff = q0 + rs + ps           # q0 + 27-bit pairs + special
     else:
         qs = numth.get_primes(2 * n, bits, limbs + 1)
         ps = numth.get_primes(2 * n, bits + 1, alpha)
@@ -88,7 +90,7 @@ def setup_bench(scheme: str = "ckks", n: int = 65536, limbs: int = 28,
 
     if sch == Scheme.CKKS:
         enc = CKKSEncoder(ctx)
-        scale = 2.0 ** 44 if hiprec else 2.0 ** (bits - 6)
+        scale = 2.0 ** 54 if hiprec else 2.0 ** (bits - 6)
         values = np.random.default_rng(seed).standard_normal(enc.slots)
     else:
         enc = BatchEncoder(ctx)
@@ -97,7 +99,7 @@ def setup_bench(scheme: str = "ckks", n: int = 65536, limbs: int = 28,
             0, params.plain_modulus, n, dtype=np.uint64)
 
     cfg = dict(scheme=scheme, n=n, limbs=limbs, alpha=alpha,
-               bits=(22 if hiprec else bits),
+               bits=(27 if hiprec else bits),
                multech=(multech if sch == Scheme.BFV else
                         "hiprec" if hiprec else ""),
                galois_steps=list(galois_steps), seed=seed)
