@@ -68,6 +68,19 @@ def main():
         if len(parts) >= 3:   # "merged" | "pair" (moddown+rescale fusion)
             os.environ["PHANTOM_MERGED_EPILOGUE"] = (
                 "1" if parts[2] == "merged" else "0")
+        if len(parts) >= 4:   # kernel knobs: dot mode / fold strategy
+            from phantom_tpu.ops import ntt_mxu_pallas as _nmp
+            for tok in parts[3].split("+"):
+                if tok in ("int8", "bf16"):
+                    _nmp.DOT_MODE = tok
+                elif tok == "nopair":
+                    os.environ["PHANTOM_PAIR_FOLD"] = "0"
+                elif tok == "pairfold":
+                    os.environ["PHANTOM_PAIR_FOLD"] = "1"
+                elif tok == "nolazy":
+                    os.environ["PHANTOM_LAZY_FOLD"] = "0"
+                elif tok == "lazy":
+                    os.environ.pop("PHANTOM_LAZY_FOLD", None)
         pipe = pp.build_pipeline32(ctx, rlk, use_pallas="mxu-pallas")
         t_ = pipe.ks.t_ql
         blk = isinstance(t_, ntt_mxu.MXUNTTTables) and t_.fused_kernel

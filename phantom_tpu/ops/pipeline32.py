@@ -525,6 +525,24 @@ def inner_product32(ks: KeySwitch32, t_modup: jnp.ndarray,
         from . import ntt_mxu_pallas as nmp
         return list(nmp.ip_mxu_pallas(
             t_modup, _match_evk_layout(evk, t_modup), ks.mv_qlp, t))
+    # dnum <= 4 (q < 2^30): the digit sum fits a u64 pair BELOW the
+    # Barrett bound q*2^32 — accumulate (hi, lo) and reduce with ONE
+    # 64->32 Barrett per element instead of the 96-bit triple + u96
+    # reduction (beta * q^2 < q * 2^32 iff beta * q < 2^32)
+    if beta * (1 << 30) <= (1 << 32):
+        bb = (slice(None),) + (None,) * (t_modup.ndim - 2)
+        q = ks.mv_qlp.q[bb]
+        rh = ks.mv_qlp.ratio_hi[bb]
+        rl = ks.mv_qlp.ratio_lo[bb]
+        acc2 = [None, None]
+        for d in range(beta):     # one sweep: each t row read once
+            t_d = t_modup[d]
+            for j in range(2):
+                h, l = m32.mul_wide32(t_d, evk[d, j])
+                acc2[j] = ((h, l) if acc2[j] is None
+                           else m32.add_wide32(*acc2[j], h, l))
+        return [m32.barrett_reduce_u64_32(h, l, q, rh, rl)
+                for h, l in acc2]
     # XLA triple path: both halves in ONE sweep over the digits so each
     # t_modup[d] row is read from HBM once (the evk stream is the
     # roofline term; t_modup is the next-largest and this halves its
