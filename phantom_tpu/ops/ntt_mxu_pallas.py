@@ -769,6 +769,227 @@ def bconv_ntt_forward_mxu_pallas(y: jnp.ndarray, mat: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# moddown with the base conversion on the in-kernel MXU (R rows/program)
+# ---------------------------------------------------------------------------
+
+def _bconv_mxu_kernel(bits, q_bits, alpha, k_pad, R, has_tadd,
+                      y_ref, mat_ref, v_ref, vm_ref, s_ref,
+                      ta0_ref, ta1_ref, tb0_ref, tb1_ref,
+                      wa_ref, d_ref, ds_ref, wb_ref,
+                      q_ref, rh_ref, rl_ref, pw_ref, pws_ref,
+                      pd_ref, pds_ref, sc_ref, scs_ref, o_ref):
+    """R moddown rows per program: the (R, alpha) x (alpha, n1, n2) base
+    conversion runs as int8 digit-plane dots on the MXU with per-row
+    Shoup folds (the per-row VPU accumulation at alpha ~ 20 costs more
+    than the row's NTT; in XLA the same matmul pays plane-extract /
+    recombine fusions at ~30% HBM peak — in VMEM both costs vanish).
+    Everything else (exact v correction, forward NTT, the
+    (sub - NTT(delta)) * P^-1 epilogue and the relin tensor adds) is as
+    in _bconv_fwd_kernel, per row."""
+    gid = _i32(pl.program_id(0))
+    jp = _i32(pl.program_id(1))
+    cs = _csub_for(q_bits)
+    n1, n2 = v_ref.shape[1:]
+    y = y_ref[0]                                  # (alpha, n1, n2)
+    # y ranges over the SPECIAL primes (< 2^30), not the Ql q_bits
+    nplanes_y = -(-30 // bits)
+    nplanes_m = -(-30 // bits)
+    mask = U32((1 << bits) - 1)
+    dt = jnp.int8 if bits <= 7 else jnp.int32
+    yps = [((y >> U32(bits * p_)) & mask).astype(dt)
+           for p_ in range(nplanes_y)]
+    mblk = mat_ref[...]                           # (R, alpha) u32 VMEM
+    mps = [((mblk >> U32(bits * p_)) & mask).astype(dt)
+           for p_ in range(nplanes_m)]
+    nd = nplanes_y + nplanes_m - 1
+    # diagonal partials: (R, n1, n2) i32, exact (< 2^31); the dot has two
+    # trailing non-contracting dims on the rhs
+    partials = []
+    for dg in range(nd):
+        acc = None
+        for a in range(max(0, dg - nplanes_y + 1), min(nplanes_m, dg + 1)):
+            t_ = jax.lax.dot_general(
+                mps[a], yps[dg - a], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc = t_ if acc is None else acc + t_
+        partials.append(acc)
+    mp = ((1 << bits) - 1) ** 2 * alpha * min(nplanes_y, nplanes_m)
+    pair = mp * ((1 << bits) + 1) <= 0xFFFFFFFF
+
+    for r in range(R):
+        jid = jp * np.int32(R) + np.int32(r)
+        q = q_ref[jid, 0]
+        rh = rh_ref[jid, 0]
+        rl = rl_ref[jid, 0]
+        two_q = q * U32(2)
+        # per-row fold of the diagonal partials with 2^(bits*dg) mod q_j
+        acc = None
+        n_words = (nd + 1) // 2 if pair else nd
+        lazy = (n_words << (q_bits + 1)) <= (1 << 31)
+        step = 2 if pair else 1
+        for dg in range(0, nd, step):
+            w = partials[dg][r].astype(jnp.uint32)
+            if pair and dg + 1 < nd:
+                w = w + (partials[dg + 1][r].astype(jnp.uint32)
+                         << U32(bits))
+            term = mul_mod_shoup_lazy32(w, pw_ref[jid, bits * dg],
+                                        pws_ref[jid, bits * dg], q)
+            if acc is None:
+                acc = term
+            elif lazy:
+                acc = acc + term
+            else:
+                acc = cs(acc + term, two_q)
+        if lazy:
+            kk = n_words
+            while kk > 1:
+                kk = (kk + 1) // 2
+                acc = csub32_i31(acc, two_q * U32(kk))
+            x = csub32_i31(acc, q)
+        else:
+            x = cs(acc, q)
+        x = m32.sub_mod32(x, m32.mul_mod32(v_ref[0], vm_ref[jid, 0],
+                                           q, rh, rl), q)
+        out = _ntt_core(x, wa_ref.at[r:r + 1], d_ref.at[r:r + 1],
+                        ds_ref.at[r:r + 1], wb_ref.at[r:r + 1], q,
+                        pd_ref, pds_ref, jid, bits, q_bits)
+        diff = s_ref[r] - out + q
+        out = cs(mul_mod_shoup_lazy32(diff, sc_ref[jid, 0],
+                                      scs_ref[jid, 0], q), q)
+        if not has_tadd:
+            o_ref[r] = out
+            continue
+
+        @pl.when(gid == 0)
+        def _add_c0(out=out, r=r, q=q, rh=rh, rl=rl):
+            c0 = m32.mul_mod32(ta0_ref[r], tb0_ref[r], q, rh, rl)
+            o_ref[r] = m32.add_mod32(out, c0, q)
+
+        @pl.when(gid > 0)
+        def _add_c1(out=out, r=r, q=q, rh=rh, rl=rl):
+            h1, l1 = m32.mul_wide32(ta0_ref[r], tb1_ref[r])
+            h2, l2 = m32.mul_wide32(ta1_ref[r], tb0_ref[r])
+            hs, ls = m32.add_wide32(h1, l1, h2, l2)
+            c1 = m32.barrett_reduce_u64_32(hs, ls, q, rh, rl)
+            o_ref[r] = m32.add_mod32(out, c1, q)
+
+
+def moddown_mxu_bconv_pallas(y, mat, v, vmul, sub_from, tensor_add,
+                             t: MXUNTTTables, pow2, pow2_shoup,
+                             epi_scale, epi_scale_shoup,
+                             rows_per_program: int = 8, interpret=None):
+    """Moddown of both keyswitch halves with the base conversion on the
+    in-kernel MXU, R rows per program.  y: (2, alpha, n1, n2); mat:
+    (k, alpha); v: (2, n1, n2); sub_from/tensor_add rows over (2, k, ..).
+    k is padded up to a multiple of R by repeating the last limb (pad
+    rows are sliced off).  Bit-identical to bconv_ntt_forward_mxu_pallas
+    with the same operands."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n1, n2 = t.n1, t.n2
+    k = int(t.q.shape[0])
+    alpha = y.shape[1]
+    R = rows_per_program
+    k_pad = -(-k // R) * R
+    pad_idx = np.concatenate([np.arange(k), np.full(k_pad - k, k - 1)])
+    tp = t.limb_slice(pad_idx) if k_pad != k else t
+    mv = tp.mv
+    n_diag = t.pow_diag.shape[1]
+
+    def padrows(a, lead2=True):
+        """(2, k, n1, n2) -> (2*k_pad, n1, n2) with repeated last rows."""
+        a = jnp.asarray(a, jnp.uint32).reshape(2, k, n1, n2)
+        if k_pad != k:
+            tail = jnp.broadcast_to(a[:, k - 1:k], (2, k_pad - k, n1, n2))
+            a = jnp.concatenate([a, tail], axis=1)
+        return a.reshape(2 * k_pad, n1, n2)
+
+    def padc(a):
+        a = jnp.asarray(a, jnp.uint32).reshape(-1)
+        if k_pad != k:
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(a[k - 1:k], (k_pad - k,))])
+        return a.reshape(-1, 1)
+
+    matp = jnp.asarray(mat, jnp.uint32)
+    if k_pad != k:
+        matp = jnp.concatenate(
+            [matp, jnp.broadcast_to(matp[k - 1:k], (k_pad - k, alpha))],
+            axis=0)
+    pw = jnp.asarray(pow2, jnp.uint32)
+    pws = jnp.asarray(pow2_shoup, jnp.uint32)
+    if k_pad != k:
+        pw = jnp.concatenate(
+            [pw, jnp.broadcast_to(pw[k - 1:k], (k_pad - k, pw.shape[1]))])
+        pws = jnp.concatenate(
+            [pws, jnp.broadcast_to(pws[k - 1:k],
+                                   (k_pad - k, pws.shape[1]))])
+
+    gprog = k_pad // R
+    ydata = pl.BlockSpec((1, alpha, n1, n2),
+                         lambda g, jp: (g, _I0, _I0, _I0),
+                         memory_space=pltpu.VMEM)
+    matspec = pl.BlockSpec((R, alpha), lambda g, jp: (jp, _I0),
+                           memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, n1, n2), lambda g, jp: (g, _I0, _I0),
+                         memory_space=pltpu.VMEM)
+    grows = pl.BlockSpec((R, n1, n2),
+                         lambda g, jp: (_i32(g) * np.int32(gprog) + _i32(jp),
+                                        _I0, _I0),
+                         memory_space=pltpu.VMEM)
+    row0 = pl.BlockSpec((R, n1, n2), lambda g, jp: (jp, _I0, _I0),
+                        memory_space=pltpu.VMEM)
+    row1 = pl.BlockSpec((R, n1, n2),
+                        lambda g, jp: (np.int32(gprog) + _i32(jp),
+                                       _I0, _I0),
+                        memory_space=pltpu.VMEM)
+    left = pl.BlockSpec((R, n1, n1), lambda g, jp: (jp, _I0, _I0),
+                        memory_space=pltpu.VMEM)
+    right = pl.BlockSpec((R, n2, n2), lambda g, jp: (jp, _I0, _I0),
+                         memory_space=pltpu.VMEM)
+    tw = pl.BlockSpec((R, n1, n2), lambda g, jp: (jp, _I0, _I0),
+                      memory_space=pltpu.VMEM)
+    scalar = pl.BlockSpec((k_pad, 1), lambda g, jp: (_I0, _I0),
+                          memory_space=pltpu.SMEM)
+    powt = pl.BlockSpec((k_pad, pw.shape[1]), lambda g, jp: (_I0, _I0),
+                        memory_space=pltpu.SMEM)
+    diag = pl.BlockSpec((k_pad, n_diag), lambda g, jp: (_I0, _I0),
+                        memory_space=pltpu.SMEM)
+
+    has_tadd = tensor_add is not None
+    d1m = padrows(tensor_add[0]) if has_tadd else jnp.zeros(
+        (2 * k_pad, n1, n2), jnp.uint32)
+    d2m = padrows(tensor_add[1]) if has_tadd else d1m
+    args = [y, matp, v.reshape(2, n1, n2),
+            padc(vmul),
+            padrows(sub_from), d1m, d1m, d2m, d2m,
+            tp.wa, tp.d.reshape(-1, n1, n2), tp.d_shoup.reshape(-1, n1, n2),
+            tp.wb, padc(mv.q[:k_pad]), padc(mv.ratio_hi[:k_pad]),
+            padc(mv.ratio_lo[:k_pad]), pw, pws,
+            tp.pow_diag, tp.pow_diag_shoup,
+            padc(epi_scale), padc(epi_scale_shoup)]
+    specs = [ydata, matspec, vspec, scalar, grows,
+             row0, row1, row0, row1,
+             left, tw, tw, right, scalar, scalar, scalar, powt, powt,
+             diag, diag, scalar, scalar]
+    kern = functools.partial(_bconv_mxu_kernel, t.plane_bits, t.q_bits,
+                             alpha, k_pad, R, has_tadd)
+    out = pl.pallas_call(
+        kern,
+        grid=(2, gprog),
+        in_specs=specs,
+        out_specs=pl.BlockSpec(
+            (R, n1, n2),
+            lambda g, jp: (_i32(g) * np.int32(gprog) + _i32(jp), _I0, _I0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2 * k_pad, n1, n2), jnp.uint32),
+        interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(*args)
+    return out.reshape(2, k_pad, n1, n2)[:, :k]
+
+
+# ---------------------------------------------------------------------------
 # moddown + relin-add + rescale in one launch (CKKS epilogue mega-kernel)
 # ---------------------------------------------------------------------------
 

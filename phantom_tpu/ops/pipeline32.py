@@ -682,6 +682,19 @@ def moddown32_pair(ks: KeySwitch32, x0: jnp.ndarray, x1: jnp.ndarray,
                  scale_shoup=ks.moddown_scale_shoup)
         v = jax.vmap(bc32.floor_sum_div32, in_axes=(0, None))(y, ks.p_to_q)
     if _use_kernel_bconv(ks, MODDOWN_VARIANT):
+        R = int(_os.environ.get("PHANTOM_MODDOWN_R", "0"))
+        if (R > 0 and tensor_add is not None
+                and isinstance(ks.t_ql, ntt_mxu.MXUNTTTables)
+                and ks.t_ql.fused_kernel):
+            # R rows per program with the base conversion as in-kernel
+            # MXU digit-plane dots (experimental; see
+            # moddown_mxu_bconv_pallas)
+            out = nmp.moddown_mxu_bconv_pallas(
+                y, ks.p_to_q.qhat_mod_p, v, ks.p_to_q.q_mod_p, sub,
+                tensor_add, ks.t_ql, ks.p_to_q.pow2,
+                ks.p_to_q.pow2_shoup, ks.pinv, ks.pinv_shoup,
+                rows_per_program=R)
+            return out[0], out[1]
         mat = jnp.broadcast_to(ks.p_to_q.qhat_mod_p[None],
                                (2,) + ks.p_to_q.qhat_mod_p.shape)
         out = nmp.bconv_ntt_forward_mxu_pallas(

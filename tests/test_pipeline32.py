@@ -251,3 +251,16 @@ def test_bfv_fused_lift_bit_match(monkeypatch):
     d2 = jnp.asarray(np.asarray(ct2.data).astype(np.uint32))
     out = np.asarray(bfv32.bfv_mult_relin32(p, d1, d2))
     np.testing.assert_array_equal(out, ref.astype(np.uint32))
+
+
+def test_bit_match_moddown_mxu_bconv(setup_uneven, monkeypatch):
+    """The R-rows-per-program moddown whose base conversion runs as
+    in-kernel MXU digit-plane dots (PHANTOM_MODDOWN_R) bit-matches the
+    u64 evaluator, including the k % R != 0 padded tail."""
+    monkeypatch.setenv("PHANTOM_MODDOWN_R", "2")
+    ctx, rlk, ct1, ct2, ref = setup_uneven
+    p = pp.build_pipeline32(ctx, rlk, use_pallas="mxu-pallas")
+    d1 = jnp.asarray(np.asarray(ct1.data).astype(np.uint32))
+    d2 = jnp.asarray(np.asarray(ct2.data).astype(np.uint32))
+    out = np.asarray(pp.mult_relin_rescale32(p, d1, d2))
+    np.testing.assert_array_equal(out, ref.astype(np.uint32))
