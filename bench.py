@@ -97,13 +97,13 @@ def main():
                     help="special primes; 22 -> dnum=2 digits at L=43 "
                          "(the reference keyswitch_bench.cu uses "
                          "alpha~L/2 = dnum 2 as well)")
-    ap.add_argument("--k", type=int, default=48,
+    ap.add_argument("--k", type=int, default=96,
                     help="chained steps per dispatch (fori_loop trip "
                          "count); every step's input depends on the "
                          "previous step's output.  Each top-level "
                          "dispatch pays a ~15-22 ms tunnel RTT on this "
                          "runtime (CLAUDE.md), so wall/K overstates the "
-                         "per-op cost by RTT/K — K=48 keeps that < 5%")
+                         "per-op cost by RTT/K — K=96 keeps that < 3%")
     ap.add_argument("--trials", type=int, default=5,
                     help="timed dispatches of the K-step chain; median")
     ap.add_argument("--batch", type=int, default=1,
