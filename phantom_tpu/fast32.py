@@ -588,13 +588,6 @@ class Fast32:
                           elts=tuple(int(e) for e in elts))
 
     # -- encrypt / decrypt ----------------------------------------------------
-    def _qlp_cast32(self, arr64, ci: int) -> jnp.ndarray:
-        from .schemes.keyswitch import qlp_rows
-        rows = np.asarray(qlp_rows(self.ctx,
-                                   self.keyswitch_at(ci).size_ql))
-        return jnp.asarray(np.asarray(arr64)[..., rows, :]
-                           .astype(np.uint32))
-
     def _enc_consts32(self, pk, ci: int):
         """Device-resident u32 encrypt constants, cached per level: the
         QlP-row cast of the public key and the BGV noise multiplier
